@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]`` in one JVM; the config below is chosen so
+the same logical plans survive a 1000-executor cluster:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join selection).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE's coalesce makes the initial number mostly irrelevant.
+- Session timezone pinned to UTC so results hash identically against the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled for every pandas-UDF / toPandas boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cpu_count() -> int:
+    n = os.environ.get("SPARK_GRAFT_CPUS")
+    if n:
+        return int(n)
+    return os.cpu_count() or 4
+
+
+def get_spark(app_name: str = "readwise_vector_db_spark", cores: int | None = None) -> SparkSession:
+    cores = cores or cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

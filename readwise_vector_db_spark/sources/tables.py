@@ -1,0 +1,72 @@
+"""Parquet table loaders + the ``highlights`` view assembly.
+
+The reference's one fact table is ``highlight`` (reference:
+``models/highlight.py:10-26``): id, text, source metadata, tags,
+timestamps, and a nullable embedding column.  The driver fixtures model
+this as two tables — ``documents`` (doc_id, text, lang, source, n_chars)
+and ``embeddings`` (vec_id, embedding array<float>, label) — which we
+join 1:1 on ``doc_id = vec_id`` into a highlights-like corpus
+(FIXTURES.md §1).
+
+Scale notes:
+
+- The documents⋈embeddings join is an equi-join on a unique key; at
+  100 TB both sides are large, so it is a sort-merge join — but both
+  tables would be bucketed/clustered by id in a real deployment so the
+  join is co-located (zero shuffle).  Locally AQE picks the strategy.
+- ``emb_norm`` is precomputed here (index-build time) so each search
+  query does one dot product per row, not three.
+- ``tags`` are derived deterministically from the text (first three
+  tokens) purely so the reference's array-overlap filter surface
+  (``tags && $n``, reference ``db/supabase_ops.py:254-256``) is testable
+  against the fixture corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.functions.vector import l2_norm
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def highlights(spark: SparkSession, sf_dir: str, with_norm: bool = True) -> DataFrame:
+    """Assemble the highlights-like corpus: documents ⋈ embeddings.
+
+    Output schema: id STRING, text STRING, source_type STRING, lang STRING,
+    n_chars BIGINT, tags ARRAY<STRING>, embedding ARRAY<FLOAT>,
+    emb_norm DOUBLE (when ``with_norm``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    df = (
+        docs.join(embs, docs["doc_id"] == embs["vec_id"], "left")
+        .select(
+            docs["doc_id"].cast("string").alias("id"),
+            "text",
+            F.col("source").alias("source_type"),
+            "lang",
+            "n_chars",
+            F.slice(F.split(F.col("text"), " "), 1, 3).alias("tags"),
+            "embedding",
+        )
+    )
+    if with_norm:
+        df = df.withColumn("emb_norm", l2_norm("embedding"))
+    return df
