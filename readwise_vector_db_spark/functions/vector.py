@@ -52,10 +52,15 @@ def cosine_similarity(
     a_norm: Column | None = None,
     b_norm: Column | None = None,
 ) -> Column:
-    """cos(a, b) = dot(a,b) / (|a| * |b|); pass precomputed norms to skip work."""
+    """cos(a, b) = dot(a,b) / (|a| * |b|); pass precomputed norms to skip work.
+
+    Null-safe: a zero-norm vector has no direction → NULL (also keeps
+    ANSI mode from raising DIVIDE_BY_ZERO).
+    """
     na = a_norm if a_norm is not None else l2_norm(a)
     nb = b_norm if b_norm is not None else l2_norm(b)
-    return dot(a, b) / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def cosine_distance(

@@ -37,6 +37,9 @@ def get_spark(app_name: str = "readwise_vector_db_spark", cores: int | None = No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type, so read the raw int64 and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

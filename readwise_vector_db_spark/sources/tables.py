@@ -37,7 +37,13 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as int64 nanos (see session.py); truncate to
+        # micros exactly like DuckDB does when it loads the same file.
+        # integer division — float division would lose precision above 2^53 ns
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,6 @@
+"""Import every suite module so its ``@register`` calls populate the registry."""
+
+from readwise_vector_db_spark.suites import (  # noqa: F401
+    relational,
+    vector_search,
+)

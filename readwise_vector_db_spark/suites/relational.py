@@ -1,0 +1,450 @@
+"""Relational operator surface: joins, aggregations, windows, set ops, events.
+
+The reference has NO joins, aggregations, or window functions anywhere in
+its engine (SURVEY §2.7 — the closest thing is the ingest-time book
+denormalization, ``core/readwise.py:53-63``), but the north-star scope
+requires the full relational surface.  Everything here is pure
+DataFrame API — Catalyst provides pushdown, join selection, partial
+aggregation, and ``TakeOrderedAndProject`` for free.
+
+Scale notes per query are inline.  The common pattern for a 100 TB
+lineitem: filters reach the parquet scan (PushedFilters), dimension
+joins broadcast, fact-fact joins shuffle on the join key with AQE skew
+handling, and every groupBy does map-side partial aggregation.
+
+Cross-engine determinism: money aggregates cast each term to
+DECIMAL(28,10) before SUM (exact, order-independent), then round and
+cast back to DOUBLE.  Casting a double to decimal can never hit a
+rounding tie (a binary double is never exactly x.5 at decimal scale 10),
+so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.sources.tables import load_table
+
+DEC = "decimal(28,10)"
+
+
+def _dec_sum(col: Column, alias: str, scale: int = 2) -> Column:
+    """Order-independent SUM of a double expression, rounded to `scale`."""
+    return F.round(F.sum(col.cast(DEC)).cast("double"), scale).alias(alias)
+
+
+def _dec_avg(col: Column, alias: str, scale: int = 6) -> Column:
+    """AVG as exact decimal SUM / COUNT, both engines divide identical doubles."""
+    return F.round(
+        F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1)), scale
+    ).alias(alias)
+
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue() -> Column:
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q1: pricing summary — the canonical wide aggregation (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST({_REVENUE} AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST({_REVENUE} * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter (pushed to parquet) → hash agg with map-side combine.
+
+    At 100 TB this is the best case for Spark: 2 grouping keys of tiny
+    cardinality mean partial aggregation collapses each input partition
+    to ≤ 6 rows before the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(_revenue(), "sum_disc_price"),
+            _dec_sum(_revenue() * (F.lit(1) + F.col("l_tax")), "sum_charge"),
+            _dec_avg(F.col("l_quantity"), "avg_qty"),
+            _dec_avg(F.col("l_extendedprice"), "avg_price"),
+            _dec_avg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3: shipping priority — dim⋈fact⋈fact join + agg + top-k (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q3_top_unshipped",
+    f"""
+    SELECT l_orderkey,
+           ROUND(CAST(SUM(CAST({_REVENUE} AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer (small, broadcast) ⋈ orders ⋈ lineitem; top-10 via
+    TakeOrderedAndProject — no global sort even at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dec_sum(_revenue(), "revenue"))
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5: local supplier volume — 6-way join through two dimension chains
+# ---------------------------------------------------------------------------
+@register(
+    "q5_region_revenue",
+    f"""
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST({_REVENUE} AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All dimensions (region/nation/customer/supplier) broadcast; the only
+    shuffle is lineitem⋈orders on orderkey. The s_nationkey = c_nationkey
+    residual rides on the supplier broadcast join."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_dec_sum(_revenue(), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue per nation per year — join + multi-key agg with a derived key
+# ---------------------------------------------------------------------------
+@register(
+    "q_nation_revenue_year",
+    f"""
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           ROUND(CAST(SUM(CAST({_REVENUE} AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_nation_revenue_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(_dec_sum(_revenue(), "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: top-3 orders per customer by total price
+# ---------------------------------------------------------------------------
+@register(
+    "q_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank per key — one shuffle on o_custkey; at scale the same
+    plan holds (no driver involvement, skew handled by AQE)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti join: customers with no large finished order
+# ---------------------------------------------------------------------------
+@register(
+    "q_customers_no_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'F' AND o_totalprice > 150000)
+    """,
+)
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big_f = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    )
+    return cust.join(
+        big_f, cust["c_custkey"] == big_f["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Semi join: customers with at least one urgent order
+# ---------------------------------------------------------------------------
+@register(
+    "q_urgent_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / UNION / EXCEPT over part attributes
+# ---------------------------------------------------------------------------
+@register(
+    "q_brand_setops",
+    """
+    SELECT p_brand FROM (
+      SELECT p_brand FROM (
+        (SELECT DISTINCT p_brand FROM part WHERE p_type = 'ECONOMY')
+        INTERSECT
+        (SELECT DISTINCT p_brand FROM part WHERE p_size > 25))
+      UNION
+      SELECT p_brand FROM (
+        (SELECT DISTINCT p_brand FROM part WHERE p_type = 'PROMO' AND p_size < 5)
+        EXCEPT
+        (SELECT DISTINCT p_brand FROM part WHERE p_retailprice > 1500)))
+    """,
+)
+def q_brand_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    economy = part.filter(F.col("p_type") == "ECONOMY").select("p_brand").distinct()
+    large = part.filter(F.col("p_size") > 25).select("p_brand").distinct()
+    small_promo = (
+        part.filter((F.col("p_type") == "PROMO") & (F.col("p_size") < 5))
+        .select("p_brand")
+        .distinct()
+    )
+    pricey = part.filter(F.col("p_retailprice") > 1500).select("p_brand").distinct()
+    return economy.intersect(large).union(small_promo.exceptAll(pricey)).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Rollup: hierarchical subtotals (grouping-sets surface)
+# ---------------------------------------------------------------------------
+@register(
+    "q_rollup_returns",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates + stats per market segment
+# ---------------------------------------------------------------------------
+@register(
+    "q_segment_stats",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_bal,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        _dec_sum(F.col("c_acctbal"), "sum_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling-window aggregation (batch twin of the streaming op)
+# ---------------------------------------------------------------------------
+@register(
+    "q_events_hourly",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window == the streaming tumbling window; emitted as epoch seconds
+    so the hash is timezone-proof. streaming/windows.py runs the same
+    aggregation as a readStream with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization (gap > 30 min) via lag + running sum
+# ---------------------------------------------------------------------------
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+@register(
+    "q_events_sessions",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, ts_us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic lag+cumsum sessionizer — one shuffle on user_id shared
+    by both window functions and the final aggregation (Catalyst reuses
+    the partitioning, so this is a single-exchange plan)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w_order).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w_order) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    w_run = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(w_run).cast("long"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )

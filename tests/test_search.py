@@ -1,0 +1,78 @@
+"""Search operator semantics (reference core/search.py + db/supabase_ops.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.operators.search import (
+    SearchParams,
+    apply_filters,
+    query_vector_for_id,
+    semantic_search,
+)
+from readwise_vector_db_spark.sources.tables import highlights
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def hl(spark):
+    df = highlights(spark, SF_SMOKE)
+    df.cache().count()
+    return df
+
+
+def test_k_clamped_to_100(hl, spark):
+    qv = query_vector_for_id(hl, "0")
+    out = semantic_search(hl, qv, SearchParams(k=5000))
+    assert out.count() == 100  # api/routes.py:100 clamps 1..100
+
+
+def test_k_clamped_min_1(hl):
+    assert SearchParams(k=0).clamped_k() == 1
+    assert SearchParams(k=-5).clamped_k() == 1
+
+
+def test_self_is_nearest(hl):
+    qv = query_vector_for_id(hl, "42")
+    top = semantic_search(hl, qv, SearchParams(k=1)).first()
+    assert top["id"] == "42"
+    assert top["score"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_filters_applied_before_limit(hl):
+    """The reference's Supabase path filters AFTER the limit (a bug,
+    core/search.py:91-114); we assert correct pre-limit semantics."""
+    qv = query_vector_for_id(hl, "0")
+    unfiltered = semantic_search(hl, qv, SearchParams(k=5))
+    langs = {r["lang"] for r in unfiltered.collect()}
+    assert len(langs) > 1  # top-5 spans languages...
+    filtered = semantic_search(hl, qv, SearchParams(k=5, lang="en"))
+    rows = filtered.collect()
+    assert len(rows) == 5  # ...but the filtered query still fills k rows
+    assert all(r["lang"] == "en" for r in rows)
+
+
+def test_results_sorted_ascending_with_id_tiebreak(hl):
+    qv = query_vector_for_id(hl, "7")
+    rows = semantic_search(hl, qv, SearchParams(k=20)).collect()
+    keys = [(r["score"], r["id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_null_embeddings_excluded(spark, hl):
+    with_null = hl.unionByName(
+        hl.limit(1).withColumn("embedding", F.lit(None).cast("array<float>"))
+        .withColumn("emb_norm", F.lit(None).cast("double"))
+        .withColumn("id", F.lit("null-emb"))
+    )
+    qv = query_vector_for_id(hl, "0")
+    out = semantic_search(with_null, qv, SearchParams(k=100))
+    assert not any(r["id"] == "null-emb" for r in out.collect())
+
+
+def test_tags_overlap_any_semantics(hl):
+    qv = query_vector_for_id(hl, "0")
+    rows = semantic_search(
+        hl, qv, SearchParams(k=50, tags=["the", "window"])
+    ).collect()
+    assert rows
+    assert all({"the", "window"} & set(r["tags"]) for r in rows)

@@ -92,18 +92,19 @@ def main() -> int:
     spark = get_spark("oracle_check")
     con = duckdb_conn(sf_dir)
     qs, oracles = entry.queries(), entry.oracle_sql()
-    failed = []
+    failed, ran = [], 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             ok, msg = check_query(spark, con, name, fn, oracles.get(name), sf_dir)
         except Exception as exc:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION: {type(exc).__name__}: {exc}"
-        print(f"{'PASS' if ok else 'FAIL'} {name}: {msg}")
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {msg}", flush=True)
         if not ok:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    print(f"\n{ran - len(failed)}/{ran} passed")
     return 1 if failed else 0
 
 
