@@ -1,0 +1,140 @@
+"""Text analysis as Catalyst Column expressions — the training-pipeline surface.
+
+The reference's only text functions are tiktoken counting/truncation
+(reference ``core/embedding.py:17-31``) and the embed-input concat
+(``jobs/incremental.py:58``).  A 100 TB pipeline needs much more:
+tokenization, shingling, quality scores, language ID, fingerprints.
+Everything here is built-in-function composition (whole-stage codegen;
+zero Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokens that approximate a BPE pre-tokenizer split: words OR single
+# non-word-non-space chars.  Cheap proxy for tiktoken (core/embedding.py:17-21);
+# exact-token-count parity is not a goal, determinism is.
+TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that"]
+
+# tiny marker vocabularies for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "de", "los", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est", "ne"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the corpus is single-spaced)."""
+    return F.split(_col(text), r"\s+")
+
+
+def n_tokens_ws(text: Column | str) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def n_tokens_re(text: Column | str) -> Column:
+    """BPE-ish token count: regex matches of word-or-punct units."""
+    return F.regexp_count(_col(text), F.lit(TOKEN_RE))
+
+
+def truncate_tokens(text: Column | str, max_tokens: int) -> Column:
+    """Keep the first ``max_tokens`` whitespace tokens (reference
+    ``truncate_text_to_tokens``, core/embedding.py:24-31)."""
+    return F.array_join(F.slice(ws_tokens(text), 1, max_tokens), " ")
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = ws_tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _col(text)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.!?,;:]", ""))
+    return F.when(F.length(t) > 0, n_punct.cast("double") / F.length(t))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = ws_tokens(F.lower(_col(text)))
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw.cast("double") / F.size(toks))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + moderate punctuation.  The exact formula is arbitrary; what matters
+    for the pipeline is that it's deterministic, cheap, and monotone in
+    the signals a filter would use."""
+    t = _col(text)
+    len_ok = F.when(F.length(t).between(50, 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(t)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(0.4)).otherwise(F.lit(0.0))
+    pr = punct_ratio(t)
+    punct_ok = F.when(pr <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    return len_ok + sw_ok + punct_ok
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of whitespace-normalized,
+    lowercased text.  Identical builtin exists in DuckDB → oracle-checkable."""
+    norm = F.lower(F.regexp_replace(F.trim(_col(text)), r"\s+", " "))
+    return F.md5(norm)
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles — the dedup unit for MinHash/Jaccard.
+
+    Built from sequence+transform so it stays JVM-side; documents shorter
+    than k words produce an empty array.
+    """
+    toks = ws_tokens(_col(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    # guard: Spark's sequence(1, x) counts DOWN for x < 1, so short docs
+    # must short-circuit to an empty array
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-token hit count per language."""
+    toks = ws_tokens(F.lower(_col(text)))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over marker scores; ties broken by fixed language order;
+    all-zero → 'und'."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best_lang, best_score = F.lit(langs[0]), scores[langs[0]]
+    for lang in langs[1:]:
+        s = scores[lang]
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))

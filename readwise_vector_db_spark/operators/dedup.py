@@ -1,0 +1,290 @@
+"""Deduplication operators for a 100 TB training-data pipeline.
+
+Five strategies, each with a different cost/recall point:
+
+- ``exact_dedup_groups``   : hash-groupBy on a normalized fingerprint.
+  One shuffle on the fingerprint; scales linearly.
+- ``ngram_jaccard_pairs``  : exact Jaccard over word shingles via an
+  inverted-index self-join (explode shingle → equi-join → count).
+  Exact but worst-case quadratic on hot shingles; at 100 TB you cap
+  document frequency (drop shingles appearing in >df_max docs — they
+  carry no discriminative signal and create join skew).
+- ``minhash_signatures`` / ``minhash_lsh_pairs`` : the scale path.
+  64 universal-hash minima per doc (64 partial-aggregatable ``min``
+  columns — fully JVM-side), banded 16×4 so pairs with Jaccard ≥ ~0.6
+  collide in ≥1 band w.h.p.  Candidate generation is a groupBy on
+  (band, band_hash): linear shuffle, no quadratic blowup.
+- ``simhash_fingerprints`` / ``simhash_pairs`` : 64-bit simhash via
+  per-bit vote counts (64 ``sum`` columns), candidates from 4×16-bit
+  chunk collisions (hamming ≤ 3 ⇒ some chunk equal, pigeonhole).
+- ``embedding_cosine_pairs`` : semantic near-dup on the embedding
+  column.  Brute-force all-pairs here (fine at fixture scale, and the
+  correctness baseline); the scale path buckets by LSH/IVF first — see
+  operators/similarity.py.
+
+The reference's only dedup is upsert-by-id (ON CONFLICT, reference
+``db/supabase_ops.py:112-208``) — covered by operators/upsert.py;
+everything here is north-star scope (SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.functions.text import fingerprint_md5, word_shingles
+from readwise_vector_db_spark.functions.vector import cosine_similarity
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+
+    Returns (fp, n, keep_id): fingerprint, group size, smallest id — the
+    canonical survivor under first-writer-wins.
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per normalized text (min id wins) — distributed,
+    no driver loop: window-free via self-join on the winning ids."""
+    winners = (
+        docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(winners, id_col, "left_semi")
+
+
+# --- exact jaccard over shingles (inverted index) ---------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_max: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold.
+
+    explode(shingles) → self-equi-join on shingle → count = |A∩B|;
+    |A∪B| = |A|+|B|-|A∩B|.  ``df_max`` drops ubiquitous shingles to keep
+    the join skew-free at scale.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if df_max is not None:
+        ok = ex.groupBy("shingle").count().filter(F.col("count") <= df_max).select("shingle")
+        ex = ex.join(ok, "shingle", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- minhash + LSH ----------------------------------------------------------
+
+MINHASH_P = (1 << 31) - 1  # Mersenne prime for universal hashing
+N_HASHES = 64
+N_BANDS = 16  # 16 bands × 4 rows: P(collision) = 1-(1-j^4)^16, ~0.5 at j≈0.55
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _hash_coeffs(n: int = N_HASHES, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(n)]
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sig array<long>[64]).  Base hash = xxhash64(shingle) mod P;
+    permutation i = (a_i·h + b_i) mod P; signature = per-permutation min.
+
+    64 ``min`` aggregate columns → map-side partial aggregation collapses
+    each partition before the single shuffle on doc id.
+    """
+    coeffs = _hash_coeffs()
+    ex = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle")
+    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sigs = ex.groupBy("id").agg(*aggs)
+    return sigs.select("id", F.array(*[f"mh{i}" for i in range(N_HASHES)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs from banded LSH, scored by signature agreement.
+
+    Returns (id_a, id_b, est_jaccard) with est ≥ threshold.  est_jaccard
+    is the fraction of agreeing minhash components — an unbiased Jaccard
+    estimator, so results are deterministic given the seed but only
+    *approximately* equal to exact Jaccard (hence rows-only oracle).
+    """
+    sigs = minhash_signatures(docs, k, id_col, text_col)
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(F.slice("sig", j * ROWS_PER_BAND + 1, ROWS_PER_BAND)).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t)
+    )
+    est = F.round(agree.cast("double") / F.lit(N_HASHES), 6)
+    return (
+        cands.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- simhash ----------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash BIGINT): per-bit majority vote over token hashes."""
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"s{i}") for i in range(64)
+    ]
+    agg = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"s{i}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = bit if simhash is None else simhash.bitwiseOR(bit)
+    return agg.select("id", simhash.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidates via 4×16-bit chunk equality (pigeonhole: ≤3 differing bits
+    ⇒ ≥1 of 4 chunks identical), then exact bit_count(xor) filter — the
+    classic Google simhash dedup layout, as a pure DataFrame plan.
+    """
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(j).alias("chunk"),
+            F.shiftright("simhash", j * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+        )
+        for j in range(4)
+    ]
+    chunks = fps.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- embedding cosine -------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    embs: DataFrame,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — brute-force correctness baseline.
+
+    O(n²) compare; at 100 TB wrap this behind an LSH/IVF bucket join
+    (operators/similarity.py) so only same-bucket pairs are compared.
+    """
+    base = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

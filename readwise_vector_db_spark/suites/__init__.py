@@ -1,6 +1,8 @@
 """Import every suite module so its ``@register`` calls populate the registry."""
 
 from readwise_vector_db_spark.suites import (  # noqa: F401
+    dedup,
     relational,
+    text_analysis,
     vector_search,
 )

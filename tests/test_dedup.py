@@ -1,0 +1,86 @@
+"""Dedup operator fidelity: the approximate strategies must track exact Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.operators import dedup as dd
+from readwise_vector_db_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    rows = dd.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+
+
+def test_corpus_has_planted_near_dups(exact_pairs):
+    assert len(exact_pairs) >= 10
+    assert all(j >= 0.6 for j in exact_pairs.values())
+
+
+def test_minhash_lsh_recall(docs, exact_pairs):
+    """LSH with 16×4 bands must recover high-Jaccard pairs (j≈0.99 ⇒
+    band-collision probability ≈ 1)."""
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    high = {p for p, j in exact_pairs.items() if j >= 0.9}
+    assert high, "fixture should contain jaccard>=0.9 pairs"
+    recall = len(high & got) / len(high)
+    assert recall >= 0.95, f"minhash recall {recall} on {len(high)} true pairs"
+
+
+def test_minhash_estimate_close_to_exact(docs, exact_pairs):
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    common = set(est) & set(exact_pairs)
+    assert common
+    for p in common:
+        assert est[p] == pytest.approx(exact_pairs[p], abs=0.25)
+
+
+def test_simhash_tight_pairs_are_near_dups(docs, exact_pairs):
+    """At hamming ≤ 2 simhash is high-precision: every pair must be a true
+    high-Jaccard near-dup.  (hamming = 3 admits false positives on this
+    synthetic corpus because all docs share a ~30-word vocabulary, which
+    saturates token-unigram simhash — expected behavior, not a bug.)"""
+    got = dd.simhash_pairs(docs, max_hamming=2).collect()
+    assert got
+    for r in got:
+        assert (r["id_a"], r["id_b"]) in exact_pairs
+
+
+def test_simhash_finds_most_planted_dups(docs, exact_pairs):
+    got = {(r["id_a"], r["id_b"]) for r in dd.simhash_pairs(docs, max_hamming=3).collect()}
+    high = {p for p, j in exact_pairs.items() if j >= 0.95}
+    assert high
+    recall = len(high & got) / len(high)
+    assert recall >= 0.5, f"simhash recall {recall}"
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    aug = docs.unionByName(
+        docs.limit(3).withColumn("doc_id", F.col("doc_id") + 777000)
+    )
+    kept = dd.exact_dedup(aug)
+    assert kept.count() == docs.count()
+    assert kept.filter(F.col("doc_id") >= 777000).count() == 0
+
+
+def test_embedding_pairs_self_similarity(spark):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    dups = embs.limit(5).withColumn("vec_id", F.col("vec_id") + 555000)
+    pairs = dd.embedding_cosine_pairs(embs.unionByName(dups), threshold=0.999).collect()
+    assert len(pairs) == 5
+    assert all(r["cos_sim"] >= 0.999999 for r in pairs)
