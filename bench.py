@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query runs through a full action — ``noop`` format write forces
+complete execution of every partition without driver collection, so the
+timing covers scan → shuffle → sink, not just the driver-side head.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "q_top_orders_per_customer",
+    "q_events_hourly",
+    "q_events_sessions",
+    "search_topk",
+    "search_filtered",
+    "knn_join",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "upsert_merge",
+]
+
+
+def main() -> None:
+    from readwise_vector_db_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # warm the JVM/codegen path once with a trivial action
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    out = {
+        "metric": "total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Ingest pipelines: backfill (G1) and incremental sync (G2).
+
+Reference shapes (SURVEY §2.6):
+
+- backfill (``jobs/backfill.py:17-66``): full export scan → skip empty
+  text → embed → parse → batch(100) → upsert.
+- incremental (``jobs/incremental.py:22-79``): read watermark → scan
+  ``updated_after`` → parse → embed(text+note) → upsert → advance
+  watermark.
+
+Spark collapses both into one declarative job each — the reference's
+per-row await/batch loop becomes a single DataFrame plan where the
+embedder UDF runs Arrow-batched on executors, and "batch 100 + upsert"
+becomes one MERGE-style write.  The reference's serial per-row embedding
+was its ingest bottleneck; here embedding throughput scales with
+executors.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.functions.embedder import deterministic_embedder
+from readwise_vector_db_spark.operators.upsert import merge_upsert
+from readwise_vector_db_spark.sources.readwise_export import (
+    embed_input,
+    parse_export,
+    read_export_json,
+)
+from readwise_vector_db_spark.sources.sync_state import (
+    get_sync_state,
+    update_sync_state,
+)
+
+SERVICE = "readwise"
+
+
+def _embed_parsed(parsed: DataFrame, dim: int) -> DataFrame:
+    emb = deterministic_embedder(dim=dim)
+    return embed_input(parsed).withColumn("embedding", emb(F.col("embed_text"))).drop(
+        "embed_text"
+    )
+
+
+def run_backfill(
+    spark: SparkSession, export_path: str, table_path: str, dim: int = 64
+) -> int:
+    """Full rebuild: parse → filter empty text (backfill.py:39-44) → embed →
+    overwrite the highlights table.  Returns row count."""
+    parsed = parse_export(read_export_json(spark, export_path)).filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    embedded = _embed_parsed(parsed, dim)
+    embedded.write.mode("overwrite").parquet(table_path)
+    return spark.read.parquet(table_path).count()
+
+
+def run_incremental_sync(
+    spark: SparkSession,
+    export_path: str,
+    table_path: str,
+    state_path: str,
+    now: datetime | None = None,
+    dim: int = 64,
+) -> int:
+    """Watermark-bracketed delta sync.  Returns number of upserted rows.
+
+    The ``updated_after`` filter is applied post-parse here; against the
+    real API it's pushed into the request (S3, core/readwise.py:47-49) —
+    same predicate, different pushdown boundary.
+    """
+    watermark = get_sync_state(spark, state_path, SERVICE)
+    parsed = parse_export(read_export_json(spark, export_path)).filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    if watermark is not None:
+        parsed = parsed.filter(F.col("updated_at") > F.lit(watermark))
+    delta = _embed_parsed(parsed, dim)
+    n = delta.count()
+    if n:
+        base = spark.read.parquet(table_path)
+        merged = merge_upsert(base, delta, "id")
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
+            table_path
+        )
+    update_sync_state(spark, state_path, SERVICE, now)
+    return n

@@ -32,6 +32,7 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.functions.text import fingerprint_md5, word_shingles
@@ -75,30 +76,75 @@ def ngram_jaccard_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    df_max: int | None = None,
+    strategy: str = "index",
 ) -> DataFrame:
-    """All pairs with shingle-Jaccard ≥ threshold.
+    """All pairs with shingle-Jaccard ≥ threshold — EXACT, two strategies:
 
-    explode(shingles) → self-equi-join on shingle → count = |A∩B|;
-    |A∪B| = |A|+|B|-|A∩B|.  ``df_max`` drops ubiquitous shingles to keep
-    the join skew-free at scale.
+    - ``index`` (default): inverted-index self-join — explode shingles,
+      equi-join on shingle, count = |A∩B|.  Cost is Σ_s df(s)², i.e.
+      governed by shingle document frequency.  With a length filter
+      (|A| ≥ t·|B|, since J ≥ t ⇒ size ratio ≥ t) riding on the join.
+    - ``prefix``: PPJoin-style prefix filtering — rank each doc's
+      shingles by global df ascending, index only the first
+      ``n − ⌈t·n⌉ + 1`` (pigeonhole: J ≥ t pairs must collide there),
+      verify candidates through the same count join.  Wins on Zipfian
+      corpora where a few shingles have huge df; on flat-frequency data
+      the extra passes cost more than they save.
+
+    Both return the identical exact pair set (what the oracle checks).
     """
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    if df_max is not None:
-        ok = ex.groupBy("shingle").count().filter(F.col("count") <= df_max).select("shingle")
-        ex = ex.join(ok, "shingle", "left_semi")
+    sh = sh.filter(F.col("n_sh") > 0)
+    # both join sides (and the prefix pass) read the exploded index —
+    # persist so tokenization+explode run once.  At 100 TB this is a
+    # materialized parquet intermediate, not executor cache.
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle")).persist()
+
     a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("a.n_sh").alias("na"),
-            F.first("b.n_sh").alias("nb"),
+    # length filter: J(A,B) ≤ min/max of sizes, so J ≥ t ⇒ na ≥ t·nb (wlog)
+    join_cond = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+        & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+    )
+
+    if strategy == "prefix":
+        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        w = W.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+        prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        prefix = (
+            ex.join(freq, "shingle")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= prefix_len)
+            .select("id", "shingle")
         )
+        pa, pb = prefix.alias("pa"), prefix.alias("pb")
+        cands = (
+            pa.join(
+                pb,
+                (F.col("pa.shingle") == F.col("pb.shingle"))
+                & (F.col("pa.id") < F.col("pb.id")),
+            )
+            .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        inter_src = a.join(b, join_cond).join(
+            cands,
+            (F.col("a.id") == F.col("id_a")) & (F.col("b.id") == F.col("id_b")),
+            "left_semi",
+        )
+    else:
+        inter_src = a.join(b, join_cond)
+
+    inter = inter_src.groupBy(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    ).agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first("a.n_sh").alias("na"),
+        F.first("b.n_sh").alias("nb"),
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (

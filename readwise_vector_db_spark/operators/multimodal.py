@@ -1,0 +1,125 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+North-star scope (not in the reference, which is text-only): a 100 TB
+training pipeline carries media as ``BinaryType`` columns with a typed
+metadata struct, and runs decode / feature-extraction / resize /
+frame-sampling as Arrow-batched ``mapInPandas`` stages.
+
+The decode step needs codec libraries (PIL/ffmpeg/...) that are NOT in
+this container, so the codec boundary is stubbed: ``decode_stub`` raises
+``NotImplementedError`` exactly where a real decoder would plug in, and
+``fake_decode`` is a deterministic stand-in so the Spark-side plumbing —
+schema, batch iteration, partition sizing — is real and tested.
+
+Scale notes: media rows are fat (MBs); keep
+``spark.sql.files.maxPartitionBytes`` small enough that one partition of
+binaries fits executor memory, and never collect this column.  The
+mapInPandas iterator shape processes one Arrow batch at a time, so peak
+memory is one batch of decoded frames, not one partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_stub(payload: bytes, mime: str):
+    """The codec boundary.  Plug PIL/torchaudio/ffmpeg here in production."""
+    raise NotImplementedError(
+        f"no codec for {mime!r} in this environment — use fake_decode in tests"
+    )
+
+
+def fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: bytes → pseudo feature vector
+    (sha256-seeded), so downstream plumbing is testable end-to-end."""
+    if payload is None:
+        return None
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
+    return np.random.RandomState(seed).standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """media table → (media_id, kind, n_bytes, features[16]) via mapInPandas.
+
+    The iterator-of-batches signature is the scale-safe shape: one Arrow
+    batch of binaries in memory at a time.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nbytes = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                if payload is None:
+                    feats.append(None)
+                    nbytes.append(None)
+                    continue
+                if use_real_codec:
+                    arr = decode_stub(bytes(payload), meta["mime"])  # pragma: no cover
+                else:
+                    arr = fake_decode(bytes(payload))
+                feats.append([float(x) for x in arr])
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.array(nbytes, dtype="Int32"),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video → frame-timestamp explosion (decode stubbed): one output row per
+    sampled frame offset, derived from meta.duration_ms — pure column math,
+    demonstrating the fan-out stage of a video pipeline."""
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    return (
+        media.filter((F.col("kind") == "video") & F.col("meta.duration_ms").isNotNull())
+        .withColumn("frame_ms", F.explode(frames))
+        .select("media_id", "frame_ms")
+    )

@@ -1,0 +1,134 @@
+"""Similarity search: batch k-NN join and IVF-pruned ANN.
+
+The reference's ANN story is a pgvector HNSW index probed per query
+(reference migration ``6e900a582819:43-50``, with an L2-ops/cosine-query
+mismatch noted in SURVEY §2.3 K3).  Spark has no vector index; the
+Spark-native decomposition is:
+
+- **exact top-k** per query: ``TakeOrderedAndProject`` (search.py) — the
+  correctness baseline at any scale.
+- **k-NN join** (many queries at once): broadcast the query side,
+  cross-join, per-query window rank.  One shuffle on query_id.
+- **IVF** (inverted-file) for 100 TB: cluster the corpus once with
+  MLlib KMeans (index build = data layout, exactly how the reference's
+  HNSW is a secondary structure), write partitioned by cluster id, then
+  at query time probe only the ``nprobe`` nearest centroids —
+  partition pruning turns a full scan into reading nprobe/k of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.functions.vector import cosine_distance
+
+SCORE_DECIMALS = 6
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """For every query row, the k nearest corpus rows by cosine distance.
+
+    Broadcast the (small) query side so the corpus never shuffles for the
+    join; the only exchange is the window rank on query_id.  Output:
+    (query_id, neighbor_id, cos_dist, rn).
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv")).filter(
+        F.col("cv").isNotNull()
+    )
+    dist = cosine_distance(F.col("cv"), F.col("qv"))
+    w = W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        c.crossJoin(q)
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.round(F.col("dist"), SCORE_DECIMALS).alias("cos_dist"),
+            "rn",
+        )
+    )
+
+
+# --- IVF ---------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """KMeans-cluster the corpus; returns (assigned_df, centroids).
+
+    ``assigned_df`` carries a ``cluster`` column — at scale you'd
+    ``.write.partitionBy("cluster")`` so probes read only matching
+    partitions (the parquet-layout analogue of an IVF index).
+    ``centroids`` is a small python list [(cluster_id, [floats]), ...] —
+    index metadata, broadcast to queries.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    prepared = corpus.filter(F.col(vec_col).isNotNull()).withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features", predictionCol="cluster").fit(
+        prepared
+    )
+    assigned = model.transform(prepared).drop("_features")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` clusters whose centroids are nearest the query,
+    then exact top-k within them.
+
+    The cluster filter is a literal IN-list → partition pruning when the
+    corpus is written partitioned by cluster: a 100 TB scan becomes
+    nprobe/n_clusters of the data before any vector math.
+    """
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype=float)
+
+    def cos_dist(c: list[float]) -> float:
+        cv = np.asarray(c)
+        denom = float(np.linalg.norm(cv) * np.linalg.norm(qv))
+        return 1.0 - float(cv @ qv) / denom if denom > 0 else 1.0
+
+    probe = sorted(centroids, key=lambda t: (cos_dist(t[1]), t[0]))[:nprobe]
+    probe_ids = [cid for cid, _ in probe]
+
+    q_lit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        assigned.filter(F.col("cluster").isin(probe_ids))
+        .withColumn("cos_dist", F.round(cosine_distance(F.col(vec_col), q_lit), SCORE_DECIMALS))
+        .orderBy(F.asc("cos_dist"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("neighbor_id"), "cos_dist", "cluster")
+    )

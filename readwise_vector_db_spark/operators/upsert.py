@@ -1,0 +1,60 @@
+"""Upsert / MERGE semantics on plain Parquet.
+
+The reference upserts with ``INSERT ... ON CONFLICT (id) DO UPDATE`` in
+100-row batches (reference ``db/supabase_ops.py:112-208``,
+``db/upsert.py:73-92``).  The Spark-native equivalent is Delta's
+``MERGE INTO``; this container has no Delta jars, so the engine ships
+the standard plain-Parquet emulation:
+
+    merged = updates ∪ (base ⟕anti updates on key)
+
+i.e. every key takes the *update* row when present, else the base row —
+exactly ON CONFLICT DO UPDATE's last-writer-wins.  One anti-join
+(broadcast when the update batch is small — the common CDC case) and a
+union; no window, no driver loop.
+
+At 100 TB: partition the base table by a stable bucket of the key so the
+anti-join is co-located, and rewrite only affected partitions
+(``spark.sql.sources.partitionOverwriteMode=dynamic``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """Last-writer-wins merge of ``updates`` into ``base`` on ``key``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    survivors = base.join(updates.select(*keys), keys, "left_anti")
+    return updates.unionByName(survivors)
+
+
+def dedup_updates(updates: DataFrame, key: str | list[str], order_col: str) -> DataFrame:
+    """Collapse multiple updates per key to the newest (highest order_col),
+    so merge_upsert sees one row per key — the batched-upsert semantics of
+    the reference where later batches overwrite earlier ones."""
+    from pyspark.sql import Window as W
+
+    keys = [key] if isinstance(key, str) else list(key)
+    w = W.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def write_merged(
+    spark: SparkSession, base_path: str, updates: DataFrame, key: str | list[str]
+) -> None:
+    """Read-modify-write a parquet table in place (small control tables /
+    tests; large tables use partition-level dynamic overwrite instead)."""
+    base = spark.read.parquet(base_path)
+    merged = merge_upsert(base, updates, key)
+    # materialize before overwrite — lazy plans must not read what they replace
+    rows = merged.collect()
+    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode("overwrite").parquet(
+        base_path
+    )

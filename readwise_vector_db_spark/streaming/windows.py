@@ -1,0 +1,114 @@
+"""Structured Streaming operators over the events stream.
+
+The reference's only streaming constructs are the ``updated_after``
+watermark (G2) and per-result SSE/NDJSON framing (S8).  The Spark
+generalization (north-star, SURVEY §2.7): real event-time windows with
+watermarked late-data handling.
+
+Each builder takes a *streaming* DataFrame (``spark.readStream``) and
+returns the windowed aggregation; the batch twins in
+suites/relational.py (``q_events_hourly`` / ``q_events_sessions``) run
+the same logical plan through the oracle gate, so the streaming tests
+only need to assert stream≡batch equivalence on a bounded input.
+
+Scale notes: state lives in the state store keyed by (window,
+event_type) / session key; the watermark bounds state size — without it
+a 100 TB stream accumulates unbounded session state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
+    """File-source stream (tests); swap for kafka in production — the
+    downstream plan is identical."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window with late-data watermark — streaming twin
+    of q_events_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rates(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding window: per-type event rate over overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (built-in session_window — the streaming
+    twin of the batch lag+cumsum sessionizer in suites/relational.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias("start_s"),
+            F.unix_timestamp(F.col("session_window.end")).alias("end_s"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drain a bounded file-source stream into an in-memory table
+    synchronously (complete mode) — the test harness for every builder."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -2,7 +2,9 @@
 
 from readwise_vector_db_spark.suites import (  # noqa: F401
     dedup,
+    ingest,
     relational,
+    similarity,
     text_analysis,
     vector_search,
 )

@@ -1,0 +1,63 @@
+"""Similarity-search suite: k-NN join (oracle-checked) + IVF ANN + text-query
+search through the deterministic embedder (rows-only: float UDF output is not
+SQL-expressible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.functions.embedder import embed_text_local
+from readwise_vector_db_spark.operators import search as search_ops
+from readwise_vector_db_spark.operators import similarity as sim
+from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.sources.tables import highlights, load_table
+
+
+@register(
+    "knn_join",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
+    SELECT query_id, neighbor_id, cos_dist, rn FROM (
+        SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+               ROUND(1 - list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                     6) AS cos_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY 1 - list_dot_product(e.v, q.qv)
+                            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) ASC,
+                            e.vec_id ASC) AS INT) AS rn
+        FROM q CROSS JOIN e)
+    WHERE rn <= 5
+    """,
+)
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN: 10 stored queries × corpus, top-5 each."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.knn_join(queries, embs, k=5, corpus_id="vec_id")
+
+
+@register("ann_ivf", None)  # KMeans centroids aren't SQL-expressible
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN: KMeans(16) layout, probe 4 clusters, top-10.
+    Recall vs the exact scan is asserted in tests/test_similarity.py."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = sim.build_ivf_index(embs, n_clusters=16)
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sim.ivf_search(assigned, centroids, qv, k=10, nprobe=4)
+
+
+@register("search_text_query", None)  # embedder floats aren't SQL-expressible
+def search_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference query path G3: free-text query → deterministic
+    embedder → filtered cosine top-k (reference core/search.py:189-249)."""
+    hl = highlights(spark, sf_dir)
+    qv = embed_text_local("spark query window merge")
+    params = search_ops.SearchParams(k=10, lang="en")
+    return search_ops.semantic_search(hl, qv, params)

@@ -1,0 +1,147 @@
+"""Ingest pipeline: export parse → embed → upsert → watermark (G1/G2)."""
+
+import json
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.jobs.sync import run_backfill, run_incremental_sync
+from readwise_vector_db_spark.operators.upsert import dedup_updates, merge_upsert
+from readwise_vector_db_spark.sources.readwise_export import (
+    parse_export,
+    read_export_json,
+)
+from readwise_vector_db_spark.sources.sync_state import (
+    get_sync_state,
+    update_sync_state,
+)
+
+
+def _write_export(path, records):
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+_BASE_RECORDS = [
+    {
+        "id": 1,
+        "text": "first highlight",
+        "url": None,
+        "note": "a note",
+        "location": 10,
+        "highlighted_at": "2024-01-01T10:00:00Z",
+        "updated_at": "2024-01-01T10:00:00Z",
+        "tags": [{"name": "alpha"}, {}],
+        "book": {
+            "id": 77,
+            "title": "Book T",
+            "author": "Auth",
+            "category": "books",
+            "source": "readwise",
+            "source_url": "http://book/77",
+        },
+    },
+    {
+        "id": 2,
+        "text": "second highlight",
+        "url": "http://direct/2",
+        "note": None,
+        "location": None,
+        "highlighted_at": "garbage-date",
+        "updated_at": "2024-01-02T10:00:00Z",
+        "tags": [],
+        "book": {
+            "id": 78,
+            "title": "Book U",
+            "author": None,
+            "category": "articles",
+            "source": "reader",
+            "source_url": None,
+        },
+    },
+    {"id": 3, "text": "   ", "updated_at": "2024-01-02T11:00:00Z"},  # blank → dropped
+]
+
+
+@pytest.fixture(scope="module")
+def export_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("export") / "page1.jsonl"
+    _write_export(p, _BASE_RECORDS)
+    return str(p)
+
+
+def test_parse_export_flattening(spark, export_file):
+    rows = {r["id"]: r for r in parse_export(read_export_json(spark, export_file)).collect()}
+    r1 = rows["1"]
+    assert r1["source_id"] == "77"  # str(book.id), parser.py:28
+    assert r1["source_url"] == "http://book/77"  # coalesce fallback
+    assert r1["tags"] == ["alpha"]  # nameless struct skipped
+    assert r1["highlighted_at"] == datetime(2024, 1, 1, 10, 0)
+    r2 = rows["2"]
+    assert r2["source_url"] == "http://direct/2"  # direct url wins
+    assert r2["highlighted_at"] is None  # garbage → NULL, not an error
+    assert r2["tags"] == []
+
+
+def test_backfill_then_incremental(spark, export_file, tmp_path):
+    table = str(tmp_path / "highlights")
+    state = str(tmp_path / "sync_state")
+
+    n = run_backfill(spark, export_file, table, dim=16)
+    assert n == 2  # blank-text row dropped (backfill.py:39-44)
+    first = spark.read.parquet(table)
+    assert first.filter(F.col("embedding").isNotNull()).count() == 2
+
+    update_sync_state(spark, state, "readwise", datetime(2024, 1, 2, 0, 0))
+
+    # page 2: record 2 edited (newer), record 4 new, record 1 stale (older)
+    page2 = str(tmp_path / "page2.jsonl")
+    _write_export(
+        page2,
+        [
+            dict(_BASE_RECORDS[1], text="second EDITED", updated_at="2024-01-03T10:00:00Z"),
+            {
+                "id": 4,
+                "text": "fourth highlight",
+                "updated_at": "2024-01-03T11:00:00Z",
+                "book": {"id": 79, "title": "B", "author": "A", "category": "books",
+                         "source": "readwise", "source_url": None},
+            },
+            dict(_BASE_RECORDS[0]),  # updated_at 2024-01-01 < watermark → skipped
+        ],
+    )
+    n2 = run_incremental_sync(
+        spark, page2, table, state, now=datetime(2024, 1, 4, 0, 0), dim=16
+    )
+    assert n2 == 2
+    after = {r["id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    assert after == {"1": "first highlight", "2": "second EDITED", "4": "fourth highlight"}
+    assert get_sync_state(spark, state, "readwise") == datetime(2024, 1, 4, 0, 0)
+
+
+def test_merge_upsert_last_writer_wins(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    updates = spark.createDataFrame([(2, "B2"), (3, "c")], "id int, v string")
+    out = {r["id"]: r["v"] for r in merge_upsert(base, updates, "id").collect()}
+    assert out == {1: "a", 2: "B2", 3: "c"}
+
+
+def test_dedup_updates_newest_wins(spark):
+    updates = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "x", 1)], "id int, v string, ver int"
+    )
+    out = {r["id"]: r["v"] for r in dedup_updates(updates, "id", "ver").collect()}
+    assert out == {1: "new", 2: "x"}
+
+
+def test_sync_state_roundtrip(spark, tmp_path):
+    state = str(tmp_path / "state")
+    assert get_sync_state(spark, state, "svc") is None
+    t1 = update_sync_state(spark, state, "svc", datetime(2024, 5, 1))
+    update_sync_state(spark, state, "other", datetime(2024, 6, 1))
+    assert get_sync_state(spark, state, "svc") == t1
+    update_sync_state(spark, state, "svc", datetime(2024, 7, 1))
+    assert get_sync_state(spark, state, "svc") == datetime(2024, 7, 1)
+    assert get_sync_state(spark, state, "other") == datetime(2024, 6, 1)

@@ -1,0 +1,82 @@
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.functions.embedder import (
+    deterministic_embedder,
+    embed_text_local,
+)
+from readwise_vector_db_spark.operators import similarity as sim
+from readwise_vector_db_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    df = load_table(spark, SF_SMOKE, "embeddings")
+    df.cache().count()
+    return df
+
+
+def test_knn_join_self_is_rank1(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.knn_join(queries, embs, k=5, corpus_id="vec_id").collect()
+    assert len(out) == 50
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rn"] == 1}
+    assert rank1 == {i: i for i in range(10)}
+
+
+def test_ivf_recall_vs_exact(spark, embs):
+    """nprobe=4/16 must recover most of the exact top-10 (IVF is lossy by
+    design; recall floor asserts the index isn't degenerate)."""
+    assigned, centroids = sim.build_ivf_index(embs, n_clusters=16)
+    assert len(centroids) == 16
+    recalls = []
+    for qid in range(5):
+        qv = [float(x) for x in embs.filter(F.col("vec_id") == qid).first()["embedding"]]
+        approx = {r["neighbor_id"] for r in sim.ivf_search(assigned, centroids, qv, k=10, nprobe=4).collect()}
+        queries = spark.createDataFrame([(0, qv)], "query_id int, query_vec array<double>")
+        exact = {
+            r["neighbor_id"]
+            for r in sim.knn_join(queries, embs, k=10, corpus_id="vec_id").collect()
+        }
+        recalls.append(len(approx & exact) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, f"IVF avg recall {avg} ({recalls})"
+
+
+def test_ivf_prunes_scan(spark, embs):
+    assigned, centroids = sim.build_ivf_index(embs, n_clusters=16)
+    qv = [float(x) for x in embs.first()["embedding"]]
+    probed = sim.ivf_search(assigned, centroids, qv, k=10, nprobe=4)
+    clusters = {r["cluster"] for r in probed.collect()}
+    assert len(clusters) <= 4
+
+
+def test_deterministic_embedder_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "spark window merge"), (2, ""), (3, None)], "id int, text string"
+    )
+    emb = deterministic_embedder(dim=16)
+    a = {r["id"]: r["v"] for r in df.select("id", emb(F.col("text")).alias("v")).collect()}
+    b = {r["id"]: r["v"] for r in df.select("id", emb(F.col("text")).alias("v")).collect()}
+    assert a == b
+    assert a[3] is None
+    assert a[2] == [0.0] * 16
+    # UDF output matches the driver-side single-text path bit-for-bit
+    assert a[1] == embed_text_local("spark window merge", dim=16)
+
+
+def test_embedder_l2_normalized(spark):
+    v = embed_text_local("the quick brown fox", dim=64)
+    norm = sum(x * x for x in v) ** 0.5
+    assert norm == pytest.approx(1.0, abs=1e-3)
+
+
+def test_openai_embedder_fails_fast_without_key(monkeypatch):
+    from readwise_vector_db_spark.functions.embedder import openai_embedder
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(RuntimeError, match="OPENAI_API_KEY"):
+        openai_embedder()

@@ -1,0 +1,103 @@
+"""Structured Streaming ≡ batch equivalence on a bounded event stream."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.sources.tables import load_table
+from readwise_vector_db_spark.streaming import windows as sw
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """events with micros timestamps, split into 3 files to force
+    multiple micro-batches."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMOKE, "events").repartition(3).write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, event_dir):
+    return spark.read.schema(sw.EVENT_SCHEMA).parquet(event_dir)
+
+
+def test_tumbling_stream_equals_batch(spark, event_dir, batch_events):
+    stream = sw.read_event_stream(spark, event_dir, max_files=1)
+    sw.run_to_memory(sw.tumbling_counts(stream), "tumbling_out")
+    got = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    expect = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in batch_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("window.start")).alias("bucket"), "event_type", "n")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_sliding_windows_cover_each_event_4x(spark, event_dir, batch_events):
+    stream = sw.read_event_stream(spark, event_dir, max_files=2)
+    sw.run_to_memory(sw.sliding_rates(stream, "1 hour", "15 minutes"), "sliding_out")
+    total = spark.sql("SELECT sum(n) AS s FROM sliding_out").first()["s"]
+    # every event lands in exactly 4 overlapping 1h/15m windows
+    assert total == batch_events.count() * 4
+
+
+def test_session_window_stream_equals_batch_sessionizer(spark, event_dir, batch_events):
+    # the fixture files are NOT time-ordered, so the watermark must exceed
+    # the source's disorder (30 days) or later files are dropped as late —
+    # that's the point of a watermark, asserted separately below
+    stream = sw.read_event_stream(spark, event_dir, max_files=1)
+    sw.run_to_memory(
+        sw.session_aggregates(stream, gap="30 minutes", watermark="720 hours"),
+        "session_out",
+    )
+    got = spark.sql("SELECT * FROM session_out")
+    # session_window semantics == the batch lag+cumsum sessionizer
+    from readwise_vector_db_spark.suites.relational import q_events_sessions
+
+    batch = q_events_sessions(spark, SF_SMOKE)
+    assert got.count() == batch.count()
+    g = got.agg(F.sum("n_events").alias("s")).first()["s"]
+    b = batch.agg(F.sum("n_events").alias("s")).first()["s"]
+    assert g == b
+
+
+def test_session_window_short_watermark_drops_late(spark, event_dir):
+    """With a 2h watermark over a 30-day out-of-order replay, most events in
+    later files arrive past the watermark and are dropped — session count
+    must come out strictly lower than the full batch answer."""
+    stream = sw.read_event_stream(spark, event_dir, max_files=1)
+    sw.run_to_memory(
+        sw.session_aggregates(stream, gap="30 minutes", watermark="2 hours"),
+        "session_late_out",
+    )
+    from readwise_vector_db_spark.suites.relational import q_events_sessions
+
+    n_late = spark.sql("SELECT count(*) AS n FROM session_late_out").first()["n"]
+    n_full = q_events_sessions(spark, SF_SMOKE).count()
+    assert n_late < n_full
+
+
+def test_multimodal_plumbing(spark):
+    from readwise_vector_db_spark.operators import multimodal as mm
+
+    rows = [
+        (1, "image", b"imgbytes-1", ("image/png", 64, 64, None)),
+        (2, "image", b"imgbytes-1", ("image/png", 64, 64, None)),  # same payload
+        (3, "video", b"vid-1", ("video/mp4", 640, 480, 3500)),
+        (4, "audio", None, ("audio/wav", None, None, 2000)),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert feats[1]["features"] == feats[2]["features"]  # deterministic decode
+    assert feats[1]["n_bytes"] == 10
+    assert feats[4]["features"] is None
+    frames = mm.sample_frames(media, every_ms=1000).collect()
+    assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    with pytest.raises(NotImplementedError):
+        mm.decode_stub(b"x", "image/png")
