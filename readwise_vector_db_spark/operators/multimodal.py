@@ -60,6 +60,40 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the ``documents`` fixture.
+
+    The container ships no image/audio fixtures, so the text corpus stands
+    in: payload = UTF-8 bytes of the text, kind round-robins image/audio/
+    video on doc_id, and the typed metadata struct is column math over
+    n_chars.  Everything is SQL-expressible, so the plumbing downstream of
+    this table is oracle-checkable.
+    """
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    is_image = F.col("doc_id") % 3 == 0
+    is_av = F.col("doc_id") % 3 != 0
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.when(is_image, (F.col("n_chars") % 640 + 64).cast("int")).alias("width"),
+            F.when(is_image, (F.col("n_chars") % 480 + 48).cast("int")).alias("height"),
+            F.when(is_av, F.col("n_chars").cast("long") * 40).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def decode_stub(payload: bytes, mime: str):
     """The codec boundary.  Plug PIL/torchaudio/ffmpeg here in production."""
     raise NotImplementedError(

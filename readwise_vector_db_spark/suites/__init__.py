@@ -3,6 +3,7 @@
 from readwise_vector_db_spark.suites import (  # noqa: F401
     dedup,
     ingest,
+    multimodal,
     relational,
     similarity,
     text_analysis,
