@@ -30,6 +30,7 @@ Spark mapping:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from datetime import date
 from typing import Sequence
@@ -68,6 +69,22 @@ def vector_literal(vec: Sequence[float]) -> Column:
 def apply_filters(df: DataFrame, params: SearchParams) -> DataFrame:
     """The conjunctive filter surface F1-F7 (SURVEY §2.2), pre-limit."""
     df = df.filter(F.col("embedding").isNotNull())  # F1
+    return apply_meta_filters(df, params)
+
+
+def has_meta_filters(params: SearchParams) -> bool:
+    return bool(
+        params.source_type is not None
+        or params.source_author is not None
+        or params.lang is not None
+        or params.tags
+        or params.highlighted_at_range is not None
+        or params.extra_filters
+    )
+
+
+def apply_meta_filters(df: DataFrame, params: SearchParams) -> DataFrame:
+    """F2-F7: the metadata-side filters (everything except the F1 null guard)."""
     if params.source_type is not None:  # F2
         df = df.filter(F.col("source_type") == params.source_type)
     if params.source_author is not None and "source_author" in df.columns:  # F3
@@ -87,10 +104,30 @@ def apply_filters(df: DataFrame, params: SearchParams) -> DataFrame:
 
 
 def score_column(query_vec: Sequence[float] | Column, use_norm: bool = True) -> Column:
-    """Cosine distance to the query as a rounded double column."""
-    q = vector_literal(query_vec) if not isinstance(query_vec, Column) else query_vec
+    """Cosine distance to the query as a rounded double column.
+
+    When the query is a plain vector its norm is computed driver-side and
+    inlined as a literal: Catalyst does not constant-fold ``aggregate``
+    over array literals, so leaving it symbolic would re-fold the 3072-elem
+    query norm for EVERY corpus row (twice — once in the zero-guard, once
+    in the denominator).
+    """
     norm = F.col("emb_norm") if use_norm else None
-    return F.round(cosine_distance(F.col("embedding"), q, a_norm=norm), SCORE_DECIMALS)
+    if isinstance(query_vec, Column):
+        return F.round(
+            cosine_distance(F.col("embedding"), query_vec, a_norm=norm), SCORE_DECIMALS
+        )
+    q = vector_literal(query_vec)
+    # plain sequential fold, NOT math.fsum: must reproduce the same IEEE-754
+    # accumulation order as the in-engine aggregate() / list_dot_product
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    q_norm = F.lit(math.sqrt(acc))
+    return F.round(
+        cosine_distance(F.col("embedding"), q, a_norm=norm, b_norm=q_norm),
+        SCORE_DECIMALS,
+    )
 
 
 def semantic_search(
@@ -108,6 +145,54 @@ def semantic_search(
     df = df.withColumn("score", score_column(query_vec, use_norm=use_norm))
     out_cols = [c for c in df.columns if c not in ("embedding", "emb_norm")]
     return df.select(*out_cols).orderBy(F.asc("score"), F.asc("id")).limit(params.clamped_k())
+
+
+def semantic_search_indexed(
+    metadata: DataFrame,
+    vectors: DataFrame,
+    query_vec: Sequence[float] | Column,
+    params: SearchParams | None = None,
+) -> DataFrame:
+    """Vector-first top-k: the scale plan for ``semantic_search``.
+
+    ``semantic_search`` joins metadata to every vector before scoring —
+    at 100 TB that shuffles the text payload of the whole corpus only for
+    top-k to discard all but k rows.  This plan keeps the score stage on
+    the narrow ``vectors`` table (sources/tables.py:corpus_split):
+
+    1. metadata filters (F2-F7) reduce ``metadata`` to an id set, which
+       semi-joins into ``vectors`` — only ids cross the wire, and only
+       when a filter exists.  On a cluster both tables are bucketed by id,
+       so this semi-join is co-located (zero shuffle).
+    2. score + ``TakeOrderedAndProject`` over (id, score): per-partition
+       k-row heaps, driver merge — no sort, no shuffle, scan reads only
+       the vector columns (ReadSchema pruning).
+    3. the k winners join back to ``metadata`` for shaping: a k-row
+       broadcast, regardless of corpus size.
+
+    Requires every vector id to have a metadata row (join-after-limit
+    correctness; the fixture generator guarantees vec_id ⊆ doc_id).
+    """
+    params = params or SearchParams()
+    k = params.clamped_k()
+    vec = vectors.filter(F.col("embedding").isNotNull())  # F1
+    if has_meta_filters(params):
+        allowed = apply_meta_filters(metadata, params).select("id")
+        vec = vec.join(allowed, "id", "left_semi")
+    use_norm = "emb_norm" in vec.columns
+    topk = (
+        vec.withColumn("score", score_column(query_vec, use_norm=use_norm))
+        .select("id", "score")
+        .orderBy(F.asc("score"), F.asc("id"))
+        .limit(k)
+    )
+    out_cols = [c for c in metadata.columns if c not in ("embedding", "emb_norm")]
+    return (
+        F.broadcast(topk)
+        .join(metadata, "id")
+        .select(*out_cols, "score")
+        .orderBy(F.asc("score"), F.asc("id"))
+    )
 
 
 def query_vector_for_id(highlights: DataFrame, qid: str) -> list[float]:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from readwise_vector_db_spark.functions.vector import cosine_distance
+from readwise_vector_db_spark.functions.vector import cosine_distance, l2_norm
 
 SCORE_DECIMALS = 6
 
@@ -42,13 +42,20 @@ def knn_join(
     join; the only exchange is the window rank on query_id.  Output:
     (query_id, neighbor_id, cos_dist, rn).
     """
+    # norms are precomputed per SIDE (Q + N folds) so the N×Q cross-join hot
+    # loop does exactly one fold per pair (the dot product), not three
     q = F.broadcast(
         queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qv"))
+        .withColumn("q_norm", l2_norm("qv"))
     )
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv")).filter(
-        F.col("cv").isNotNull()
+    c = (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+        .filter(F.col("cv").isNotNull())
+        .withColumn("c_norm", l2_norm("cv"))
     )
-    dist = cosine_distance(F.col("cv"), F.col("qv"))
+    dist = cosine_distance(
+        F.col("cv"), F.col("qv"), a_norm=F.col("c_norm"), b_norm=F.col("q_norm")
+    )
     w = W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cid"))
     return (
         c.crossJoin(q)
@@ -125,9 +132,20 @@ def ivf_search(
     probe_ids = [cid for cid, _ in probe]
 
     q_lit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    # sequential fold (not np.linalg.norm) so the literal is bit-identical
+    # with what the in-engine aggregate() would produce
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    q_norm = F.lit(acc ** 0.5)
     return (
         assigned.filter(F.col("cluster").isin(probe_ids))
-        .withColumn("cos_dist", F.round(cosine_distance(F.col(vec_col), q_lit), SCORE_DECIMALS))
+        .withColumn(
+            "cos_dist",
+            F.round(
+                cosine_distance(F.col(vec_col), q_lit, b_norm=q_norm), SCORE_DECIMALS
+            ),
+        )
         .orderBy(F.asc("cos_dist"), F.asc(id_col))
         .limit(k)
         .select(F.col(id_col).alias("neighbor_id"), "cos_dist", "cluster")

@@ -52,6 +52,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def corpus_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The highlights corpus split into (metadata, vectors) for the
+    vector-first search plan (operators/search.py:semantic_search_indexed).
+
+    ``metadata`` carries the fat columns (text, tags, ...); ``vectors`` is
+    the narrow (id, embedding, emb_norm) index table.  Keeping them as two
+    scans means a top-k query never shuffles text bytes: scoring reads only
+    the vector columns, and metadata is joined to the k winners afterwards.
+
+    Invariant required for join-after-limit correctness: every vector id
+    has a metadata row (vec_id ⊆ doc_id — guaranteed by the fixture
+    generator, FIXTURES.md §1; asserted in tests/test_search.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        "text",
+        F.col("source").alias("source_type"),
+        "lang",
+        "n_chars",
+        F.slice(F.split(F.col("text"), " "), 1, 3).alias("tags"),
+    )
+    vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").cast("string").alias("id"), "embedding")
+        .withColumn("emb_norm", l2_norm("embedding"))
+    )
+    return meta, vecs
+
+
 def highlights(spark: SparkSession, sf_dir: str, with_norm: bool = True) -> DataFrame:
     """Assemble the highlights-like corpus: documents ⋈ embeddings.
 

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from readwise_vector_db_spark.operators import search as search_ops
 from readwise_vector_db_spark.registry import register
-from readwise_vector_db_spark.sources.tables import highlights
+from readwise_vector_db_spark.sources.tables import corpus_split
 
 # Shared oracle fragments -----------------------------------------------------
 
@@ -42,10 +42,13 @@ COS_DIST = (
     """,
 )
 def search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: k=10 exact cosine top-k over the highlights corpus."""
-    hl = highlights(spark, sf_dir)
-    qv = search_ops.query_vector_for_id(hl, "0")
-    return search_ops.semantic_search(hl, qv, search_ops.SearchParams(k=10))
+    """Flagship: k=10 exact cosine top-k, vector-first plan (score the
+    narrow vector table, join metadata to the k winners)."""
+    meta, vecs = corpus_split(spark, sf_dir)
+    qv = search_ops.query_vector_for_id(vecs, "0")
+    return search_ops.semantic_search_indexed(
+        meta, vecs, qv, search_ops.SearchParams(k=10)
+    )
 
 
 @register(
@@ -64,8 +67,9 @@ def search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter surface F1+F4+lang equality with correct pre-limit semantics."""
-    hl = highlights(spark, sf_dir)
-    qv = search_ops.query_vector_for_id(hl, "1")
+    """Filter surface F1+F4+lang equality with correct pre-limit semantics;
+    the metadata filters semi-join into the vector scan (id-only shuffle)."""
+    meta, vecs = corpus_split(spark, sf_dir)
+    qv = search_ops.query_vector_for_id(vecs, "1")
     params = search_ops.SearchParams(k=20, lang="en", tags=["the", "spark", "fast"])
-    return search_ops.semantic_search(hl, qv, params)
+    return search_ops.semantic_search_indexed(meta, vecs, qv, params)
