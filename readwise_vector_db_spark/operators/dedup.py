@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -167,10 +167,26 @@ def _hash_coeffs(n: int = N_HASHES, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P)) for _ in range(n)]
 
 
+def hash64(col: Column | str, base_hash: str = "xxhash64") -> Column:
+    """64-bit token hash.  ``xxhash64`` is the fast production path;
+    ``md5`` is the portable path (60-bit: first 15 hex chars) that DuckDB
+    reproduces exactly — used by the oracle-checked suite entries."""
+    c = F.col(col) if isinstance(col, str) else col
+    if base_hash == "xxhash64":
+        return F.xxhash64(c)
+    if base_hash == "md5":
+        return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
+
 def minhash_signatures(
-    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig array<long>[64]).  Base hash = xxhash64(shingle) mod P;
+    """(id, sig array<long>[64]).  Base hash = hash64(shingle) mod P;
     permutation i = (a_i·h + b_i) mod P; signature = per-permutation min.
 
     64 ``min`` aggregate columns → map-side partial aggregation collapses
@@ -179,7 +195,7 @@ def minhash_signatures(
     coeffs = _hash_coeffs()
     ex = docs.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle")
-    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)))
+    ).withColumn("h", F.pmod(hash64("shingle", base_hash), F.lit(MINHASH_P)))
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"mh{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -194,15 +210,20 @@ def minhash_lsh_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs from banded LSH, scored by signature agreement.
 
     Returns (id_a, id_b, est_jaccard) with est ≥ threshold.  est_jaccard
     is the fraction of agreeing minhash components — an unbiased Jaccard
-    estimator, so results are deterministic given the seed but only
-    *approximately* equal to exact Jaccard (hence rows-only oracle).
+    estimator given the seeded permutations; with ``base_hash='md5'`` the
+    whole pipeline is reproduced in SQL and hash-checked by the oracle.
+
+    The band key is the band's signature slice rendered as text — a
+    grouping key only, so any injective rendering works, and this one is
+    engine-portable.
     """
-    sigs = minhash_signatures(docs, k, id_col, text_col)
+    sigs = minhash_signatures(docs, k, id_col, text_col, base_hash)
     bands = sigs.select(
         "id",
         "sig",
@@ -211,7 +232,13 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
                 lambda j: F.struct(
                     j.alias("band"),
-                    F.xxhash64(F.slice("sig", j * ROWS_PER_BAND + 1, ROWS_PER_BAND)).alias("bh"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", j * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("bh"),
                 ),
             )
         ).alias("b"),
@@ -246,20 +273,31 @@ def minhash_lsh_pairs(
 # --- simhash ----------------------------------------------------------------
 
 
+def simhash_bits(base_hash: str) -> int:
+    """xxhash64 gives 64 usable bits; the portable md5 path gives 60
+    (15 hex chars, so the value stays positive in a BIGINT)."""
+    return 64 if base_hash == "xxhash64" else 60
+
+
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash BIGINT): per-bit majority vote over token hashes."""
+    n_bits = simhash_bits(base_hash)
     ex = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash64("tok", base_hash))
     bit_sums = [
-        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"s{i}") for i in range(64)
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"s{i}")
+        for i in range(n_bits)
     ]
     agg = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
     simhash = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"s{i}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
@@ -268,18 +306,21 @@ def simhash_fingerprints(
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text", base_hash: str = "xxhash64") -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming.
 
-    Candidates via 4×16-bit chunk equality (pigeonhole: ≤3 differing bits
+    Candidates via 4-chunk equality (pigeonhole: ≤3 differing bits
     ⇒ ≥1 of 4 chunks identical), then exact bit_count(xor) filter — the
     classic Google simhash dedup layout, as a pure DataFrame plan.
     """
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    n_bits = simhash_bits(base_hash)
+    chunk_w = n_bits // 4
+    chunk_mask = (1 << chunk_w) - 1
+    fps = simhash_fingerprints(docs, id_col, text_col, base_hash)
     chunk_structs = [
         F.struct(
             F.lit(j).alias("chunk"),
-            F.shiftright("simhash", j * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            F.shiftright("simhash", j * chunk_w).bitwiseAND(F.lit(chunk_mask)).alias("cv"),
         )
         for j in range(4)
     ]

@@ -7,9 +7,12 @@ augmented input: every 20th row is re-injected with id+1_000_000 — the
 same UNION ALL construction on both engines, so the oracle still
 hash-checks the operator end-to-end.
 
-MinHash-LSH and SimHash use xxhash64, which DuckDB lacks → rows-only
-driver check; their fidelity against exact Jaccard is asserted in
-tests/test_dedup.py instead.
+MinHash-LSH and SimHash default to xxhash64 in production (fast, JVM
+intrinsic), but the registered suite entries run the ``md5`` base-hash
+variant: both engines derive the same 60-bit integer from the md5 hex,
+so the ENTIRE pipeline — permutations, banding, candidate join,
+signature agreement — is reproduced in SQL and hash-checked.  Fidelity
+against exact Jaccard is asserted in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -112,15 +115,113 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_cosine_pairs(embs.unionByName(dups), threshold=0.999)
 
 
-@register("dedup_minhash_lsh", None)  # xxhash64 not expressible in DuckDB
+# Portable 60-bit token hash both engines compute identically
+_H60 = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
+
+_SH_CTE = """
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   range(1, len(string_split_regex(text, '\\s+')) - 1),
+                   i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+                        string_split_regex(text, '\\s+')[i+1] || ' ' ||
+                        string_split_regex(text, '\\s+')[i+2])) AS sh
+        FROM documents
+"""
+
+
+def _minhash_oracle() -> str:
+    P = dd.MINHASH_P
+    coeffs = dd._hash_coeffs()
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS mh{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT id, {j} AS band, concat_ws(',', {cols}) AS bh FROM sig".format(
+            j=j,
+            cols=", ".join(
+                f"mh{j * dd.ROWS_PER_BAND + r}" for r in range(dd.ROWS_PER_BAND)
+            ),
+        )
+        for j in range(dd.N_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(dd.N_HASHES)
+    )
+    h60 = _H60.format(col="shingle")
+    return f"""
+    WITH sh AS ({_SH_CTE}),
+    ex AS (SELECT id, unnest(sh) AS shingle FROM sh),
+    hs AS (SELECT id, {h60} % {P} AS h FROM ex),
+    sig AS (SELECT id, {mins} FROM hs GROUP BY id),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+        SELECT id_a, id_b,
+               ROUND(CAST(({agree}) AS DOUBLE) / {dd.N_HASHES}, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.id = cand.id_a
+        JOIN sig sb ON sb.id = cand.id_b)
+    WHERE est_jaccard >= 0.6
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    n_bits = dd.simhash_bits("md5")
+    chunk_w = n_bits // 4
+    chunk_mask = (1 << chunk_w) - 1
+    h60 = _H60.format(col="tok")
+    bit_sums = ",\n               ".join(
+        f"SUM((h >> {i}) & 1) AS s{i}" for i in range(n_bits)
+    )
+    fp = " | ".join(
+        f"(CASE WHEN s{i} * 2 > n THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(n_bits)
+    )
+    chunk_selects = "\n        UNION ALL ".join(
+        f"SELECT id, {j} AS chunk, (simhash >> {j * chunk_w}) & {chunk_mask} AS cv FROM fps"
+        for j in range(4)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    hs AS (SELECT id, {h60} AS h FROM toks),
+    sums AS (SELECT id, COUNT(*) AS n, {bit_sums} FROM hs GROUP BY id),
+    fps AS (SELECT id, {fp} AS simhash FROM sums),
+    chunks AS ({chunk_selects}),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+        FROM cand
+        JOIN fps fa ON fa.id = cand.id_a
+        JOIN fps fb ON fb.id = cand.id_b)
+    WHERE hamming <= {max_hamming}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + 16×4 banded LSH candidates, est. Jaccard ≥ 0.6."""
+    """MinHash(64) + 16×4 banded LSH candidates, est. Jaccard ≥ 0.6.
+    Runs the portable md5 base hash so the oracle hash-checks the full
+    pipeline; production default is xxhash64 (operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(docs, threshold=0.6)
+    return dd.minhash_lsh_pairs(docs, threshold=0.6, base_hash="md5")
 
 
-@register("dedup_simhash", None)  # xxhash64 not expressible in DuckDB
+@register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs with hamming ≤ 3 via 16-bit chunk LSH."""
+    """SimHash near-dup pairs with hamming ≤ 3 via 4-chunk LSH (md5 base
+    hash → 60-bit fingerprints, oracle-checked end-to-end)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, max_hamming=3)
+    return dd.simhash_pairs(docs, max_hamming=3, base_hash="md5")
