@@ -1,0 +1,55 @@
+"""SearchService: validated request → Spark search → shaped result dicts.
+
+The engine side of every protocol surface (reference
+``mcp/search_service.py:60-227``).  The reference embeds the query via
+OpenAI; here the deterministic local embedder stands in (U1 offline path,
+SURVEY §2.5), so results are reproducible without network.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import SparkSession
+
+from readwise_vector_db_spark.api.models import SearchRequest, shape_result
+from readwise_vector_db_spark.functions.embedder import embed_text_local
+from readwise_vector_db_spark.operators import search as search_ops
+from readwise_vector_db_spark.sources.tables import corpus_split
+
+
+class SearchService:
+    """One corpus, many queries.  Metadata/vectors are loaded once (index
+    open ≈ the reference's connection pool) and every request plans a fresh
+    vector-first top-k against them."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.metadata, self.vectors = corpus_split(spark, sf_dir)
+
+    def _params(self, req: SearchRequest) -> search_ops.SearchParams:
+        return search_ops.SearchParams(
+            k=req.clamped_k(),
+            source_type=req.source_type,
+            source_author=req.author,
+            lang=req.lang,
+            tags=req.tags,
+            highlighted_at_range=req.highlighted_at_range,
+        )
+
+    def search(self, req: SearchRequest) -> list[dict[str, Any]]:
+        qv = embed_text_local(req.q)
+        df = search_ops.semantic_search_indexed(
+            self.metadata, self.vectors, qv, self._params(req)
+        )
+        return [shape_result(r.asDict(recursive=True)) for r in df.collect()]
+
+    def stream(self, req: SearchRequest) -> Iterator[dict[str, Any]]:
+        """Per-row iterator (SSE / MCP framing consumes this).  k ≤ 100, so
+        toLocalIterator never holds more than one small partition."""
+        qv = embed_text_local(req.q)
+        df = search_ops.semantic_search_indexed(
+            self.metadata, self.vectors, qv, self._params(req)
+        )
+        for row in df.toLocalIterator():
+            yield shape_result(row.asDict(recursive=True))

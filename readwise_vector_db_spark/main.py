@@ -1,0 +1,102 @@
+"""CLI (reference ``main.py``: the ``rwv`` Typer app), stdlib argparse.
+
+Commands:
+  search "query" [--k N] [--lang L] [--source-type T] [--json]
+  sync --backfill | --since SERVICE        (jobs/sync.py)
+  mcp [--host H] [--port P]                (api/server.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+
+from readwise_vector_db_spark.session import DEFAULT_SF_DIR, get_spark
+
+
+def _cmd_search(args: argparse.Namespace) -> int:
+    from readwise_vector_db_spark.api.framing import ndjson_stream
+    from readwise_vector_db_spark.api.models import SearchRequest
+    from readwise_vector_db_spark.api.service import SearchService
+
+    spark = get_spark("rwv-search")
+    svc = SearchService(spark, args.sf_dir)
+    req = SearchRequest(q=args.query, k=args.k, lang=args.lang, source_type=args.source_type)
+    results = svc.search(req)
+    if args.json:
+        print(json.dumps({"results": results}, default=str))
+    else:
+        for line in ndjson_stream(results):
+            sys.stdout.write(line)
+    return 0
+
+
+def _cmd_sync(args: argparse.Namespace) -> int:
+    from readwise_vector_db_spark.jobs.sync import run_backfill, run_incremental_sync
+
+    spark = get_spark("rwv-sync")
+    if args.backfill:
+        n = run_backfill(spark, args.export_dir, args.store_dir)
+    else:
+        state = args.state_dir or f"{args.store_dir.rstrip('/')}_sync_state"
+        n = run_incremental_sync(spark, args.export_dir, args.store_dir, state)
+    print(json.dumps({"rows_upserted": n}))
+    return 0
+
+
+def _cmd_mcp(args: argparse.Namespace) -> int:
+    from readwise_vector_db_spark.api.server import McpServer
+    from readwise_vector_db_spark.api.service import SearchService
+
+    spark = get_spark("rwv-mcp")
+    svc = SearchService(spark, args.sf_dir)
+    server = McpServer(svc, host=args.host, port=args.port)
+
+    async def run() -> None:
+        await server.start()
+        print(json.dumps({"listening": f"{server.host}:{server.port}"}), flush=True)
+        await server.serve_forever()
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rwv-spark")
+    p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("search", help="top-k semantic search")
+    s.add_argument("query")
+    s.add_argument("--k", type=int, default=20)
+    s.add_argument("--lang", default=None)
+    s.add_argument("--source-type", default=None)
+    s.add_argument("--json", action="store_true", help="one JSON body, not NDJSON")
+    s.set_defaults(fn=_cmd_search)
+
+    y = sub.add_parser("sync", help="ingest readwise export → store")
+    y.add_argument("--backfill", action="store_true")
+    y.add_argument("--export-dir", required=True)
+    y.add_argument("--store-dir", required=True)
+    y.add_argument("--state-dir", default=None)
+    y.set_defaults(fn=_cmd_sync)
+
+    m = sub.add_parser("mcp", help="JSON-RPC-over-TCP search server")
+    m.add_argument("--host", default="127.0.0.1")
+    m.add_argument("--port", type=int, default=0)
+    m.set_defaults(fn=_cmd_mcp)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,195 @@
+"""Protocol surface: request validation, result shaping, SSE/JSON-RPC framing,
+and an end-to-end Spark-backed MCP TCP round-trip."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+
+import pytest
+
+from readwise_vector_db_spark.api import framing
+from readwise_vector_db_spark.api.models import (
+    InvalidParams,
+    SearchRequest,
+    shape_result,
+)
+from readwise_vector_db_spark.api.service import SearchService
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- request validation ------------------------------------------------------
+
+
+def test_request_requires_q():
+    with pytest.raises(InvalidParams):
+        SearchRequest.from_dict({})
+    with pytest.raises(InvalidParams):
+        SearchRequest.from_dict({"q": "   "})
+
+
+def test_request_k_clamp():
+    assert SearchRequest.from_dict({"q": "x", "k": 0}).clamped_k() == 1
+    assert SearchRequest.from_dict({"q": "x", "k": 500}).clamped_k() == 100
+    assert SearchRequest.from_dict({"q": "x"}).clamped_k() == 20
+
+
+def test_request_date_range_parsing():
+    req = SearchRequest.from_dict(
+        {"q": "x", "highlighted_at_range": ["2024-01-01", "2024-02-01"]}
+    )
+    assert req.highlighted_at_range[0].year == 2024
+    with pytest.raises(InvalidParams):
+        SearchRequest.from_dict({"q": "x", "highlighted_at_range": ["nope", "2024-02-01"]})
+    with pytest.raises(InvalidParams):
+        SearchRequest.from_dict({"q": "x", "tags": "not-a-list"})
+
+
+def test_result_default_key_fill():
+    shaped = shape_result({"id": "1", "text": "t", "score": 0.25})
+    for key in ("source_id", "title", "author", "url", "tags", "highlighted_at", "updated_at"):
+        assert shaped[key] is None
+    assert shaped["score"] == 0.25
+
+
+# --- framing -----------------------------------------------------------------
+
+
+def test_sse_stream_frames():
+    frames = list(framing.sse_stream([{"id": "1"}, {"id": "2"}]))
+    assert frames[0] == 'event: result\ndata: {"id": "1"}\n\n'
+    assert frames[-1] == 'event: complete\ndata: {"total": 2}\n\n'
+
+
+def test_sse_stream_error_frame():
+    def boom():
+        yield {"id": "1"}
+        raise RuntimeError("kaput")
+
+    frames = list(framing.sse_stream(boom()))
+    assert frames[-1].startswith("event: error\n")
+    assert "kaput" in frames[-1]
+
+
+def test_jsonrpc_roundtrip():
+    msg = framing.request("search", {"q": "hello"}, request_id=7)
+    packed = framing.pack_message(msg)
+    assert packed.endswith(b"\n")
+    assert framing.unpack_message(packed) == msg
+    with pytest.raises(framing.FramingError):
+        framing.unpack_message(b"{not json\n")
+    with pytest.raises(framing.ProtocolError):
+        framing.unpack_message(b'["array"]\n')
+
+
+# --- end-to-end MCP over TCP -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mcp_endpoint(spark):
+    from readwise_vector_db_spark.api.server import McpServer
+
+    svc = SearchService(spark, SF_DIR)
+    server = McpServer(svc, port=0)
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def go():
+            await server.start()
+            started.set()
+            await server.serve_forever()
+
+        try:
+            loop.run_until_complete(go())
+        except asyncio.CancelledError:
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(timeout=60)
+    yield server.host, server.port
+    loop.call_soon_threadsafe(lambda: [task.cancel() for task in asyncio.all_tasks(loop)])
+    t.join(timeout=10)
+
+
+def _rpc_lines(host, port, payload: bytes, n_expected: int | None = None) -> list[dict]:
+    import socket
+
+    with socket.create_connection((host, port), timeout=120) as s:
+        s.sendall(payload)
+        s.shutdown(socket.SHUT_WR)
+        buf = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf = buf + chunk
+    return [json.loads(line) for line in buf.splitlines() if line.strip()]
+
+
+def test_mcp_search_streams_per_result(mcp_endpoint):
+    host, port = mcp_endpoint
+    req = framing.pack_message(
+        framing.request("search", {"q": "spark window merge", "k": 3}, request_id=1)
+    )
+    frames = _rpc_lines(host, port, req)
+    assert len(frames) == 3
+    for f in frames:
+        assert f["jsonrpc"] == "2.0"
+        assert f["id"] == "1"
+        assert set(f["result"]) == {"id", "text", "score"}
+    scores = [f["result"]["score"] for f in frames]
+    assert scores == sorted(scores)
+
+
+def test_mcp_zero_results_empty_array(mcp_endpoint):
+    host, port = mcp_endpoint
+    req = framing.pack_message(
+        framing.request("search", {"q": "anything", "lang": "zz-none"}, request_id=2)
+    )
+    frames = _rpc_lines(host, port, req)
+    assert len(frames) == 1
+    assert frames[0]["result"] == []
+
+
+def test_mcp_error_taxonomy(mcp_endpoint):
+    host, port = mcp_endpoint
+    bad_json = b"{nope\n"
+    unknown = framing.pack_message(framing.request("explode", {}, request_id=3))
+    bad_params = framing.pack_message(framing.request("search", {"k": 5}, request_id=4))
+    frames = _rpc_lines(host, port, bad_json + unknown + bad_params)
+    codes = [f["error"]["code"] for f in frames]
+    assert codes == [
+        framing.ErrorCodes.PARSE_ERROR,
+        framing.ErrorCodes.METHOD_NOT_FOUND,
+        framing.ErrorCodes.INVALID_PARAMS,
+    ]
+
+
+# --- service over Spark ------------------------------------------------------
+
+
+def test_service_search_and_stream_agree(spark):
+    svc = SearchService(spark, SF_DIR)
+    req = SearchRequest(q="table scan hash", k=5)
+    collected = svc.search(req)
+    streamed = list(svc.stream(req))
+    assert [r["id"] for r in collected] == [r["id"] for r in streamed]
+    assert len(collected) == 5
+    for r in collected:
+        assert r["title"] is None  # default-key fill applied
+        assert isinstance(r["score"], float)
+
+
+def test_cli_search_json(spark, capsys):
+    import readwise_vector_db_spark.main as cli
+
+    rc = cli.main(["--sf-dir", SF_DIR, "search", "spark join", "--k", "3", "--json"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["results"]) == 3
