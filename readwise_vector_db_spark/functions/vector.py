@@ -20,6 +20,8 @@ product per row.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -71,3 +73,43 @@ def cosine_distance(
 ) -> Column:
     """pgvector's ``<=>``: 1 - cosine similarity (smaller = closer)."""
     return F.lit(1.0) - cosine_similarity(a, b, a_norm, b_norm)
+
+
+# --- fp16 storage codec ------------------------------------------------------
+#
+# The reference stores vectors as HALFVEC(3072) — half-precision, halving
+# storage (reference models/highlight.py:24-26).  The Spark analogue is a
+# BinaryType column of packed little-endian float16.  Spark SQL has no
+# fp16 type, so the codec is an Arrow-batched pandas UDF pair — storage
+# I/O, not the query hot path: unpack once at index-open (or keep fp32 in
+# the working set), never per-query.
+
+
+def pack_fp16() -> Column:
+    """array<float> → binary of little-endian float16 (HALFVEC parity)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _pack(vecs: pd.Series) -> pd.Series:
+        return vecs.map(
+            lambda v: None
+            if v is None
+            else np.asarray(v, dtype=np.float16).astype("<f2").tobytes()
+        )
+
+    return _pack
+
+
+def unpack_fp16() -> Column:
+    """binary (packed ``<f2``) → array<float> (values carry fp16 rounding)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def _unpack(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: None
+            if b is None
+            else np.frombuffer(b, dtype="<f2").astype(np.float32).tolist()
+        )
+
+    return _unpack

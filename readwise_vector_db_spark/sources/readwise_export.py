@@ -55,8 +55,93 @@ EXPORT_SCHEMA = T.StructType(
 )
 
 
+# Raw /api/v2/export/ page shape: books with nested highlight arrays
+# (reference core/readwise.py:51-64).  The reference denormalizes book
+# context into each highlight with a Python loop; Spark-side that loop is
+# explode(highlights) + a struct projection — the engine's one "join"
+# (SURVEY §2.7), executed as a flatten, never a shuffle.
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "results",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("user_book_id", T.LongType()),
+                        T.StructField("title", T.StringType()),
+                        T.StructField("author", T.StringType()),
+                        T.StructField("category", T.StringType()),
+                        T.StructField("source", T.StringType()),
+                        T.StructField("source_url", T.StringType()),
+                        T.StructField(
+                            "highlights",
+                            T.ArrayType(
+                                T.StructType(
+                                    [f for f in EXPORT_SCHEMA.fields if f.name != "book"]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+# Reader v3 /api/v3/list/ documents (reference core/readwise.py:66-76) —
+# flat records, same pagination; surface-only in the reference (no job
+# consumes it), mirrored here for S2 parity.
+READER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("source_url", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField("updated_at", T.StringType()),
+    ]
+)
+
+
 def read_export_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(EXPORT_SCHEMA).json(path)
+
+
+def read_export_pages_json(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(PAGE_SCHEMA).json(path)
+
+
+def flatten_export_pages(pages: DataFrame) -> DataFrame:
+    """Raw export pages → denormalized highlight records, same shape as
+    ``EXPORT_SCHEMA`` rows (reference core/readwise.py:53-64)."""
+    books = pages.select(F.explode("results").alias("bk"))
+    hl = books.select(F.col("bk"), F.explode("bk.highlights").alias("h"))
+    passthrough = [f.name for f in EXPORT_SCHEMA.fields if f.name != "book"]
+    return hl.select(
+        *[F.col(f"h.{c}").alias(c) for c in passthrough],
+        F.struct(
+            F.col("bk.user_book_id").alias("id"),
+            F.col("bk.title").alias("title"),
+            F.col("bk.author").alias("author"),
+            F.col("bk.category").alias("category"),
+            F.col("bk.source").alias("source"),
+            F.col("bk.source_url").alias("source_url"),
+        ).alias("book"),
+    )
+
+
+def parse_reader_list(raw: DataFrame) -> DataFrame:
+    """Reader v3 documents → normalized rows (S2; updated_at parse = C4)."""
+    return raw.select(
+        F.col("id"),
+        F.col("title"),
+        F.col("author"),
+        F.col("category"),
+        F.col("source_url"),
+        F.col("summary"),
+        F.try_to_timestamp(F.col("updated_at")).alias("updated_at"),
+    )
 
 
 def parse_export(raw: DataFrame) -> DataFrame:

@@ -145,3 +145,70 @@ def test_sync_state_roundtrip(spark, tmp_path):
     update_sync_state(spark, state, "svc", datetime(2024, 7, 1))
     assert get_sync_state(spark, state, "svc") == datetime(2024, 7, 1)
     assert get_sync_state(spark, state, "other") == datetime(2024, 6, 1)
+
+
+# --- raw page shape (S1) and Reader v3 (S2) ---------------------------------
+
+
+def test_flatten_export_pages(spark, tmp_path):
+    from readwise_vector_db_spark.sources.readwise_export import (
+        flatten_export_pages,
+        read_export_pages_json,
+    )
+
+    page = {
+        "results": [
+            {
+                "user_book_id": 77,
+                "title": "Book A",
+                "author": "Ann",
+                "category": "books",
+                "source": "kindle",
+                "source_url": "http://a",
+                "highlights": [
+                    {"id": 1, "text": "h one", "updated_at": "2024-01-01T00:00:00Z"},
+                    {"id": 2, "text": "h two", "url": "http://direct"},
+                ],
+            },
+            {
+                "user_book_id": 78,
+                "title": "Book B",
+                "author": None,
+                "category": "articles",
+                "source": "reader",
+                "source_url": None,
+                "highlights": [{"id": 3, "text": "h three"}],
+            },
+        ]
+    }
+    p = tmp_path / "pages.json"
+    _write_export(p, [page])
+    flat = flatten_export_pages(read_export_pages_json(spark, str(p)))
+    parsed = parse_export(flat).orderBy("id").collect()
+    assert [r["id"] for r in parsed] == ["1", "2", "3"]
+    assert parsed[0]["source_title"] == "Book A"
+    assert parsed[0]["source_id"] == "77"
+    assert parsed[0]["source_url"] == "http://a"  # book fallback
+    assert parsed[1]["source_url"] == "http://direct"  # raw.url wins
+    assert parsed[2]["source_type"] == "articles"
+    assert parsed[0]["highlighted_at"] is None or parsed[0]["updated_at"] is not None
+
+
+def test_parse_reader_list(spark, tmp_path):
+    from readwise_vector_db_spark.sources.readwise_export import (
+        READER_SCHEMA,
+        parse_reader_list,
+    )
+
+    docs = [
+        {"id": "d1", "title": "Doc", "author": "A", "category": "article",
+         "source_url": "http://x", "summary": "s",
+         "updated_at": "2024-03-01T10:00:00Z"},
+        {"id": "d2", "title": "Bad date", "updated_at": "not-a-date"},
+    ]
+    p = tmp_path / "reader.json"
+    _write_export(p, docs)
+    raw = spark.read.schema(READER_SCHEMA).json(str(p))
+    rows = {r["id"]: r for r in parse_reader_list(raw).collect()}
+    assert rows["d1"]["updated_at"].year == 2024
+    assert rows["d2"]["updated_at"] is None  # garbage date → NULL (C4)

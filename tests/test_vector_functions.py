@@ -66,3 +66,20 @@ def test_precomputed_norm_matches_inline(vec_df):
     ).first()["v"]
     inline = df.select(cosine_distance("a", "b").alias("v")).first()["v"]
     assert with_norm == inline
+
+
+def test_fp16_pack_roundtrip(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from readwise_vector_db_spark.functions.vector import pack_fp16, unpack_fp16
+
+    vals = [([0.1, -2.5, 1000.25, 0.0],), (None,)]
+    df = spark.createDataFrame(vals, "v: array<float>")
+    packed = df.withColumn("b", pack_fp16()(F.col("v")))
+    out = packed.withColumn("back", unpack_fp16()(F.col("b"))).collect()
+    by_null = {r["v"] is None: r for r in out}
+    assert by_null[True]["b"] is None and by_null[True]["back"] is None
+    r = by_null[False]
+    assert len(r["b"]) == 8  # 4 floats × 2 bytes: storage halved
+    np.testing.assert_allclose(r["back"], r["v"], rtol=1e-3)
