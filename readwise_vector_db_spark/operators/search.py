@@ -195,6 +195,56 @@ def semantic_search_indexed(
     )
 
 
+def semantic_search_stored(
+    metadata: DataFrame,
+    vectors: DataFrame,
+    query_id: str,
+    params: SearchParams | None = None,
+) -> DataFrame:
+    """``semantic_search_indexed`` for a STORED query embedding, with no
+    driver round-trip: instead of ``.first()``-ing the query vector to the
+    driver and inlining it (one extra Spark job per search), the 1-row
+    query side joins in as a broadcast.  Norms are precomputed per side,
+    so the scan still does one fold per row.
+    """
+    params = params or SearchParams()
+    k = params.clamped_k()
+    use_norm = "emb_norm" in vectors.columns
+    q = F.broadcast(
+        vectors.filter(F.col("id") == query_id).select(
+            F.col("embedding").alias("qv"),
+            (F.col("emb_norm") if use_norm else l2_norm("embedding")).alias("q_norm"),
+        )
+    )
+    vec = vectors.filter(F.col("embedding").isNotNull())  # F1
+    if has_meta_filters(params):
+        allowed = apply_meta_filters(metadata, params).select("id")
+        vec = vec.join(allowed, "id", "left_semi")
+    score = F.round(
+        cosine_distance(
+            F.col("embedding"),
+            F.col("qv"),
+            a_norm=F.col("emb_norm") if use_norm else None,
+            b_norm=F.col("q_norm"),
+        ),
+        SCORE_DECIMALS,
+    )
+    topk = (
+        vec.crossJoin(q)
+        .withColumn("score", score)
+        .select("id", "score")
+        .orderBy(F.asc("score"), F.asc("id"))
+        .limit(k)
+    )
+    out_cols = [c for c in metadata.columns if c not in ("embedding", "emb_norm")]
+    return (
+        F.broadcast(topk)
+        .join(metadata, "id")
+        .select(*out_cols, "score")
+        .orderBy(F.asc("score"), F.asc("id"))
+    )
+
+
 def query_vector_for_id(highlights: DataFrame, qid: str) -> list[float]:
     """Fetch one stored embedding to use as the query vector (test/oracle path)."""
     row = highlights.filter(F.col("id") == qid).select("embedding").first()

@@ -45,9 +45,8 @@ def search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: k=10 exact cosine top-k, vector-first plan (score the
     narrow vector table, join metadata to the k winners)."""
     meta, vecs = corpus_split(spark, sf_dir)
-    qv = search_ops.query_vector_for_id(vecs, "0")
-    return search_ops.semantic_search_indexed(
-        meta, vecs, qv, search_ops.SearchParams(k=10)
+    return search_ops.semantic_search_stored(
+        meta, vecs, "0", search_ops.SearchParams(k=10)
     )
 
 
@@ -70,6 +69,5 @@ def search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter surface F1+F4+lang equality with correct pre-limit semantics;
     the metadata filters semi-join into the vector scan (id-only shuffle)."""
     meta, vecs = corpus_split(spark, sf_dir)
-    qv = search_ops.query_vector_for_id(vecs, "1")
     params = search_ops.SearchParams(k=20, lang="en", tags=["the", "spark", "fast"])
-    return search_ops.semantic_search_indexed(meta, vecs, qv, params)
+    return search_ops.semantic_search_stored(meta, vecs, "1", params)
