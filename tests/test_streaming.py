@@ -101,3 +101,38 @@ def test_multimodal_plumbing(spark):
     assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
     with pytest.raises(NotImplementedError):
         mm.decode_stub(b"x", "image/png")
+
+
+def test_stateful_running_totals(spark, event_dir, batch_events):
+    """applyInPandasWithState accumulates across micro-batches; the final
+    update per user must equal the batch aggregate."""
+    from readwise_vector_db_spark.streaming import stateful as st
+
+    stream = sw.read_event_stream(spark, event_dir, max_files=1)
+    q = (
+        st.running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per (user, micro-batch); the LAST row per
+    # user carries the accumulated state
+    rows = spark.sql(
+        """SELECT user_id, n_events, total_value FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+               FROM running_totals_out) WHERE rn = 1"""
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
+    expect = {
+        r["user_id"]: (r["n"], round(r["sv"], 6))
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("sv"))
+        .collect()
+    }
+    assert got == expect
