@@ -97,6 +97,35 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+ROLL_P = (1 << 31) - 1  # Mersenne prime: keeps the fold in 31 bits
+ROLL_B = 131
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Rabin-Karp-style rolling hash over the token stream:
+    ``h = (h·B + hash(tok)) mod P`` folded left-to-right.
+
+    Unlike ``fingerprint_md5`` (whole-document digest), the polynomial
+    fold is incrementally maintainable — append a token in O(1) — the
+    shape used for streaming/chunked fingerprints.  The token hash is the
+    portable 60-bit md5 integer, so DuckDB reproduces the fold exactly
+    (``list_reduce``) and the suite entry is value-hash-checked.
+
+    Bound check: acc < P < 2^31, acc·B < 2^39, + 60-bit token hash < 2^61
+    — no int64 overflow before the mod.
+    """
+    toks = ws_tokens(F.lower(_col(text)))
+    tokh = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        tokh,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(ROLL_B) + x) % F.lit(ROLL_P),
+    )
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles — the dedup unit for MinHash/Jaccard.
 

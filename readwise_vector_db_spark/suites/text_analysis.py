@@ -107,3 +107,24 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint_md5("text").alias("fp"))
+
+
+@register(
+    "doc_fingerprint_rolling",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(
+                   CAST(0 AS BIGINT),
+                   list_transform(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))),
+               (a, b) -> (a * {T.ROLL_B} + b) % {T.ROLL_P}) AS roll_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling (Rabin-Karp) token-stream fingerprint — the incrementally
+    maintainable variant of doc_fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.rolling_fingerprint("text").alias("roll_fp"))
