@@ -24,6 +24,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,15 +36,45 @@ TABLES = (
 ).split()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Inputs smaller than this can be repartitioned to core count for free;
+# anything bigger already arrives as many splits and must not be touched.
+_SMALL_INPUT_BYTES = 512 * 1024 * 1024
+
+
+def _input_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Load a fixture table.
+
+    ``parallelize=True`` is the small-input parallelization hint for
+    CPU-heavy consumers (per-row string/decimal math): a small parquet
+    file with one row group plans as ONE scan task no matter how many
+    cores exist, serializing the whole map stage.  The hint repartitions
+    to core count — but only when the input is actually small, so at
+    100 TB (thousands of natural splits) it is a no-op by construction.
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as int64 nanos (see session.py); truncate to
         # micros exactly like DuckDB does when it loads the same file.
         # integer division — float division would lose precision above 2^53 ns
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if parallelize and _input_bytes(path) < _SMALL_INPUT_BYTES:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

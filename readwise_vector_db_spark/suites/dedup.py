@@ -32,7 +32,7 @@ _AUG_DOCS_SQL = """
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
@@ -83,7 +83,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard pairs ≥ 0.6 via inverted-index self-join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dd.ngram_jaccard_pairs(docs, threshold=0.6)
 
 
@@ -215,7 +215,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16×4 banded LSH candidates, est. Jaccard ≥ 0.6.
     Runs the portable md5 base hash so the oracle hash-checks the full
     pipeline; production default is xxhash64 (operators/dedup.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dd.minhash_lsh_pairs(docs, threshold=0.6, base_hash="md5")
 
 
@@ -223,5 +223,5 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming ≤ 3 via 4-chunk LSH (md5 base
     hash → 60-bit fingerprints, oracle-checked end-to-end)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dd.simhash_pairs(docs, max_hamming=3, base_hash="md5")

@@ -38,7 +38,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-side plumbing (payload bytes survive intact, every row yields a
     FEATURE_DIM vector) while the codec itself stays a deterministic fake.
     """
-    media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
+    media = mm.media_from_documents(load_table(spark, sf_dir, "documents", parallelize=True))
     feats = mm.extract_features(media)
     checks = media.select("media_id", F.md5("payload").alias("payload_md5"))
     # 1:1 equi-join on the unique media id; at scale both sides share the
@@ -68,5 +68,5 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-offset explosion (decode stubbed): sequence + explode is
     pure column math, so the fan-out stage of a video pipeline runs fully
     JVM-side with no Python in the loop."""
-    media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
+    media = mm.media_from_documents(load_table(spark, sf_dir, "documents", parallelize=True))
     return mm.sample_frames(media, every_ms=1000)

@@ -77,7 +77,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality mean partial aggregation collapses each input partition
     to ≤ 6 rows before the shuffle.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")

@@ -52,7 +52,7 @@ _SW_RATIO = (
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/length/quality metrics — one narrow projection,
     no shuffle at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
@@ -92,7 +92,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID next to the fixture's labeled lang column.
     (The synthetic corpus is English-ish for every label, so the value is
     parity/determinism, not accuracy.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
 
 
@@ -105,7 +105,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return docs.select("doc_id", T.fingerprint_md5("text").alias("fp"))
 
 
@@ -126,5 +126,5 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling (Rabin-Karp) token-stream fingerprint — the incrementally
     maintainable variant of doc_fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return docs.select("doc_id", T.rolling_fingerprint("text").alias("roll_fp"))
