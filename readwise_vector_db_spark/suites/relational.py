@@ -360,6 +360,69 @@ def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON column decode (C8: the reference's JSONEncodedDict TypeDecorator,
+# models/helpers.py:19-43 → from_json; schema-on-read, stays in codegen)
+# ---------------------------------------------------------------------------
+@register(
+    "q_events_props_json",
+    """
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value
+    FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value FROM events)
+    GROUP BY 1
+    """,
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the JSON props column with a declared schema and aggregate on
+    an extracted field — no schema inference pass, no Python in the loop."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.from_json("props", "k LONG").getField("k").alias("k"), "value"
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: CUBE with grouping() disambiguation flags (SURVEY §2.7 —
+# absent from the reference, free in Spark; flags distinguish "NULL because
+# subtotal row" from a genuinely NULL key)
+# ---------------------------------------------------------------------------
+@register(
+    "q_part_cube",
+    """
+    SELECT p_brand, p_size,
+           CAST(GROUPING(p_brand) AS INT) AS g_brand,
+           CAST(GROUPING(p_size) AS INT) AS g_size,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT p_type) AS n_types,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_price
+    FROM part
+    GROUP BY CUBE (p_brand, p_size)
+    """,
+)
+def q_part_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE = all 4 grouping sets in one pass — Spark expands to a single
+    hash aggregate over the replicated grouping-id input, one shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    return part.cube("p_brand", "p_size").agg(
+        F.grouping("p_brand").cast("int").alias("g_brand"),
+        F.grouping("p_size").cast("int").alias("g_size"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_type").alias("n_types"),
+        _dec_sum(F.col("p_retailprice"), "sum_price"),
+    ).select(
+        "p_brand", "p_size", "g_brand", "g_size", "n_parts", "n_types", "sum_price"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Events: tumbling-window aggregation (batch twin of the streaming op)
 # ---------------------------------------------------------------------------
 @register(
