@@ -223,26 +223,29 @@ def minhash_lsh_pairs(
     grouping key only, so any injective rendering works, and this one is
     engine-portable.
     """
-    sigs = minhash_signatures(docs, k, id_col, text_col, base_hash)
-    bands = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda j: F.struct(
-                    j.alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice("sig", j * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("bh"),
-                ),
+    # persist: the signature table feeds both sides of the candidate
+    # self-join AND the verification join — without it the shingle+64-min
+    # aggregation (the expensive stage) runs twice.  At 100 TB this is a
+    # materialized parquet intermediate, not executor cache.
+    sigs = minhash_signatures(docs, k, id_col, text_col, base_hash).persist()
+    # band keys unrolled in Python (flat element_at exprs, no nested
+    # higher-order lambdas) — nested transform-in-transform codegen was the
+    # dominant COLD cost of this plan (compile time, not runtime)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("sig", j * ROWS_PER_BAND + r + 1).cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
             )
-        ).alias("b"),
-    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = (
+        sigs.select("id", "sig", F.posexplode(band_keys).alias("band", "bh"))
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -316,7 +319,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     n_bits = simhash_bits(base_hash)
     chunk_w = n_bits // 4
     chunk_mask = (1 << chunk_w) - 1
-    fps = simhash_fingerprints(docs, id_col, text_col, base_hash)
+    # persist: fingerprints feed both sides of the chunk self-join and the
+    # final hamming verification — the 60-bit-sum aggregation runs once
+    fps = simhash_fingerprints(docs, id_col, text_col, base_hash).persist()
     chunk_structs = [
         F.struct(
             F.lit(j).alias("chunk"),
