@@ -80,3 +80,24 @@ def test_openai_embedder_fails_fast_without_key(monkeypatch):
     monkeypatch.delenv("OPENAI_API_KEY", raising=False)
     with pytest.raises(RuntimeError, match="OPENAI_API_KEY"):
         openai_embedder()
+
+
+def test_ivf_partitioned_layout_prunes_scan(spark, embs, tmp_path):
+    """The IVF 'index' is a data layout: written partitionBy(cluster), a
+    probe reads only matching partitions — PartitionFilters in the scan,
+    the 100 TB story in miniature."""
+    import contextlib
+    import io
+
+    assigned, _ = sim.build_ivf_index(embs, n_clusters=8)
+    out = str(tmp_path / "ivf_layout")
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(out)
+    idx = spark.read.parquet(out)
+    probe = idx.filter(F.col("cluster").isin([1, 3]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cluster" in pf[0], f"no partition pruning in plan: {pf}"
+    assert probe.count() == assigned.filter(F.col("cluster").isin([1, 3])).count()
