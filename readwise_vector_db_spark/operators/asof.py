@@ -1,0 +1,80 @@
+"""As-of (temporal) join — an operator Spark lacks as a builtin.
+
+For each left row, attach the most recent right row whose timestamp is
+≤ the left row's timestamp, per key (DuckDB/kdb ``ASOF JOIN``
+semantics, ``direction='backward'``).
+
+Spark-native decomposition (no per-key Python, no range cross-join):
+
+1. union both sides into one stream tagged by origin, right-side payload
+   carried as a struct (NULL on left rows);
+2. one window per key ordered by (ts, origin) — right rows sort BEFORE
+   left rows at equal timestamps, giving the inclusive ``>=`` bound —
+   taking ``last(payload, ignorenulls=True)`` over rows unbounded
+   preceding → current;
+3. keep the left rows; their carried payload IS the as-of match.
+
+Cost: exactly one shuffle (the window partitioning on key) — same as
+any equi-join on the key, and strictly cheaper than the naive
+range-join + groupBy-max plan, which shuffles the cross product.  Hot
+keys: salt via operators/skew.py, or pre-bucket both inputs by key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_PAYLOAD = "__asof_payload"
+_ORIGIN = "__asof_origin"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: Sequence[str] = (),
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + ``payload`` columns from the
+    latest ``right`` row with ``right.ts <= left.ts`` on the same key
+    (NULLs when no prior right row exists).
+
+    ``right`` should be unique per (key, ts) — with duplicates, which
+    one wins is unspecified (dedupe first, e.g. groupBy(key, ts).max).
+    """
+    payload = list(payload)
+    rtypes = dict(right.dtypes)
+    payload_t = "struct<" + ", ".join(f"{c}: {rtypes[c]}" for c in payload) + ">"
+    l_tag = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias(_ORIGIN),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        F.lit(None).cast(payload_t).alias(_PAYLOAD),
+    )
+    r_tag = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias(_ORIGIN),
+        F.lit(None).cast(l_tag.schema["__left"].dataType).alias("__left"),
+        F.struct(*[F.col(c) for c in payload]).alias(_PAYLOAD),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.asc("__ts"), F.asc(_ORIGIN))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col(_ORIGIN) == 1).select(
+        *[F.col(f"__left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload],
+    )
+    return out

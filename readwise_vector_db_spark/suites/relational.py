@@ -360,6 +360,44 @@ def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join (temporal): custom operator (operators/asof.py) — DuckDB's
+# native ASOF JOIN is the oracle, so the union+window decomposition is
+# value-checked end-to-end
+# ---------------------------------------------------------------------------
+@register(
+    "q_events_asof",
+    """
+    WITH cp AS (
+        SELECT user_id, ts, MAX(event_id) AS cp_id
+        FROM events WHERE event_id % 50 = 0
+        GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           cp.cp_id
+    FROM events e ASOF LEFT JOIN cp
+      ON e.user_id = cp.user_id AND e.ts >= cp.ts
+    """,
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event + the id of the latest checkpoint (≤ ts) for its user."""
+    from readwise_vector_db_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cp = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("cp_id"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"), cp, key="user_id", payload=["cp_id"]
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "cp_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON column decode (C8: the reference's JSONEncodedDict TypeDecorator,
 # models/helpers.py:19-43 → from_json; schema-on-read, stays in codegen)
 # ---------------------------------------------------------------------------
