@@ -89,3 +89,56 @@ def run_incremental_sync(
         )
     update_sync_state(spark, state_path, SERVICE, now)
     return n
+
+
+def run_streaming_sync(
+    spark: SparkSession,
+    export_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    dim: int = 64,
+) -> None:
+    """G2 in its Structured-Streaming form: ``readStream`` over export
+    dumps + ``foreachBatch`` merge (SURVEY §2.6 G2 — "or Structured
+    Streaming with foreachBatch(merge)").
+
+    The checkpoint directory replaces the sync_state watermark table:
+    files already processed are never re-read, so each run ingests only
+    the delta — ``trigger(availableNow=True)`` drains pending files and
+    stops, giving incremental batch semantics from a streaming plan; in
+    production the same query simply runs continuously.
+    """
+    from pyspark.errors import AnalysisException
+
+    from readwise_vector_db_spark.operators.upsert import dedup_updates
+    from readwise_vector_db_spark.sources.readwise_export import EXPORT_SCHEMA
+
+    raw = spark.readStream.schema(EXPORT_SCHEMA).json(export_dir)
+    parsed = parse_export(raw).filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    delta = _embed_parsed(parsed, dim)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = dedup_updates(batch_df, "id", "updated_at")
+        try:
+            base = batch_df.sparkSession.read.parquet(table_path)
+        except AnalysisException:
+            base = None
+        merged = merge_upsert(base, batch, "id") if base is not None else batch
+        # materialize before overwrite — the plan must not read what it
+        # replaces (Delta MERGE does this transactionally at scale)
+        rows = merged.collect()
+        batch_df.sparkSession.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(table_path)
+
+    q = (
+        delta.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

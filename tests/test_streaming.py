@@ -136,3 +136,40 @@ def test_stateful_running_totals(spark, event_dir, batch_events):
         .collect()
     }
     assert got == expect
+
+
+def test_streaming_sync_checkpoint_is_the_watermark(spark, tmp_path):
+    """Two runs over a growing export dir: the checkpoint ensures run 2
+    reads only the new file; the merge upserts by id."""
+    import json
+
+    from readwise_vector_db_spark.jobs.sync import run_streaming_sync
+
+    export = tmp_path / "export"
+    export.mkdir()
+    table = str(tmp_path / "highlights")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, records):
+        with open(export / name, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+
+    write_file("page1.json", [
+        {"id": 1, "text": "one", "updated_at": "2024-01-01T00:00:00Z"},
+        {"id": 2, "text": "two old", "updated_at": "2024-01-01T00:00:00Z"},
+        {"id": 3, "text": "   ", "updated_at": "2024-01-01T00:00:00Z"},  # skipped
+    ])
+    run_streaming_sync(spark, str(export), table, ckpt)
+    t1 = {r["id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    assert t1 == {"1": "one", "2": "two old"}
+
+    write_file("page2.json", [
+        {"id": 2, "text": "two NEW", "updated_at": "2024-02-01T00:00:00Z"},
+        {"id": 4, "text": "four", "updated_at": "2024-02-01T00:00:00Z"},
+    ])
+    run_streaming_sync(spark, str(export), table, ckpt)
+    t2 = {r["id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    assert t2 == {"1": "one", "2": "two NEW", "4": "four"}
+    rows = spark.read.parquet(table).collect()
+    assert all(len(r["embedding"]) == 64 for r in rows)
