@@ -84,6 +84,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_bucketed(
+    df: DataFrame, table_name: str, path: str, key: str, n_buckets: int = 8
+) -> None:
+    """Persist ``df`` as a bucketed+sorted table — the co-location layout
+    the scale notes throughout this repo assume.
+
+    Two tables bucketed on their join keys with the same bucket count
+    join with NO Exchange on either side (the scan's output partitioning
+    already satisfies the join's requirement); repeated joins/aggs on the
+    key amortize the one-time layout cost.  This is the plain-parquet
+    analogue of the reference's HNSW index build: an offline data layout
+    that queries exploit implicitly.  Proven shuffle-free in
+    tests/test_bucketing.py.
+    """
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def corpus_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The highlights corpus split into (metadata, vectors) for the
     vector-first search plan (operators/search.py:semantic_search_indexed).
