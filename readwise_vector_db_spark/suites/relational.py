@@ -360,6 +360,33 @@ def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact percentiles (ordered-set aggregate; the approx_percentile sketch is
+# the scale path — same plan shape, mergeable state)
+# ---------------------------------------------------------------------------
+@register(
+    "q_value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99,
+           COUNT(value) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous-interpolation percentiles per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("value").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join (temporal): custom operator (operators/asof.py) — DuckDB's
 # native ASOF JOIN is the oracle, so the union+window decomposition is
 # value-checked end-to-end

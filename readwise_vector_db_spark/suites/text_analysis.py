@@ -110,6 +110,75 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS cnt,
+               SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS total
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND((CAST(cnt AS DOUBLE) / total) * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rnk FROM (
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+        FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Plan: one shuffle on (doc, term), one on term for document frequency
+    (map-side combined), corpus size joined in as a 1-row broadcast (no
+    driver action), final per-doc rank.  Scores are pre-rounded at 9dp
+    before ranking so cross-engine ln() ulp differences cannot flip the
+    rank order.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = docs.select(
+        "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(W.partitionBy("doc_id")))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("total"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                9,
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rnk")
+    )
+
+
+@register(
     "doc_fingerprint_rolling",
     f"""
     SELECT doc_id,
