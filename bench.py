@@ -25,14 +25,19 @@ HEADLINE = [
     "q3_top_unshipped",
     "q5_region_revenue",
     "q_top_orders_per_customer",
+    "q_part_cube",
+    "q_value_percentiles",
     "q_events_hourly",
     "q_events_sessions",
+    "q_events_asof",
     "search_topk",
     "search_filtered",
     "knn_join",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "text_stats",
+    "tfidf_top_terms",
+    "multimodal_features",
     "upsert_merge",
 ]
 
