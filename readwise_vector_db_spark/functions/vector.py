@@ -75,6 +75,33 @@ def cosine_distance(
     return F.lit(1.0) - cosine_similarity(a, b, a_norm, b_norm)
 
 
+# --- SQ8 scalar quantization -------------------------------------------------
+#
+# pgvector-style scalar quantization: each vector stores a per-vector
+# scale (max|x|/127) and int8 components round(x/scale).  8× smaller than
+# fp64 scoring input, and — because the per-vector scales cancel in
+# cosine — quantized cosine similarity is just integer cosine, exactly
+# reproducible in SQL (the suite oracle-checks the whole quantized
+# search).  Pure Column math; rounding is floor(x+0.5) so both engines
+# agree on half-way cases.
+
+
+def sq8_quantize(vec: Column | str) -> Column:
+    """array<float> → struct<scale double, q array<int>> (SQ8 codes)."""
+    c = _as_double(vec)
+    mx = F.array_max(F.transform(c, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(c, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def int_cosine_distance(qa: Column, qb: Column) -> Column:
+    """1 - cos over integer code arrays.  Dot/norms are exact integer sums
+    (< 2^53), so the result is bit-identical across engines."""
+    to_d = lambda a: F.transform(a, lambda x: x.cast("double"))  # noqa: E731
+    return F.lit(1.0) - cosine_similarity(to_d(qa), to_d(qb))
+
+
 # --- fp16 storage codec ------------------------------------------------------
 #
 # The reference stores vectors as HALFVEC(3072) — half-precision, halving

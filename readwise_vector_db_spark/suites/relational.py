@@ -360,6 +360,46 @@ def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Window frames: running total + moving average (rowsBetween frames —
+# complements the rank-based window in q_top_orders_per_customer)
+# ---------------------------------------------------------------------------
+@register(
+    "q_customer_running_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_spend,
+           ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS avg3
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    """,
+)
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend + 3-order moving average.  One shuffle
+    on the partition key; frames evaluate incrementally within partitions."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    order_w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    dec = F.col("o_totalprice").cast("decimal(28,10)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(dec).over(order_w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double"),
+            2,
+        ).alias("run_spend"),
+        F.round(
+            F.avg(dec).over(order_w.rowsBetween(-2, W.currentRow)).cast("double"), 2
+        ).alias("avg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact percentiles (ordered-set aggregate; the approx_percentile sketch is
 # the scale path — same plan shape, mergeable state)
 # ---------------------------------------------------------------------------

@@ -8,10 +8,11 @@ deterministic embedder UDF) is exercised in tests.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.operators import search as search_ops
 from readwise_vector_db_spark.registry import register
-from readwise_vector_db_spark.sources.tables import corpus_split
+from readwise_vector_db_spark.sources.tables import corpus_split, load_table
 
 # Shared oracle fragments -----------------------------------------------------
 
@@ -71,3 +72,60 @@ def search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta, vecs = corpus_split(spark, sf_dir)
     params = search_ops.SearchParams(k=20, lang="en", tags=["the", "spark", "fast"])
     return search_ops.semantic_search_stored(meta, vecs, "1", params)
+
+
+_SQ8_CODES = """
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(
+                   x / (CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END) + 0.5
+               ) AS BIGINT)) AS q
+        FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE embedding IS NOT NULL))
+"""
+
+
+@register(
+    "search_sq8",
+    f"""
+    WITH codes AS ({_SQ8_CODES}),
+    qv AS (SELECT q AS qq FROM codes WHERE vec_id = 2),
+    scored AS (
+        SELECT c.vec_id AS neighbor_id,
+               ROUND(1 - list_dot_product(CAST(c.q AS DOUBLE[]), CAST(qv.qq AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(c.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(qv.qq AS DOUBLE[]), CAST(qv.qq AS DOUBLE[])))),
+                     6) AS qdist
+        FROM codes c CROSS JOIN qv
+    )
+    SELECT neighbor_id, qdist FROM scored
+    ORDER BY qdist ASC, neighbor_id ASC
+    LIMIT 10
+    """,
+)
+def search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over SQ8-quantized codes (8× smaller scan than fp64 scoring;
+    per-vector scales cancel in cosine, so this is integer cosine —
+    bit-identical across engines, hence fully oracle-checked).  Recall vs
+    the exact float scan is asserted in tests/test_similarity.py."""
+    from readwise_vector_db_spark.functions.vector import (
+        int_cosine_distance,
+        sq8_quantize,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    codes = embs.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", sq8_quantize("embedding").alias("c")
+    )
+    qrow = F.broadcast(
+        codes.filter(F.col("vec_id") == 2).select(F.col("c.q").alias("qq"))
+    )
+    return (
+        codes.crossJoin(qrow)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(int_cosine_distance(F.col("c.q"), F.col("qq")), 6).alias("qdist"),
+        )
+        .orderBy(F.asc("qdist"), F.asc("neighbor_id"))
+        .limit(10)
+    )

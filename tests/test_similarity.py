@@ -101,3 +101,42 @@ def test_ivf_partitioned_layout_prunes_scan(spark, embs, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cluster" in pf[0], f"no partition pruning in plan: {pf}"
     assert probe.count() == assigned.filter(F.col("cluster").isin([1, 3])).count()
+
+
+def test_sq8_quantized_search_recall(spark, embs):
+    """SQ8 codes are 8x smaller; their top-10 must substantially agree
+    with the exact float cosine top-10 (and quantization must be lossless
+    enough that the query vector finds itself first)."""
+    from readwise_vector_db_spark.functions.vector import (
+        cosine_distance,
+        int_cosine_distance,
+        sq8_quantize,
+    )
+
+    codes = embs.select("vec_id", sq8_quantize("embedding").alias("c"))
+    qq = codes.filter(F.col("vec_id") == 2).select(F.col("c.q").alias("qq"))
+    approx = (
+        codes.crossJoin(F.broadcast(qq))
+        .select("vec_id", int_cosine_distance(F.col("c.q"), F.col("qq")).alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    qv = embs.filter(F.col("vec_id") == 2).first()["embedding"]
+    exact = (
+        embs.select(
+            "vec_id",
+            cosine_distance(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in qv]).cast("array<double>"),
+            ).alias("d"),
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    approx_ids = [r["vec_id"] for r in approx]
+    exact_ids = [r["vec_id"] for r in exact]
+    assert approx_ids[0] == 2 == exact_ids[0]  # self-match survives quantization
+    overlap = len(set(approx_ids) & set(exact_ids))
+    assert overlap >= 7, f"recall@10 too low: {overlap}/10"
