@@ -151,10 +151,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(T.ws_tokens(F.lower(F.col("text")))).alias("term")
     )
+    # persist: tf feeds both the document-frequency aggregate and the
+    # scoring join — without it the tokenize+count stage runs twice
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("total", F.sum("cnt").over(W.partitionBy("doc_id")))
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
