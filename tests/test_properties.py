@@ -1,0 +1,110 @@
+"""Property-based checks (hypothesis) against brute-force references.
+
+Each property runs a handful of small random cases — Spark job latency
+makes per-example cost ~0.5 s, so examples are few but adversarial
+(hypothesis shrinks failures to minimal cases).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (uid, ts) pairs with small domains so collisions/ties actually happen
+_EVENTS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=15
+)
+
+
+@given(left=_EVENTS, right=_EVENTS)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from readwise_vector_db_spark.operators.asof import asof_join
+
+    # dedupe right per (uid, ts): asof_join requires unique right keys
+    rmap = {}
+    for i, (u, t) in enumerate(right):
+        rmap[(u, t)] = i
+    rrows = [(u, t, v) for (u, t), v in rmap.items()]
+    lrows = [(u, t, i) for i, (u, t) in enumerate(left)]
+    ldf = spark.createDataFrame(lrows, "uid INT, ts INT, lid INT")
+    rdf = spark.createDataFrame(rrows, "uid INT, ts INT, val INT")
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(ldf, rdf, key="uid", payload=["val"]).collect()
+    }
+    for u, t, lid in lrows:
+        candidates = [(rt, v) for (ru, rt), v in rmap.items() if ru == u and rt <= t]
+        expect = max(candidates)[1] if candidates else None
+        assert got[lid] == expect, (u, t, candidates)
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), max_size=12),
+    updates=st.lists(st.tuples(st.integers(0, 9), st.integers(100, 199)), max_size=12),
+)
+@settings(**SETTINGS)
+def test_merge_upsert_last_writer_wins(spark, base, updates):
+    from readwise_vector_db_spark.operators.upsert import dedup_updates, merge_upsert
+
+    bmap = dict(base)  # python dict: later entries win, like dedup_updates max
+    brows = [(k, v) for k, v in bmap.items()]
+    if not brows:
+        brows = [(999, 0)]
+        bmap = {999: 0}
+    bdf = spark.createDataFrame(brows, "id INT, v INT")
+    udf_rows = [(k, v) for k, v in updates]
+    if udf_rows:
+        udf = dedup_updates(
+            spark.createDataFrame(udf_rows, "id INT, v INT"), "id", "v"
+        )
+        merged = {r["id"]: r["v"] for r in merge_upsert(bdf, udf, "id").collect()}
+        umap = {}
+        for k, v in udf_rows:
+            umap[k] = max(umap.get(k, -1), v)
+        expect = {**bmap, **umap}
+    else:
+        merged = {r["id"]: r["v"] for r in bdf.collect()}
+        expect = bmap
+    assert merged == expect
+
+
+_WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+    min_size=3,
+    max_size=12,
+)
+
+
+@given(texts=st.lists(_WORDS, min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_ngram_jaccard_matches_bruteforce(spark, texts):
+    from readwise_vector_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, k=2).collect()
+    }
+
+    def shingles(ws):
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 6) >= 0.3:
+                expect[(a, b)] = round(j, 6)
+    assert got == expect
