@@ -107,33 +107,27 @@ def run_streaming_sync(
     the delta — ``trigger(availableNow=True)`` drains pending files and
     stops, giving incremental batch semantics from a streaming plan; in
     production the same query simply runs continuously.
-    """
-    from pyspark.errors import AnalysisException
 
+    ``table_path`` is a VersionedTable root: each micro-batch merge is a
+    pure distributed plan reading snapshot N and committing snapshot N+1
+    (no driver materialization — sources/versioned.py).
+    """
     from readwise_vector_db_spark.operators.upsert import dedup_updates
     from readwise_vector_db_spark.sources.readwise_export import EXPORT_SCHEMA
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
 
     raw = spark.readStream.schema(EXPORT_SCHEMA).json(export_dir)
     parsed = parse_export(raw).filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
     delta = _embed_parsed(parsed, dim)
+    table = VersionedTable(table_path)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch = dedup_updates(batch_df, "id", "updated_at")
-        try:
-            base = batch_df.sparkSession.read.parquet(table_path)
-        except AnalysisException:
-            base = None
-        merged = merge_upsert(base, batch, "id") if base is not None else batch
-        # materialize before overwrite — the plan must not read what it
-        # replaces (Delta MERGE does this transactionally at scale)
-        rows = merged.collect()
-        batch_df.sparkSession.createDataFrame(rows, merged.schema).write.mode(
-            "overwrite"
-        ).parquet(table_path)
+        table.merge(batch_df.sparkSession, batch, "id")
 
     q = (
         delta.writeStream.foreachBatch(_merge)

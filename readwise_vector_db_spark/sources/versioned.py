@@ -1,0 +1,105 @@
+"""Versioned parquet table: snapshot-isolated reads, atomic commits.
+
+The plain-parquet upsert (operators/upsert.py) must materialize the
+merged result on the driver before overwriting, because a lazy plan
+cannot read the directory it is replacing.  That collect() is fine for
+control tables and fatal at 100 TB.  The real fix is the one Delta Lake
+/ Iceberg use: **never overwrite — write a new snapshot directory and
+flip a manifest pointer**.
+
+Layout:
+
+    root/_LATEST            text file holding the current version number
+    root/v=00000001/ ...    immutable snapshot directories
+
+- ``read`` resolves ``_LATEST`` once; the returned DataFrame scans an
+  immutable directory, so concurrent commits never disturb running
+  queries (snapshot isolation), and old versions remain time-travelable
+  until ``vacuum``.
+- ``commit`` writes the next snapshot dir, then atomically renames a
+  tmp manifest over ``_LATEST`` (POSIX rename; on an object store this
+  pointer swap is the job of a commit/catalog service — same protocol).
+- ``merge`` = read-latest → merge_upsert plan → commit: source and sink
+  are DIFFERENT directories, so the merge runs as a pure distributed
+  plan — no driver materialization, any table size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from readwise_vector_db_spark.operators.upsert import merge_upsert
+
+_MANIFEST = "_LATEST"
+
+
+class VersionedTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # --- manifest ------------------------------------------------------------
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(os.path.join(self.root, _MANIFEST)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version:08d}")
+
+    def _flip_manifest(self, version: int) -> None:
+        tmp = os.path.join(self.root, f"{_MANIFEST}.tmp.{version}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.root, _MANIFEST))  # atomic pointer swap
+
+    # --- table ops -----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time-travel to an explicit ``version``."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        return spark.read.parquet(self._version_dir(v))
+
+    def commit(self, df: DataFrame) -> int:
+        """Write ``df`` as the next immutable snapshot and flip the pointer."""
+        v = (self.latest_version() or 0) + 1
+        df.write.mode("errorifexists").parquet(self._version_dir(v))
+        self._flip_manifest(v)
+        return v
+
+    def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
+        """MERGE-style upsert as a pure distributed plan (no collect):
+        the plan reads snapshot N and writes snapshot N+1."""
+        if not self.exists():
+            return self.commit(updates)
+        merged = merge_upsert(self.read(spark), updates, key)
+        return self.commit(merged)
+
+    def vacuum(self, keep: int = 2) -> list[int]:
+        """Drop all but the newest ``keep`` snapshots.  Returns removed
+        versions.  Readers of removed versions fail afterwards — at scale
+        this runs with a retention horizon, exactly like Delta VACUUM."""
+        import shutil
+
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        removed = []
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("v="):
+                continue
+            v = int(name.split("=")[1])
+            if v <= latest - keep:
+                shutil.rmtree(os.path.join(self.root, name))
+                removed.append(v)
+        return removed

@@ -160,8 +160,11 @@ def test_streaming_sync_checkpoint_is_the_watermark(spark, tmp_path):
         {"id": 2, "text": "two old", "updated_at": "2024-01-01T00:00:00Z"},
         {"id": 3, "text": "   ", "updated_at": "2024-01-01T00:00:00Z"},  # skipped
     ])
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
     run_streaming_sync(spark, str(export), table, ckpt)
-    t1 = {r["id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    vt = VersionedTable(table)
+    t1 = {r["id"]: r["text"] for r in vt.read(spark).collect()}
     assert t1 == {"1": "one", "2": "two old"}
 
     write_file("page2.json", [
@@ -169,7 +172,7 @@ def test_streaming_sync_checkpoint_is_the_watermark(spark, tmp_path):
         {"id": 4, "text": "four", "updated_at": "2024-02-01T00:00:00Z"},
     ])
     run_streaming_sync(spark, str(export), table, ckpt)
-    t2 = {r["id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    t2 = {r["id"]: r["text"] for r in vt.read(spark).collect()}
     assert t2 == {"1": "one", "2": "two NEW", "4": "four"}
-    rows = spark.read.parquet(table).collect()
+    rows = vt.read(spark).collect()
     assert all(len(r["embedding"]) == 64 for r in rows)

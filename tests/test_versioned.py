@@ -1,0 +1,51 @@
+"""Versioned table store: snapshot isolation, merge-without-collect,
+time travel, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return VersionedTable(str(tmp_path / "tbl"))
+
+
+def test_commit_and_read(spark, table):
+    assert not table.exists()
+    v1 = table.commit(spark.range(5).select("id", (F.col("id") * 10).alias("v")))
+    assert v1 == 1 and table.exists()
+    assert table.read(spark).count() == 5
+
+
+def test_merge_is_a_pure_plan(spark, table):
+    table.commit(spark.range(100).select("id", F.lit("old").alias("v")))
+    updates = spark.range(50, 120).select("id", F.lit("new").alias("v"))
+    v2 = table.merge(spark, updates, "id")
+    assert v2 == 2
+    out = {r["id"]: r["v"] for r in table.read(spark).collect()}
+    assert len(out) == 120
+    assert out[0] == "old" and out[50] == "new" and out[119] == "new"
+
+
+def test_snapshot_isolation_and_time_travel(spark, table):
+    table.commit(spark.range(3).select("id"))
+    snapshot = table.read(spark)  # plan bound to v1's directory
+    table.merge(spark, spark.range(3, 10).select("id"), "id")
+    assert snapshot.count() == 3          # concurrent reader unaffected
+    assert table.read(spark).count() == 10
+    assert table.read(spark, version=1).count() == 3  # explicit time travel
+
+
+def test_vacuum_keeps_newest(spark, table):
+    for n in (1, 2, 3, 4):
+        table.commit(spark.range(n).select("id"))
+    removed = table.vacuum(keep=2)
+    assert removed == [1, 2]
+    assert table.read(spark).count() == 4
+    assert table.read(spark, version=3).count() == 3
+    with pytest.raises(Exception):
+        table.read(spark, version=1).count()
