@@ -43,6 +43,39 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_join(queries, embs, k=5, corpus_id="vec_id")
 
 
+@register(
+    "knn_join_blocked",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+               ROUND(1 - list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                     6) AS cos_dist
+        FROM q CROSS JOIN e)
+    SELECT query_id, neighbor_id, cos_dist, rn FROM (
+        SELECT query_id, neighbor_id, cos_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_dist ASC, neighbor_id ASC) AS INT) AS rn
+        FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same k-NN join through the BLAS-blocked mapInPandas path: one
+    matmul per Arrow batch, local top-k, tiny shuffle.  Ranks on the
+    rounded distance (ties by id) so BLAS accumulation order cannot leak
+    into results — the oracle ranks identically."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.knn_join_blocked(queries, embs, k=5, corpus_id="vec_id")
+
+
 @register("ann_ivf", None)  # KMeans centroids aren't SQL-expressible
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN: KMeans(16) layout, probe 4 clusters, top-10.

@@ -140,3 +140,16 @@ def test_sq8_quantized_search_recall(spark, embs):
     assert approx_ids[0] == 2 == exact_ids[0]  # self-match survives quantization
     overlap = len(set(approx_ids) & set(exact_ids))
     assert overlap >= 7, f"recall@10 too low: {overlap}/10"
+
+
+def test_knn_blocked_equals_codegen_path(spark, embs):
+    """The BLAS-blocked path and the codegen cross-join path must agree
+    on ids and 6-dp distances."""
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sim.knn_join(queries, embs, k=5, corpus_id="vec_id")
+    b = sim.knn_join_blocked(queries, embs, k=5, corpus_id="vec_id")
+    rows_a = {(r["query_id"], r["rn"]): (r["neighbor_id"], r["cos_dist"]) for r in a.collect()}
+    rows_b = {(r["query_id"], r["rn"]): (r["neighbor_id"], r["cos_dist"]) for r in b.collect()}
+    assert rows_a == rows_b
