@@ -360,6 +360,68 @@ def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pivot (wide conditional aggregation) — Spark's groupBy().pivot() with a
+# FIXED value list (never let pivot infer values at scale: that's an extra
+# distinct-collect job over the whole input before planning)
+# ---------------------------------------------------------------------------
+@register(
+    "q_user_event_pivot",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+    FROM events
+    WHERE user_id % 5 = 0
+    GROUP BY user_id
+    """,
+)
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts as columns.  With an explicit value list
+    the pivot compiles to one hash aggregate of conditional counts — the
+    same plan the hand-written CASE oracle describes."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase"])
+        .select(
+            "user_id",
+            F.col("click").cast("long").alias("click"),
+            F.col("view").cast("long").alias("view"),
+            F.col("purchase").cast("long").alias("purchase"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation: per-group sorted distinct list (deterministic ordering
+# makes an array column hash-comparable)
+# ---------------------------------------------------------------------------
+@register(
+    "q_customer_priority_sets",
+    """
+    SELECT o_custkey,
+           list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey % 20 = 0
+    GROUP BY o_custkey
+    """,
+)
+def q_customer_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct order priorities per customer as a SORTED array — the
+    sort is what makes an array-typed result deterministic under
+    parallel aggregation (collect_set order is partition-dependent)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window frames: running total + moving average (rowsBetween frames —
 # complements the rank-based window in q_top_orders_per_customer)
 # ---------------------------------------------------------------------------
