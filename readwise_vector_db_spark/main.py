@@ -66,6 +66,22 @@ def _cmd_mcp(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_http(args: argparse.Namespace) -> int:
+    from readwise_vector_db_spark.api.http_server import serve
+    from readwise_vector_db_spark.api.service import SearchService
+
+    spark = get_spark("rwv-http")
+    svc = SearchService(spark, args.sf_dir)
+    server = serve(svc, host=args.host, port=args.port)
+    host, port = server.server_address[:2]
+    print(json.dumps({"listening": f"http://{host}:{port}"}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rwv-spark")
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -90,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--host", default="127.0.0.1")
     m.add_argument("--port", type=int, default=0)
     m.set_defaults(fn=_cmd_mcp)
+
+    h = sub.add_parser("http", help="HTTP POST /search + SSE /mcp/stream server")
+    h.add_argument("--host", default="127.0.0.1")
+    h.add_argument("--port", type=int, default=0)
+    h.set_defaults(fn=_cmd_http)
     return p
 
 

@@ -193,3 +193,64 @@ def test_cli_search_json(spark, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert len(out["results"]) == 3
+
+
+# --- HTTP surface ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def http_endpoint(spark):
+    import threading
+
+    from readwise_vector_db_spark.api.http_server import serve
+
+    svc = SearchService(spark, SF_DIR)
+    server = serve(svc)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://{server.server_address[0]}:{server.server_address[1]}"
+    server.shutdown()
+
+
+def test_http_post_search(http_endpoint):
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{http_endpoint}/search",
+        data=json.dumps({"q": "spark window merge", "k": 4}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        body = json.loads(resp.read())
+    assert len(body["results"]) == 4
+    first = body["results"][0]
+    assert {"id", "text", "score", "title", "url"} <= set(first)
+
+
+def test_http_post_search_validation_422(http_endpoint):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{http_endpoint}/search", data=b'{"k": 3}',
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc.value.code == 422
+
+
+def test_http_sse_stream(http_endpoint):
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"{http_endpoint}/mcp/stream?q=table+scan&k=3", timeout=120
+    ) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        payload = resp.read().decode()
+    frames = [f for f in payload.split("\n\n") if f.strip()]
+    assert sum(1 for f in frames if f.startswith("event: result")) == 3
+    assert frames[-1].startswith("event: complete")
+    assert '"total": 3' in frames[-1]
