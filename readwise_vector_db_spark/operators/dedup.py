@@ -356,6 +356,60 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     )
 
 
+def lsh_embedding_pairs(
+    embs: DataFrame,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_hash_tables: int = 3,
+    bucket_length: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup via MLlib BucketedRandomProjectionLSH — the
+    scale path for ``embedding_cosine_pairs`` (SURVEY §2.7 "Similarity
+    join: LSH approxSimilarityJoin").
+
+    Vectors are L2-normalized first, so cosine ≥ t ⟺ euclidean ≤
+    √(2−2t) and the euclidean-LSH family applies to cosine semantics.
+    approxSimilarityJoin only compares same-bucket candidates: linear
+    bucket-join cost instead of the exact operator's O(n²) all-pairs.
+    Identical vectors always share buckets (hash is deterministic in the
+    input), so planted exact duplicates have recall 1.0; near-dups are
+    found w.h.p. scaling with ``num_hash_tables``.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from readwise_vector_db_spark.functions.vector import l2_normalize
+
+    base = (
+        embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .withColumn("nv", l2_normalize("v"))
+        .filter(F.col("nv").isNotNull())
+        .select("id", array_to_vector("nv").alias("f"))
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="f",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(base)
+    max_dist = float((2.0 - 2.0 * threshold) ** 0.5)
+    pairs = model.approxSimilarityJoin(base, base, max_dist, distCol="dist")
+    cos = F.round(F.lit(1.0) - F.col("dist") * F.col("dist") / F.lit(2.0), 6)
+    return (
+        pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 # --- embedding cosine -------------------------------------------------------
 
 

@@ -115,6 +115,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_cosine_pairs(embs.unionByName(dups), threshold=0.999)
 
 
+@register("dedup_lsh_embedding", None)  # random-projection hashes aren't SQL
+def dedup_lsh_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BRP-LSH approxSimilarityJoin over the augmented embeddings —
+    the bucket-join scale path for dedup_embedding (exact recall on the
+    25 planted duplicates is asserted in tests/test_dedup.py)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    dups = embs.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return dd.lsh_embedding_pairs(embs.unionByName(dups), threshold=0.999)
+
+
 # Portable 60-bit token hash both engines compute identically
 _H60 = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 

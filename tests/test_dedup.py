@@ -84,3 +84,28 @@ def test_embedding_pairs_self_similarity(spark):
     pairs = dd.embedding_cosine_pairs(embs.unionByName(dups), threshold=0.999).collect()
     assert len(pairs) == 5
     assert all(r["cos_sim"] >= 0.999999 for r in pairs)
+
+
+def test_lsh_embedding_pairs_finds_planted_duplicates(spark):
+    """BRP-LSH must recover every pair the exact all-pairs operator finds
+    on the planted-duplicate corpus (identical vectors always collide)."""
+    from readwise_vector_db_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        lsh_embedding_pairs,
+    )
+    from readwise_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    dups = embs.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    aug = embs.unionByName(dups)
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(aug, 0.999).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]) for r in lsh_embedding_pairs(aug, 0.999).collect()
+    }
+    assert exact and approx == exact
