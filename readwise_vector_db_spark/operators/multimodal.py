@@ -143,6 +143,57 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, use_real_codec: bool = False
+) -> DataFrame:
+    """Image resize stage: images above ``max_side`` are scaled down
+    (aspect preserved, integer floor), payload re-encoded.
+
+    The geometry math is real; the pixel work is the stubbed codec
+    boundary (``decode_stub``) — in tests a deterministic fake re-encode
+    (sha256 of payload + target dims) stands in, so the Spark plumbing
+    (schema, filtering to images, batch iteration) is testable without
+    PIL.  Scale note: output payloads shrink, so this stage REDUCES
+    partition size — never repartition before it, do so after if
+    downstream needs balance.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                w, h = meta["width"], meta["height"]
+                if w is None or h is None:
+                    continue
+                scale = max_side / max(w, h) if max(w, h) > max_side else 1.0
+                nw, nh = int(w * scale), int(h * scale)
+                if use_real_codec:
+                    blob = decode_stub(bytes(payload), meta["mime"])  # pragma: no cover
+                else:
+                    blob = hashlib.sha256(
+                        bytes(payload) + f"{nw}x{nh}".encode()
+                    ).digest()
+                out["media_id"].append(mid)
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["payload"].append(blob)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video → frame-timestamp explosion (decode stubbed): one output row per
     sampled frame offset, derived from meta.duration_ms — pure column math,

@@ -60,3 +60,17 @@ def test_sample_frames_fanout(spark):
     assert set(got) == set(meta)
     for mid, d in meta.items():
         assert got[mid] == (max(d - 1, 0)) // 1000 + 1
+
+
+def test_resize_images_geometry_and_determinism(spark):
+    media = mm.media_from_documents(load_table(spark, SF_DIR, "documents"))
+    out = mm.resize_images(media, max_side=100).collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    for r in out:
+        assert max(r["width"], r["height"]) <= 100
+        assert r["payload"] is not None and len(r["payload"]) == 32  # sha256 stub
+    # deterministic: same input → same payload bytes
+    out2 = {r["media_id"]: bytes(r["payload"]) for r in
+            mm.resize_images(media, max_side=100).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == out2
