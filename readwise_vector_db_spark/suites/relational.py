@@ -360,6 +360,107 @@ def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series resample with gap filling: the dense (bucket × series) grid
+# left-joins the sparse aggregates, zero-filling empty buckets — the shape
+# every monitoring/training-curve pipeline needs and plain GROUP BY omits
+# ---------------------------------------------------------------------------
+@register(
+    "q_events_gapfill",
+    """
+    WITH bounds AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, MIN(ts))) AS BIGINT) AS lo,
+               CAST(epoch(time_bucket(INTERVAL 1 HOUR, MAX(ts))) AS BIGINT) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, 3600)) AS bucket FROM bounds
+    ),
+    series AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+        SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.bucket, s.event_type, COALESCE(a.n, 0) AS n
+    FROM grid g CROSS JOIN series s
+    LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = s.event_type
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event type with zero-filled gaps.
+
+    The grid is sequence+explode over a 1-row bounds aggregate (no driver
+    action, no Python); the sparse hourly counts broadcast-join onto it.
+    At scale the grid side is tiny (hours × series) while the agg side is
+    the big one — so the join broadcasts the GRID, not the data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    bounds = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias("bucket")
+    )
+    series = ev.select("event_type").distinct()
+    agg = (
+        ev.groupBy(hour.alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.crossJoin(series)
+        .join(agg, ["bucket", "event_type"], "left")
+        .select("bucket", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries through the SQL front-end — both front-ends share
+# Catalyst, and these two shapes exercise its decorrelation rewrites
+# (correlated scalar subquery → aggregate+join; IN-subquery → left-semi)
+# ---------------------------------------------------------------------------
+_Q_TOP_SUPPLIER = """
+    SELECT s.s_nationkey, s.s_suppkey, s.s_name, ROUND(s.s_acctbal, 2) AS bal
+    FROM supplier s
+    WHERE s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+
+@register("q_top_supplier_per_nation", _Q_TOP_SUPPLIER)
+def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: each nation's best-balance supplier(s).
+    Catalyst decorrelates this to aggregate-then-join — same plan the
+    window-rank formulation produces, written the way a SQL user would."""
+    from readwise_vector_db_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_TOP_SUPPLIER)
+
+
+_Q_BIG_SPENDERS = """
+    SELECT c.c_custkey, o.o_orderkey,
+           ROUND(CAST(CAST(o.o_totalprice AS DECIMAL(28,10)) AS DOUBLE), 2) AS price
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IN (
+        SELECT o2.o_custkey FROM orders o2
+        GROUP BY o2.o_custkey
+        HAVING SUM(CAST(o2.o_totalprice AS DECIMAL(28,10))) > 1500000
+    )
+"""
+
+
+@register("q_big_spender_orders", _Q_BIG_SPENDERS)
+def q_big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery with HAVING (TPC-H Q18 shape): Catalyst rewrites the
+    IN to a left-semi join against the aggregated subquery."""
+    from readwise_vector_db_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q_BIG_SPENDERS)
+
+
+# ---------------------------------------------------------------------------
 # Pivot (wide conditional aggregation) — Spark's groupBy().pivot() with a
 # FIXED value list (never let pivot infer values at scale: that's an extra
 # distinct-collect job over the whole input before planning)
