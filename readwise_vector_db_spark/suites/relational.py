@@ -360,6 +360,48 @@ def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full outer join: per-nation wealthy customers vs wealthy suppliers —
+# selective filters leave each side missing nations, so both null sides
+# of the outer join are actually exercised
+# ---------------------------------------------------------------------------
+@register(
+    "q_nation_wealth_outer",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+    s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q_nation_wealth_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.alias("c")
+        .join(supp.alias("s"), F.col("c.nk") == F.col("s.nk"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.nk"), F.col("s.nk")).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-series resample with gap filling: the dense (bucket × series) grid
 # left-joins the sparse aggregates, zero-filling empty buckets — the shape
 # every monitoring/training-curve pipeline needs and plain GROUP BY omits

@@ -76,3 +76,40 @@ def test_tags_overlap_any_semantics(hl):
     ).collect()
     assert rows
     assert all({"the", "window"} & set(r["tags"]) for r in rows)
+
+
+def test_search_over_fp16_storage(spark):
+    """The fp16 storage codec integrates with search: pack → unpack →
+    top-k returns the same neighbors as the float path (scores shift by
+    at most fp16 epsilon, which 64-dim cosine keeps well under 1e-3)."""
+    from pyspark.sql import functions as F
+
+    from readwise_vector_db_spark.functions.vector import (
+        cosine_distance,
+        pack_fp16,
+        unpack_fp16,
+    )
+    from readwise_vector_db_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    stored = embs.select("vec_id", pack_fp16()(F.col("embedding")).alias("b"))
+    restored = stored.select("vec_id", unpack_fp16()(F.col("b")).alias("embedding"))
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qlit = F.array(*[F.lit(x) for x in qv]).cast("array<double>")
+
+    def topk(df):
+        return (
+            df.select("vec_id", cosine_distance(F.col("embedding"), qlit).alias("d"))
+            .orderBy(F.asc("d"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        )
+
+    ids_fp16 = [r["vec_id"] for r in topk(restored)]
+    exact = topk(embs)
+    ids_f32 = [r["vec_id"] for r in exact]
+    assert ids_fp16 == ids_f32
+    d_fp16 = {r["vec_id"]: r["d"] for r in topk(restored)}
+    for r in exact:
+        assert abs(d_fp16[r["vec_id"]] - r["d"]) < 1e-3
