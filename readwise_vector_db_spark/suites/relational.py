@@ -575,9 +575,12 @@ def q_customer_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_spend,
-           ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS avg3
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
     FROM orders
     WHERE o_custkey % 100 = 0
     """,
@@ -598,8 +601,15 @@ def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double"),
             2,
         ).alias("run_spend"),
+        # avg as exact-decimal SUM ÷ COUNT in double, rounded at 6dp: a
+        # 3-row avg of cent-scale values adds at most one decimal digit, so
+        # 6dp can never land on a rounding boundary — engines' ROUND
+        # disagree exactly there (Java rounds the shortest string repr,
+        # DuckDB the binary value; found at sf0.1 on a sum/2 = .725)
         F.round(
-            F.avg(dec).over(order_w.rowsBetween(-2, W.currentRow)).cast("double"), 2
+            F.sum(dec).over(order_w.rowsBetween(-2, W.currentRow)).cast("double")
+            / F.count(F.lit(1)).over(order_w.rowsBetween(-2, W.currentRow)),
+            6,
         ).alias("avg3"),
     )
 
