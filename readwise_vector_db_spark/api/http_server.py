@@ -40,6 +40,8 @@ def make_handler(service: SearchService):
             url = urlparse(self.path)
             if url.path == "/health":
                 return self._json(200, {"status": "ok"})
+            if url.path == "/metrics":
+                return self._json(200, dict(service.metrics))
             if url.path != "/mcp/stream":
                 return self._json(404, {"detail": "not found"})
             qs = {k: v[0] for k, v in parse_qs(url.query).items()}

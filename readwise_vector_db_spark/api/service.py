@@ -26,6 +26,9 @@ class SearchService:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.metadata, self.vectors = corpus_split(spark, sf_dir)
+        # observability counters (the reference exports Prometheus
+        # counters, api/routes.py:237-243; engine-independent dict here)
+        self.metrics: dict[str, int] = {"searches_total": 0, "results_total": 0}
 
     def _params(self, req: SearchRequest) -> search_ops.SearchParams:
         return search_ops.SearchParams(
@@ -42,7 +45,10 @@ class SearchService:
         df = search_ops.semantic_search_indexed(
             self.metadata, self.vectors, qv, self._params(req)
         )
-        return [shape_result(r.asDict(recursive=True)) for r in df.collect()]
+        results = [shape_result(r.asDict(recursive=True)) for r in df.collect()]
+        self.metrics["searches_total"] += 1
+        self.metrics["results_total"] += len(results)
+        return results
 
     def stream(self, req: SearchRequest) -> Iterator[dict[str, Any]]:
         """Per-row iterator (SSE / MCP framing consumes this).  k ≤ 100, so

@@ -74,6 +74,38 @@ def search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ops.semantic_search_stored(meta, vecs, "1", params)
 
 
+@register(
+    "corpus_stats",
+    """
+    SELECT d.source AS source_type,
+           COUNT(*) AS n_docs,
+           COUNT(e.vec_id) AS n_embedded,
+           ROUND(CAST(SUM(CAST(d.n_chars AS DECIMAL(28,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_chars
+    FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level stats per source_type (SURVEY §2.7: the reference only
+    has Prometheus counters; the engine ships real aggregates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(embs, docs["doc_id"] == embs["vec_id"], "left")
+        .groupBy(F.col("source").alias("source_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("vec_id").alias("n_embedded"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_chars"),
+        )
+    )
+
+
 _SQ8_CODES = """
         SELECT vec_id,
                list_transform(v, x -> CAST(floor(

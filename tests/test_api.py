@@ -254,3 +254,22 @@ def test_http_sse_stream(http_endpoint):
     assert sum(1 for f in frames if f.startswith("event: result")) == 3
     assert frames[-1].startswith("event: complete")
     assert '"total": 3' in frames[-1]
+
+
+def test_http_metrics_counters(http_endpoint):
+    import urllib.request
+
+    def get_metrics():
+        with urllib.request.urlopen(f"{http_endpoint}/metrics", timeout=60) as r:
+            return json.loads(r.read())
+
+    before = get_metrics()
+    req = urllib.request.Request(
+        f"{http_endpoint}/search",
+        data=json.dumps({"q": "hash join", "k": 2}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    urllib.request.urlopen(req, timeout=120).read()
+    after = get_metrics()
+    assert after["searches_total"] == before["searches_total"] + 1
+    assert after["results_total"] == before["results_total"] + 2
