@@ -46,3 +46,40 @@ def test_salted_join_rejects_right(skewed_sides):
     fact, dim = skewed_sides
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", how="right")
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """With broadcast disabled and skew thresholds scaled to fixture size,
+    AQE must mark the hot-key sort-merge join skew=true in the FINAL plan
+    — the runtime complement to salted_join's by-construction fix."""
+    import contextlib
+    import io
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 200_000, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 200_000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, f"AQE did not split the skewed join:\n{plan}"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
