@@ -176,3 +176,47 @@ def test_streaming_sync_checkpoint_is_the_watermark(spark, tmp_path):
     assert t2 == {"1": "one", "2": "two NEW", "4": "four"}
     rows = vt.read(spark).collect()
     assert all(len(r["embedding"]) == 64 for r in rows)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode tumbling counts with a 2h watermark: an event arriving
+    2+ hours behind the observed max must be excluded from its window."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    d = str(tmp_path / "late_events")
+
+    def write(name, rows):
+        spark.createDataFrame(rows, sw.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    def ev(i, hours, etype="click"):
+        return (i, base + dt.timedelta(hours=hours), 1, etype, 1.0, "{}")
+
+    # batch 1: events up to t=5h → watermark advances to 3h after the batch
+    write("b1", [ev(1, 0.5), ev(2, 1.5), ev(3, 5.0)])
+    stream = sw.read_event_stream(spark, d, max_files=1)
+    counts = sw.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event 3.5h late (t=1.5h < watermark 3h) → dropped;
+        # one fresh event advances the stream
+        write("b2", [ev(4, 1.5), ev(5, 7.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["bucket"]: r["n"]
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    h1 = int((base + dt.timedelta(hours=1)).timestamp())
+    # the [1h,2h) window closed with ONE event — the late duplicate at
+    # t=1.5h from batch 2 must not be counted
+    assert got[h1] == 1
