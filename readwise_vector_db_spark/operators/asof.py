@@ -48,6 +48,11 @@ def asof_join(
     one wins is unspecified (dedupe first, e.g. groupBy(key, ts).max).
     """
     payload = list(payload)
+    if not payload:
+        raise ValueError("asof_join needs at least one payload column")
+    missing = [c for c in payload if c not in right.columns]
+    if missing:
+        raise ValueError(f"payload columns not in right side: {missing}")
     rtypes = dict(right.dtypes)
     payload_t = "struct<" + ", ".join(f"{c}: {rtypes[c]}" for c in payload) + ">"
     l_tag = left.select(

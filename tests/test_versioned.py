@@ -49,3 +49,28 @@ def test_vacuum_keeps_newest(spark, table):
     assert table.read(spark, version=3).count() == 3
     with pytest.raises(Exception):
         table.read(spark, version=1).count()
+
+
+def test_concurrent_commit_loses_optimistically(spark, table):
+    """Two writers racing from the same base version: the second write to
+    v=N+1 fails (errorifexists) instead of silently clobbering — the
+    single-table optimistic-concurrency behavior Delta commits have."""
+    table.commit(spark.range(3).select("id"))
+    base_version = table.latest_version()
+    df = spark.range(5).select("id")
+    # writer A commits v2
+    table.commit(df)
+    # writer B, still believing latest == base_version, targets the same dir
+    with pytest.raises(Exception):
+        df.write.mode("errorifexists").parquet(table._version_dir(base_version + 1))
+
+
+def test_asof_payload_validation(spark):
+    from readwise_vector_db_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, "x")], "uid INT, ts INT, ev STRING")
+    right = spark.createDataFrame([(1, 1, "v")], "uid INT, ts INT, ver STRING")
+    with pytest.raises(ValueError):
+        asof_join(left, right, key="uid", payload=[])
+    with pytest.raises(ValueError):
+        asof_join(left, right, key="uid", payload=["nope"])
