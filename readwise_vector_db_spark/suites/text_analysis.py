@@ -181,6 +181,71 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIM_SH_CTE = """
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   range(1, len(string_split_regex(text, '\\s+')) - 1),
+                   i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+                        string_split_regex(text, '\\s+')[i+1] || ' ' ||
+                        string_split_regex(text, '\\s+')[i+2])) AS sh
+        FROM documents
+"""
+
+
+@register(
+    "text_similar_topk",
+    f"""
+    WITH sh AS ({_SIM_SH_CTE}),
+    ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
+    q AS (SELECT n_sh AS qn, shingle FROM ex WHERE id = 0),
+    inter AS (
+        SELECT e.id, COUNT(*) AS inter,
+               any_value(e.n_sh) AS n, any_value(q.qn) AS qn
+        FROM ex e JOIN q ON e.shingle = q.shingle
+        WHERE e.id <> 0
+        GROUP BY e.id
+    )
+    SELECT id, jaccard FROM (
+        SELECT id, ROUND(CAST(inter AS DOUBLE) / (n + qn - inter), 6) AS jaccard
+        FROM inter)
+    ORDER BY jaccard DESC, id ASC
+    LIMIT 10
+    """,
+)
+def text_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents most shingle-Jaccard-similar to doc 0 — lexical
+    similarity SEARCH through the same inverted index the dedup operator
+    builds.  The query side is one doc's shingles (a broadcast), so the
+    corpus-side index never shuffles; candidates are only docs sharing a
+    shingle (inner join), never the full corpus."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sh = docs.select(
+        F.col("doc_id").alias("id"), T.word_shingles("text", 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    q = F.broadcast(
+        ex.filter(F.col("id") == 0).select(
+            F.col("n_sh").alias("qn"), F.col("shingle").alias("q_shingle")
+        )
+    )
+    inter = (
+        ex.filter(F.col("id") != 0)
+        .join(q, F.col("shingle") == F.col("q_shingle"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("n_sh").alias("n"),
+            F.first("qn").alias("qn"),
+        )
+    )
+    jac = F.col("inter") / (F.col("n") + F.col("qn") - F.col("inter"))
+    return (
+        inter.select("id", F.round(jac, 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("id"))
+        .limit(10)
+    )
+
+
 @register(
     "doc_fingerprint_rolling",
     f"""
