@@ -7,6 +7,9 @@ Prints ONE JSON line:
 Each query runs through a full action — ``noop`` format write forces
 complete execution of every partition without driver collection, so the
 timing covers scan → shuffle → sink, not just the driver-side head.
+Per-query value = median of ``SPARK_GRAFT_BENCH_REPS`` runs (default 2:
+the first pays plan codegen, the second is steady-state; the median of
+two averages them).
 """
 
 from __future__ import annotations
@@ -58,13 +61,22 @@ def main() -> None:
     warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
     warm.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        # median: robust to one-off GC/compile hiccups on a noisy box
+        mid = samples[len(samples) // 2] if reps % 2 else (
+            (samples[reps // 2 - 1] + samples[reps // 2]) / 2
+        )
+        timings[name] = round(mid, 3)
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
     out = {
