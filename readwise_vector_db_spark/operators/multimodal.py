@@ -173,8 +173,8 @@ def resize_images(
             out = {"media_id": [], "width": [], "height": [], "payload": []}
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 w, h = meta["width"], meta["height"]
-                if w is None or h is None:
-                    continue
+                if payload is None or w is None or h is None:
+                    continue  # nothing to resize (payload is nullable)
                 scale = max_side / max(w, h) if max(w, h) > max_side else 1.0
                 nw, nh = int(w * scale), int(h * scale)
                 if use_real_codec:

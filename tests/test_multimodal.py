@@ -74,3 +74,13 @@ def test_resize_images_geometry_and_determinism(spark):
     out2 = {r["media_id"]: bytes(r["payload"]) for r in
             mm.resize_images(media, max_side=100).collect()}
     assert {r["media_id"]: bytes(r["payload"]) for r in out} == out2
+
+
+def test_resize_skips_null_payload(spark):
+    rows = [
+        (1, "image", b"img-bytes", ("image/png", 640, 480, None)),
+        (2, "image", None, ("image/png", 640, 480, None)),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.resize_images(media, max_side=100).collect()
+    assert [r["media_id"] for r in out] == [1]
