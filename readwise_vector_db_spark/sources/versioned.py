@@ -85,6 +85,17 @@ class VersionedTable:
         merged = merge_upsert(self.read(spark), updates, key)
         return self.commit(merged)
 
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Rewrite the current snapshot into ``target_files`` files.
+
+        Merge-heavy tables accumulate small files (every micro-batch
+        commit writes its own); compaction is just another commit — read
+        latest, coalesce, write N+1 — so readers keep snapshot isolation
+        throughout and a crashed compaction leaves the pointer untouched.
+        """
+        df = self.read(spark)
+        return self.commit(df.coalesce(target_files))
+
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop all but the newest ``keep`` snapshots.  Returns removed
         versions.  Readers of removed versions fail afterwards — at scale

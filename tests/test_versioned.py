@@ -74,3 +74,18 @@ def test_asof_payload_validation(spark):
         asof_join(left, right, key="uid", payload=[])
     with pytest.raises(ValueError):
         asof_join(left, right, key="uid", payload=["nope"])
+
+
+def test_compact_preserves_data_as_new_snapshot(spark, table):
+    import glob
+
+    for i in range(4):  # 4 merge commits → several files
+        table.merge(spark, spark.range(i * 10, i * 10 + 10).select("id"), "id")
+    before = table.read(spark)
+    v = table.compact(spark, target_files=1)
+    assert v == table.latest_version()
+    files = glob.glob(f"{table._version_dir(v)}/*.parquet")
+    assert len(files) == 1
+    assert sorted(r["id"] for r in table.read(spark).collect()) == sorted(
+        r["id"] for r in before.collect()
+    )
