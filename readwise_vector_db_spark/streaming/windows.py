@@ -99,6 +99,20 @@ def session_aggregates(
     )
 
 
+def streaming_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact first-seen dedup ON THE STREAM: duplicates arriving in later
+    micro-batches are suppressed while state stays bounded — the
+    watermark lets Spark drop per-key state once no duplicate can still
+    arrive (an unbounded-state dedup would OOM a 100 TB stream).  The
+    in-flight half of the dedup story; the batch operators live in
+    operators/dedup.py.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drain a bounded file-source stream into an in-memory table
     synchronously (complete mode) — the test harness for every builder."""

@@ -220,3 +220,35 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the [1h,2h) window closed with ONE event — the late duplicate at
     # t=1.5h from batch 2 must not be counted
     assert got[h1] == 1
+
+
+def test_streaming_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    d = str(tmp_path / "dup_events")
+
+    def ev(i, minutes):
+        return (i, base + dt.timedelta(minutes=minutes), 1, "click", 1.0, "{}")
+
+    def write(rows):
+        spark.createDataFrame(rows, sw.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    write([ev(1, 0), ev(2, 1)])
+    write([ev(2, 1), ev(3, 2)])  # id 2 re-arrives in a later batch
+    stream = sw.read_event_stream(spark, d, max_files=1)
+    q = (
+        sw.streaming_dedup(stream, ["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = [r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()]
+    assert sorted(ids) == [1, 2, 3]  # id 2 exactly once
