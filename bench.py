@@ -60,6 +60,13 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
     warm.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    # fork the Python workers once (reused afterwards) so the first
+    # pandas-UDF query isn't charged 32 process spawns
+    import pandas as _pd  # noqa: F401
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
