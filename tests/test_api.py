@@ -273,3 +273,11 @@ def test_http_metrics_counters(http_endpoint):
     after = get_metrics()
     assert after["searches_total"] == before["searches_total"] + 1
     assert after["results_total"] == before["results_total"] + 2
+
+
+def test_request_rejects_bool_k_and_accepts_empty_tags():
+    # bool is an int subclass — must still be rejected as k
+    with pytest.raises(InvalidParams):
+        SearchRequest.from_dict({"q": "x", "k": True})
+    req = SearchRequest.from_dict({"q": "x", "tags": []})
+    assert req.tags == []
