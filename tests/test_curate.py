@@ -1,0 +1,41 @@
+"""The composed curation funnel: monotone row accounting, deterministic
+survivors, committed snapshot."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.jobs.curate import curate_corpus
+from readwise_vector_db_spark.sources.versioned import VersionedTable
+from tests.conftest import SF_SMOKE
+
+
+def test_curate_corpus_funnel(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    stats = curate_corpus(spark, SF_SMOKE, out)
+    # the funnel only ever narrows
+    assert (
+        stats["raw"]
+        >= stats["after_quality"]
+        >= stats["after_lang"]
+        >= stats["after_exact_dedup"]
+        >= stats["after_near_dup"]
+        > 0
+    )
+    # near-dup stage actually removed the corpus's known near-duplicates
+    assert stats["after_near_dup"] < stats["after_exact_dedup"]
+    table = VersionedTable(out)
+    committed = table.read(spark)
+    assert committed.count() == stats["after_near_dup"]
+    assert stats["committed_version"] == 1
+    # survivors carry no duplicate ids
+    assert committed.select("doc_id").distinct().count() == committed.count()
+
+
+def test_curate_corpus_is_deterministic(spark, tmp_path):
+    a = curate_corpus(spark, SF_SMOKE, str(tmp_path / "a"))
+    b = curate_corpus(spark, SF_SMOKE, str(tmp_path / "b"))
+    assert a == b
+    ids_a = {r["doc_id"] for r in VersionedTable(str(tmp_path / "a")).read(spark).collect()}
+    ids_b = {r["doc_id"] for r in VersionedTable(str(tmp_path / "b")).read(spark).collect()}
+    assert ids_a == ids_b
