@@ -35,6 +35,29 @@ from pyspark.sql.types import ArrayType, FloatType
 DEFAULT_DIM = 64  # fixture dim; reference uses 3072 (core/embedding.py:9-11)
 MAX_TOKENS = 8191  # reference truncation cap (core/embedding.py:10)
 
+# reference retry policy: 5 attempts, 1 s initial, ×2 (core/embedding.py:12-14)
+RETRIES = 5
+BACKOFF_INITIAL_S = 1.0
+BACKOFF_FACTOR = 2.0
+
+
+def with_backoff(fn, retries: int = RETRIES, initial: float = BACKOFF_INITIAL_S,
+                 factor: float = BACKOFF_FACTOR, sleep=None):
+    """Call ``fn()`` with exponential-backoff retries (U3).  Re-raises the
+    last error once attempts are exhausted; delays are 1, 2, 4, ... s."""
+    import time
+
+    sleep = sleep or time.sleep
+    delay = initial
+    for attempt in range(retries):
+        try:
+            return fn()
+        except Exception:  # noqa: BLE001 — transient API errors by contract
+            if attempt == retries - 1:
+                raise
+            sleep(delay)
+            delay *= factor
+
 
 def _token_vector(token: str, dim: int) -> np.ndarray:
     """Seeded Gaussian vector for one token (stable across processes —
@@ -112,7 +135,9 @@ def openai_embedder(model: str = "text-embedding-3-large", batch_size: int = 100
         client = openai.OpenAI()  # one client per executor process
 
         def embed_chunk(texts: list[str]) -> list[list[float]]:
-            resp = client.embeddings.create(model=model, input=texts)
+            resp = with_backoff(
+                lambda: client.embeddings.create(model=model, input=texts)
+            )
             return [d.embedding for d in resp.data]
 
         for s in batches:

@@ -83,3 +83,34 @@ def test_fp16_pack_roundtrip(spark):
     r = by_null[False]
     assert len(r["b"]) == 8  # 4 floats × 2 bytes: storage halved
     np.testing.assert_allclose(r["back"], r["v"], rtol=1e-3)
+
+
+def test_with_backoff_retries_then_succeeds():
+    from readwise_vector_db_spark.functions.embedder import with_backoff
+
+    calls, delays = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_backoff(flaky, sleep=delays.append) == "ok"
+    assert len(calls) == 3
+    assert delays == [1.0, 2.0]  # exponential: 1s then 2s
+
+
+def test_with_backoff_exhausts_and_reraises():
+    import pytest
+
+    from readwise_vector_db_spark.functions.embedder import with_backoff
+
+    delays = []
+
+    def always_fails():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        with_backoff(always_fails, retries=3, sleep=delays.append)
+    assert delays == [1.0, 2.0]  # retries-1 sleeps
