@@ -165,7 +165,14 @@ def parse_export(raw: DataFrame) -> DataFrame:
     )
 
 
-def embed_input(df: DataFrame) -> DataFrame:
+def embed_input(df: DataFrame, max_tokens: int | None = None) -> DataFrame:
     """text + optional note → the string the embedder sees
-    (reference jobs/incremental.py:58: f"{text} {note or ''}")."""
-    return df.withColumn("embed_text", F.concat_ws(" ", "text", "note"))
+    (reference jobs/incremental.py:58: f"{text} {note or ''}"), capped at
+    the embedding input limit (C3; reference core/embedding.py:24-31
+    truncates to 8191 tokens before every embed call)."""
+    from readwise_vector_db_spark.functions.embedder import MAX_TOKENS
+    from readwise_vector_db_spark.functions.text import truncate_tokens
+
+    joined = F.concat_ws(" ", "text", "note")
+    capped = truncate_tokens(joined, max_tokens or MAX_TOKENS)
+    return df.withColumn("embed_text", capped)

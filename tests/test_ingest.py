@@ -212,3 +212,15 @@ def test_parse_reader_list(spark, tmp_path):
     rows = {r["id"]: r for r in parse_reader_list(raw).collect()}
     assert rows["d1"]["updated_at"].year == 2024
     assert rows["d2"]["updated_at"] is None  # garbage date → NULL (C4)
+
+
+def test_embed_input_truncates_to_token_cap(spark):
+    from readwise_vector_db_spark.sources.readwise_export import embed_input
+
+    long_text = " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame([(long_text, "note")], "text STRING, note STRING")
+    out = embed_input(df, max_tokens=5).first()["embed_text"]
+    assert out == "tok0 tok1 tok2 tok3 tok4"
+    # default cap leaves short inputs untouched (text + note joined)
+    short = embed_input(df).first()["embed_text"]
+    assert short == long_text + " note"
