@@ -65,6 +65,13 @@ def load_table(
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS); without this conf a
+        # plain session raises PARQUET_TYPE_ILLEGAL.  session.py sets it at
+        # build time, but callers may pass in their own SparkSession (the
+        # correctness harness does) — the conf is runtime-settable, so set it
+        # here where the dependency actually lives.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as int64 nanos (see session.py); truncate to

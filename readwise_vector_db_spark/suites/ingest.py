@@ -72,7 +72,9 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            book.title AS source_title,
            COALESCE(url, book.source_url) AS source_url,
            CAST(epoch(TRY_CAST(highlighted_at AS TIMESTAMP)) AS BIGINT) AS highlighted_epoch,
-           list_filter(list_transform(tags, t -> t.name), n -> n IS NOT NULL) AS tags
+           array_to_string(
+               list_filter(list_transform(tags, t -> t.name), n -> n IS NOT NULL),
+               ',') AS tags
     FROM raw
     """,
 )
@@ -114,7 +116,9 @@ def parse_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("book.title").alias("source_title"),
         F.coalesce("url", F.col("book.source_url")).alias("source_url"),
         F.unix_timestamp(F.try_to_timestamp("highlighted_at")).alias("highlighted_epoch"),
-        F.filter(
-            F.transform("tags", lambda t: t["name"]), lambda n: n.isNotNull()
+        # joined string, not array: the driver canon cannot hash list cells
+        F.array_join(
+            F.filter(F.transform("tags", lambda t: t["name"]), lambda n: n.isNotNull()),
+            ",",
         ).alias("tags"),
     )

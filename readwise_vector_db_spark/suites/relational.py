@@ -546,7 +546,8 @@ def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_customer_priority_sets",
     """
     SELECT o_custkey,
-           list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+               AS priorities,
            COUNT(*) AS n_orders
     FROM orders
     WHERE o_custkey % 20 = 0
@@ -554,12 +555,15 @@ def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_customer_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct order priorities per customer as a SORTED array — the
-    sort is what makes an array-typed result deterministic under
-    parallel aggregation (collect_set order is partition-dependent)."""
+    """Distinct order priorities per customer as a SORTED list — the
+    sort is what makes the result deterministic under parallel
+    aggregation (collect_set order is partition-dependent); emitted as a
+    joined string because the driver canon cannot hash list cells."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

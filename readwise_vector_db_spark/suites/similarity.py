@@ -12,25 +12,29 @@ from readwise_vector_db_spark.operators import search as search_ops
 from readwise_vector_db_spark.operators import similarity as sim
 from readwise_vector_db_spark.registry import register
 from readwise_vector_db_spark.sources.tables import highlights, load_table
+from readwise_vector_db_spark.suites.sqlfrag import seq_cos_dist
+
+# Rank on the ROUNDED distance (ties by id), exactly as the Spark side
+# does, so a sub-6dp ordering ambiguity can never flip ranks either way.
+_KNN_DIST = seq_cos_dist("e.v", "q.qv")
 
 
 @register(
     "knn_join",
-    """
+    f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings WHERE embedding IS NOT NULL),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
-    SELECT query_id, neighbor_id, cos_dist, rn FROM (
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
         SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-               ROUND(1 - list_dot_product(e.v, q.qv)
-                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
-                     6) AS cos_dist,
-               CAST(row_number() OVER (
-                   PARTITION BY q.qid
-                   ORDER BY 1 - list_dot_product(e.v, q.qv)
-                            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) ASC,
-                            e.vec_id ASC) AS INT) AS rn
+               ROUND({_KNN_DIST}, 6) AS cos_dist
         FROM q CROSS JOIN e)
+    SELECT query_id, neighbor_id, cos_dist, rn FROM (
+        SELECT query_id, neighbor_id, cos_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_dist ASC, neighbor_id ASC) AS INT) AS rn
+        FROM scored)
     WHERE rn <= 5
     """,
 )
@@ -45,15 +49,13 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_join_blocked",
-    """
+    f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
         SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-               ROUND(1 - list_dot_product(e.v, q.qv)
-                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
-                     6) AS cos_dist
+               ROUND({_KNN_DIST}, 6) AS cos_dist
         FROM q CROSS JOIN e)
     SELECT query_id, neighbor_id, cos_dist, rn FROM (
         SELECT query_id, neighbor_id, cos_dist,
@@ -93,4 +95,6 @@ def search_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hl = highlights(spark, sf_dir)
     qv = embed_text_local("spark query window merge")
     params = search_ops.SearchParams(k=10, lang="en")
-    return search_ops.semantic_search(hl, qv, params)
+    out = search_ops.semantic_search(hl, qv, params)
+    # string-join the tags array: the driver canon cannot hash list cells
+    return out.withColumn("tags", F.array_join("tags", ","))

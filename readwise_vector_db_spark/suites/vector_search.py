@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from readwise_vector_db_spark.operators import search as search_ops
 from readwise_vector_db_spark.registry import register
 from readwise_vector_db_spark.sources.tables import corpus_split, load_table
+from readwise_vector_db_spark.suites.sqlfrag import seq_cos_dist
 
 # Shared oracle fragments -----------------------------------------------------
 
@@ -23,10 +24,17 @@ HL_ORACLE = """
     FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
 """
 
-COS_DIST = (
-    "1 - list_dot_product(h.emb, q.qv)"
-    " / (sqrt(list_dot_product(h.emb, h.emb)) * sqrt(list_dot_product(q.qv, q.qv)))"
-)
+# sequential fold, not list_dot_product: must share Spark's IEEE-754
+# accumulation order or a 6-dp ROUND boundary can flip (suites/sqlfrag.py)
+COS_DIST = seq_cos_dist("h.emb", "q.qv")
+
+
+def _stringify_tags(df: DataFrame) -> DataFrame:
+    """ARRAY output columns crash the driver's pandas-based canonicalizer
+    (unhashable list); registered queries emit tags as a joined string.
+    Arrays stay arrays *inside* the operators — this is output shaping only.
+    """
+    return df.withColumn("tags", F.array_join("tags", ","))
 
 
 @register(
@@ -34,7 +42,8 @@ COS_DIST = (
     f"""
     WITH h AS ({HL_ORACLE}),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT h.id, h.text, h.source_type, h.lang, h.n_chars, h.tags,
+    SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
+           array_to_string(h.tags, ',') AS tags,
            ROUND({COS_DIST}, 6) AS score
     FROM h, q
     WHERE h.emb IS NOT NULL
@@ -46,8 +55,8 @@ def search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: k=10 exact cosine top-k, vector-first plan (score the
     narrow vector table, join metadata to the k winners)."""
     meta, vecs = corpus_split(spark, sf_dir)
-    return search_ops.semantic_search_stored(
-        meta, vecs, "0", search_ops.SearchParams(k=10)
+    return _stringify_tags(
+        search_ops.semantic_search_stored(meta, vecs, "0", search_ops.SearchParams(k=10))
     )
 
 
@@ -56,7 +65,8 @@ def search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH h AS ({HL_ORACLE}),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
-    SELECT h.id, h.text, h.source_type, h.lang, h.n_chars, h.tags,
+    SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
+           array_to_string(h.tags, ',') AS tags,
            ROUND({COS_DIST}, 6) AS score
     FROM h, q
     WHERE h.emb IS NOT NULL
@@ -71,7 +81,7 @@ def search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metadata filters semi-join into the vector scan (id-only shuffle)."""
     meta, vecs = corpus_split(spark, sf_dir)
     params = search_ops.SearchParams(k=20, lang="en", tags=["the", "spark", "fast"])
-    return search_ops.semantic_search_stored(meta, vecs, "1", params)
+    return _stringify_tags(search_ops.semantic_search_stored(meta, vecs, "1", params))
 
 
 @register(

@@ -57,8 +57,21 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def check_query(spark, con, name: str, fn, sql: str | None, sf_dir: str) -> tuple[bool, str]:
+    from pyspark.sql.types import ArrayType, MapType, StructType, TimestampType
+
     sdf = fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
+    # The driver's canonicalizer pandas-sorts every output column; list/dict
+    # cells are unhashable (crash) and raw timestamps hash differently across
+    # engines (registry.py rules).  Hard-fail so a regression never reaches
+    # the driver.
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, TimestampType))
+    ]
+    if bad:
+        return False, f"non-hashable output columns (driver canon would crash): {bad}"
     spark_rows = [tuple(r) for r in sdf.collect()]
     if sql is None:
         return len(spark_rows) >= 0, f"rows-only: {len(spark_rows)} rows"
@@ -87,9 +100,21 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
-    from readwise_vector_db_spark.session import get_spark
 
-    spark = get_spark("oracle_check")
+    # deliberately a VANILLA session (not session.py's get_spark): the driver
+    # harness builds its own SparkSession without our configs, and round 1
+    # proved that any query relying on session-build-time confs fails there —
+    # mirroring that here keeps this gate honest
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("oracle_check")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     con = duckdb_conn(sf_dir)
     qs, oracles = entry.queries(), entry.oracle_sql()
     failed, ran = [], 0
