@@ -70,6 +70,16 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # --- exact jaccard over shingles (inverted index) ---------------------------
 
 
+# Shingles appearing in more documents than this are excluded from
+# CANDIDATE GENERATION (they carry no discriminative signal and make the
+# inverted-index self-join quadratic on a Zipfian corpus).  Verification
+# always uses the FULL shingle sets, so any reported Jaccard is exact;
+# the only approximation is that a pair sharing exclusively hotter-than-
+# df_max shingles is never considered — a pair that, by construction,
+# looks like every other document.
+DF_MAX_DEFAULT = 1000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -77,78 +87,81 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     strategy: str = "index",
+    df_max: int | None = DF_MAX_DEFAULT,
 ) -> DataFrame:
-    """All pairs with shingle-Jaccard ≥ threshold — EXACT, two strategies:
+    """All pairs with shingle-Jaccard ≥ threshold, candidate+verify shape:
 
-    - ``index`` (default): inverted-index self-join — explode shingles,
-      equi-join on shingle, count = |A∩B|.  Cost is Σ_s df(s)², i.e.
-      governed by shingle document frequency.  With a length filter
-      (|A| ≥ t·|B|, since J ≥ t ⇒ size ratio ≥ t) riding on the join.
-    - ``prefix``: PPJoin-style prefix filtering — rank each doc's
-      shingles by global df ascending, index only the first
-      ``n − ⌈t·n⌉ + 1`` (pigeonhole: J ≥ t pairs must collide there),
-      verify candidates through the same count join.  Wins on Zipfian
-      corpora where a few shingles have huge df; on flat-frequency data
-      the extra passes cost more than they save.
+    1. **Candidate generation** from an inverted index of shingles with
+       document frequency ≤ ``df_max`` (default on — the skew bound that
+       keeps the self-join from exploding quadratically on hot shingles
+       at 100× corpus size).  Two strategies:
 
-    Both return the identical exact pair set (what the oracle checks).
+       - ``index`` (default): equi-join the capped index with itself,
+         with the length filter (J ≥ t ⇒ |A| ≥ t·|B|) riding on the join.
+       - ``prefix``: PPJoin-style prefix filtering — rank each doc's
+         shingles by global df ascending, index only the first
+         ``n − ⌈t·n⌉ + 1`` (pigeonhole: J ≥ t pairs must collide there).
+         Wins on Zipfian corpora; costs extra passes on flat data.
+
+    2. **Exact verification**: each candidate pair joins back to the two
+       full shingle arrays and scores ``|A∩B| / |A∪B|`` via
+       ``array_intersect`` — cost linear in candidates, immune to hot-
+       shingle skew (the old count-the-join-rows verification re-walked
+       the uncapped index and kept the quadratic term alive).
+
+    ``df_max=None`` disables the cap (candidates from the full index);
+    reported pairs are then the complete exact answer.
     """
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    sh = sh.filter(F.col("n_sh") > 0)
-    # both join sides (and the prefix pass) read the exploded index —
-    # persist so tokenization+explode run once.  At 100 TB this is a
-    # materialized parquet intermediate, not executor cache.
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle")).persist()
+    # persist: the shingle table feeds the exploded index AND both sides of
+    # the verification join.  At 100 TB this is a materialized parquet
+    # intermediate, not executor cache.
+    sh = sh.filter(F.col("n_sh") > 0).persist()
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
 
-    a, b = ex.alias("a"), ex.alias("b")
-    # length filter: J(A,B) ≤ min/max of sizes, so J ≥ t ⇒ na ≥ t·nb (wlog)
-    join_cond = (
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col("a.id") < F.col("b.id"))
-        & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
-        & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
-    )
+    if df_max is not None or strategy == "prefix":
+        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ex = ex.join(freq, "shingle")
+        if df_max is not None:
+            ex = ex.filter(F.col("df") <= df_max)
 
     if strategy == "prefix":
-        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         w = W.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
         prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-        prefix = (
-            ex.join(freq, "shingle")
-            .withColumn("rank", F.row_number().over(w))
+        ex = (
+            ex.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= prefix_len)
-            .select("id", "shingle")
+            .drop("rank")
         )
-        pa, pb = prefix.alias("pa"), prefix.alias("pb")
-        cands = (
-            pa.join(
-                pb,
-                (F.col("pa.shingle") == F.col("pb.shingle"))
-                & (F.col("pa.id") < F.col("pb.id")),
-            )
-            .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        inter_src = a.join(b, join_cond).join(
-            cands,
-            (F.col("a.id") == F.col("id_a")) & (F.col("b.id") == F.col("id_b")),
-            "left_semi",
-        )
-    else:
-        inter_src = a.join(b, join_cond)
 
-    inter = inter_src.groupBy(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-    ).agg(
-        F.count(F.lit(1)).alias("inter"),
-        F.first("a.n_sh").alias("na"),
-        F.first("b.n_sh").alias("nb"),
+    a, b = ex.alias("a"), ex.alias("b")
+    # length filter: J(A,B) ≤ min/max of sizes, so J ≥ t ⇒ na ≥ t·nb (wlog);
+    # cannot drop a true pair, so it needs no oracle mirror
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pa = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    pb = sh.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+        cands.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

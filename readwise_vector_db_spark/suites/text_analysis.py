@@ -51,17 +51,66 @@ _SW_RATIO = (
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/length/quality metrics — one narrow projection,
-    no shuffle at any scale."""
+    no shuffle at any scale.
+
+    The naive form (each metric calling ws_tokens independently) re-split
+    ``text`` seven times per row — Catalyst does not CSE through
+    higher-order-function lambdas, and the round-1 bench clocked it at
+    8 s for 600 k rows.  Here the token array is bound ONCE (the
+    1-element-transform trick from functions/text.py:word_shingles) and
+    every token metric is a field of a single per-row struct; the second
+    projection only recombines struct fields.
+    """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    return docs.select(
+    sw = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    # one split per row; all token passes run over the bound lambda var
+    tok_stats = F.element_at(
+        F.transform(
+            F.array(T.ws_tokens("text")),
+            lambda toks: F.struct(
+                F.size(toks).alias("n_toks"),
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("len_sum"),
+                F.size(
+                    F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
+                ).alias("n_sw"),
+            ),
+        ),
+        1,
+    )
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))
+    staged = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
-        T.n_tokens_ws("text").alias("n_tokens"),
         T.n_tokens_re("text").alias("n_tokens_re"),
-        F.round(T.avg_token_len("text"), 6).alias("avg_token_len"),
-        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(T.quality_score("text"), 6).alias("quality"),
+        tok_stats.alias("st"),
+        F.when(
+            F.length("text") > 0, n_punct.cast("double") / F.length("text")
+        ).alias("pr"),
+    )
+    n_toks = F.col("st.n_toks")
+    sw_ratio = F.when(n_toks > 0, F.col("st.n_sw").cast("double") / n_toks)
+    len_ok = F.when(F.col("n_chars_measured").between(50, 5000), F.lit(0.4)).otherwise(
+        F.lit(0.0)
+    )
+    sw_ok = F.when((sw_ratio >= 0.05) & (sw_ratio <= 0.6), F.lit(0.4)).otherwise(
+        F.lit(0.0)
+    )
+    punct_ok = F.when(F.col("pr") <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id",
+        "n_chars_measured",
+        n_toks.alias("n_tokens"),
+        "n_tokens_re",
+        F.round(F.when(n_toks > 0, F.col("st.len_sum") / n_toks), 6).alias(
+            "avg_token_len"
+        ),
+        F.round(F.col("pr"), 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(len_ok + sw_ok + punct_ok, 6).alias("quality"),
     )
 
 
