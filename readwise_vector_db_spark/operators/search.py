@@ -245,6 +245,63 @@ def semantic_search_stored(
     )
 
 
+def semantic_search_served(
+    metadata: DataFrame,
+    vectors: DataFrame,
+    query_vec: Sequence[float] | Column,
+    params: SearchParams | None = None,
+) -> DataFrame:
+    """Serving-path top-k over the warm layout: the minimal-job plan.
+
+    ``semantic_search_indexed`` shapes the winners with a broadcast join
+    (broadcast build job + join job + a range-partitioned sort of k
+    rows).  A warm serving path doesn't need any of that: the k winners
+    are driver-sized *by construction* (k clamped to 100), so:
+
+    1. score the narrow vectors table; ``TakeOrderedAndProject`` brings
+       the k (id, score) winners to the driver — one job, no shuffle;
+    2. fetch exactly those k metadata rows with an ``IN`` predicate that
+       reaches the parquet scan (PushedFilters → row-group pruning; on
+       a sorted bucketed layout that is a near-point lookup), attaching
+       scores as a literal map — one job, no broadcast, and the final
+       k-row sort runs in the single result partition (no Exchange).
+
+    The driver-side winner list is the same k rows the driver would
+    collect from the result anyway — not a hidden scale risk.
+    """
+    params = params or SearchParams()
+    k = params.clamped_k()
+    vec = vectors.filter(F.col("embedding").isNotNull())  # F1
+    if has_meta_filters(params):
+        allowed = apply_meta_filters(metadata, params).select("id")
+        vec = vec.join(allowed, "id", "left_semi")
+    use_norm = "emb_norm" in vectors.columns
+    winners = (
+        vec.withColumn("score", score_column(query_vec, use_norm=use_norm))
+        .select("id", "score")
+        .orderBy(F.asc("score"), F.asc("id"))
+        .limit(k)
+        .collect()
+    )
+    out_cols = [c for c in metadata.columns if c not in ("embedding", "emb_norm")]
+    if not winners:
+        return (
+            metadata.select(*out_cols)
+            .withColumn("score", F.lit(None).cast("double"))
+            .limit(0)
+        )
+    score_map = F.create_map(
+        *[F.lit(v) for r in winners for v in (r["id"], r["score"])]
+    )
+    return (
+        metadata.filter(F.col("id").isin([r["id"] for r in winners]))
+        .withColumn("score", score_map[F.col("id")])
+        .select(*out_cols, "score")
+        .coalesce(1)
+        .sortWithinPartitions(F.asc("score"), F.asc("id"))
+    )
+
+
 def query_vector_for_id(highlights: DataFrame, qid: str) -> list[float]:
     """Fetch one stored embedding to use as the query vector (test/oracle path)."""
     row = highlights.filter(F.col("id") == qid).select("embedding").first()

@@ -1,0 +1,149 @@
+"""Warm-path search layout: the offline "index build" for semantic search.
+
+The reference serves its 500 ms-class P95 from a warm process with a
+prebuilt pgvector HNSW index (reference ``db/supabase_ops.py`` + the
+migration adding the index) — the per-request work is probe + shape, not
+parse + join + normalize.  The Spark analogue of "build the index" is a
+data layout written once and exploited by every query:
+
+- ``vectors``: the narrow (id, embedding, emb_norm) table, bucketed and
+  sorted by id.  ``emb_norm`` is precomputed, so a query does exactly
+  one fold per row; scoring scans only these three columns.
+- ``metadata``: the fat columns, bucketed by id with the same bucket
+  count — the winners join back exchange-free, and a filtered search's
+  id semi-join into vectors is co-located (zero shuffle; proven
+  Exchange-free in tests/test_bucketing.py for this layout).
+
+``warm_tables`` is idempotent and cross-process: the first call builds
+the layout under ``<repo>/.warm_index/<sf-tag>`` and registers catalog
+tables; later calls (any session) re-register the existing files after
+checking a source fingerprint (size+mtime of the fixture parquets), so a
+regenerated fixture never serves a stale index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.sources.tables import corpus_split
+
+N_BUCKETS = 8
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_INDEX_ROOT = _REPO_ROOT / ".warm_index"
+
+_VEC_SCHEMA = "id STRING, embedding ARRAY<FLOAT>, emb_norm DOUBLE"
+_META_SCHEMA = (
+    "id STRING, text STRING, source_type STRING, lang STRING, "
+    "n_chars BIGINT, tags ARRAY<STRING>"
+)
+
+
+def _tag(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    parts = []
+    for name in ("documents", "embeddings"):
+        st = os.stat(f"{sf_dir}/{name}.parquet")
+        parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    return "|".join(parts)
+
+
+def _register_external(
+    spark: SparkSession, table: str, schema: str, path: Path
+) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema}) USING PARQUET "
+        f"CLUSTERED BY (id) SORTED BY (id) INTO {N_BUCKETS} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
+def build_search_index(spark: SparkSession, sf_dir: str, force: bool = False) -> bool:
+    """Write the bucketed (vectors, metadata) layout for ``sf_dir`` —
+    the offline index build.  Safe to call repeatedly; rebuilds only when
+    missing, stale (source parquet changed), or ``force``.  Returns True
+    when a (re)build happened."""
+    tag = _tag(sf_dir)
+    base = _INDEX_ROOT / tag
+    marker = base / "FINGERPRINT"
+    fp = _source_fingerprint(sf_dir)
+    if not force and marker.exists() and marker.read_text() == fp:
+        return False
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True, exist_ok=True)
+    meta, vecs = corpus_split(spark, sf_dir)
+    # write through temp catalog names; the durable artifact is the files
+    for df, sub, schema in (
+        (vecs, "vectors", _VEC_SCHEMA),
+        (meta, "metadata", _META_SCHEMA),
+    ):
+        path = base / sub
+        tmp_table = f"rw_warm_build_{tag}_{sub}"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        (
+            df.repartition(N_BUCKETS, "id")
+            .write.bucketBy(N_BUCKETS, "id")
+            .sortBy("id")
+            .option("path", str(path))
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tmp_table)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    marker.write_text(fp)
+    return True
+
+
+def stored_query_vector(sf_dir: str, qid: str) -> list[float] | None:
+    """Fetch one stored embedding from the warm layout WITHOUT a Spark job.
+
+    A serving path resolves the query vector from index metadata, not a
+    distributed scan — this reads the (local, narrow) layout files
+    driver-side.  At cluster scale the same read is a bucket-pruned
+    single-file fetch (id → Murmur3 bucket); here all buckets together
+    are a few MB, so pruning is skipped.  Returns None if the layout (or
+    the id) is missing — callers fall back to a Spark fetch.
+    """
+    import duckdb
+
+    vec_dir = _INDEX_ROOT / _tag(sf_dir) / "vectors"
+    if not vec_dir.exists():
+        return None
+    row = (
+        duckdb.connect()
+        .execute(
+            f"SELECT embedding FROM read_parquet('{vec_dir}/*.parquet') WHERE id = ?",
+            [qid],
+        )
+        .fetchone()
+    )
+    return [float(x) for x in row[0]] if row else None
+
+
+def warm_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(metadata, vectors) DataFrames over the warm layout, building it on
+    first use.  Reads come from registered bucketed catalog tables so
+    joins on id require no Exchange."""
+    tag = _tag(sf_dir)
+    base = _INDEX_ROOT / tag
+    vname, mname = f"rw_warm_vectors_{tag}", f"rw_warm_meta_{tag}"
+    rebuilt = build_search_index(spark, sf_dir)
+    cat = spark.catalog
+    if rebuilt or not cat.tableExists(vname) or not cat.tableExists(mname):
+        _register_external(spark, vname, _VEC_SCHEMA, base / "vectors")
+        _register_external(spark, mname, _META_SCHEMA, base / "metadata")
+    return spark.table(mname), spark.table(vname)

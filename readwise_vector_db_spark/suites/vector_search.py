@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.operators import search as search_ops
 from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.sources.search_index import stored_query_vector, warm_tables
 from readwise_vector_db_spark.sources.tables import corpus_split, load_table
 from readwise_vector_db_spark.suites.sqlfrag import seq_cos_dist
 
@@ -82,6 +83,65 @@ def search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta, vecs = corpus_split(spark, sf_dir)
     params = search_ops.SearchParams(k=20, lang="en", tags=["the", "spark", "fast"])
     return _stringify_tags(search_ops.semantic_search_stored(meta, vecs, "1", params))
+
+
+def _stored_query_vec(sf_dir: str, vecs, qid: str) -> list[float]:
+    qv = stored_query_vector(sf_dir, qid)
+    if qv is None:  # layout missing — distributed fallback
+        qv = [float(x) for x in vecs.filter(F.col("id") == qid).first()["embedding"]]
+    return qv
+
+
+@register(
+    "search_topk_warm",
+    f"""
+    WITH h AS ({HL_ORACLE}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3)
+    SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
+           array_to_string(h.tags, ',') AS tags,
+           ROUND({COS_DIST}, 6) AS score
+    FROM h, q
+    WHERE h.emb IS NOT NULL
+    ORDER BY score ASC, h.id ASC
+    LIMIT 10
+    """,
+)
+def search_topk_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``search_topk`` through the warm serving path: reads the bucketed,
+    pre-normed layout (sources/search_index.py) instead of re-joining
+    documents⋈embeddings and re-folding norms per query — the batch
+    analogue of the reference's prebuilt-HNSW serving latency."""
+    meta, vecs = warm_tables(spark, sf_dir)
+    qv = _stored_query_vec(sf_dir, vecs, "3")
+    return _stringify_tags(
+        search_ops.semantic_search_served(meta, vecs, qv, search_ops.SearchParams(k=10))
+    )
+
+
+@register(
+    "search_filtered_warm",
+    f"""
+    WITH h AS ({HL_ORACLE}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 4)
+    SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
+           array_to_string(h.tags, ',') AS tags,
+           ROUND({COS_DIST}, 6) AS score
+    FROM h, q
+    WHERE h.emb IS NOT NULL
+      AND h.lang = 'en'
+      AND list_has_any(h.tags, ['the', 'spark', 'fast'])
+    ORDER BY score ASC, h.id ASC
+    LIMIT 20
+    """,
+)
+def search_filtered_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search on the warm layout: the metadata-filter semi-join
+    and the winners' join-back are both co-located (same bucketing on id,
+    no Exchange — tests/test_bucketing.py proves the layout)."""
+    meta, vecs = warm_tables(spark, sf_dir)
+    qv = _stored_query_vec(sf_dir, vecs, "4")
+    params = search_ops.SearchParams(k=20, lang="en", tags=["the", "spark", "fast"])
+    return _stringify_tags(search_ops.semantic_search_served(meta, vecs, qv, params))
 
 
 @register(

@@ -113,3 +113,44 @@ def test_search_over_fp16_storage(spark):
     d_fp16 = {r["vec_id"]: r["d"] for r in topk(restored)}
     for r in exact:
         assert abs(d_fp16[r["vec_id"]] - r["d"]) < 1e-3
+
+
+def test_warm_served_path_matches_cold(spark):
+    """The warm layout + served plan must return exactly what the cold
+    vector-first plan returns for the same stored query vector."""
+    from readwise_vector_db_spark.operators.search import (
+        semantic_search_served,
+        semantic_search_stored,
+    )
+    from readwise_vector_db_spark.sources.search_index import (
+        stored_query_vector,
+        warm_tables,
+    )
+    from readwise_vector_db_spark.sources.tables import corpus_split
+
+    params = SearchParams(k=10, lang="en")
+    meta_c, vecs_c = corpus_split(spark, SF_SMOKE)
+    cold = semantic_search_stored(meta_c, vecs_c, "0", params).collect()
+
+    meta_w, vecs_w = warm_tables(spark, SF_SMOKE)
+    qv = stored_query_vector(SF_SMOKE, "0")
+    assert qv is not None and len(qv) == 64
+    warm = semantic_search_served(meta_w, vecs_w, qv, params).collect()
+
+    assert [r.asDict() for r in warm] == [r.asDict() for r in cold]
+
+
+def test_served_empty_filter_returns_empty(spark):
+    from readwise_vector_db_spark.operators.search import semantic_search_served
+    from readwise_vector_db_spark.sources.search_index import (
+        stored_query_vector,
+        warm_tables,
+    )
+
+    meta, vecs = warm_tables(spark, SF_SMOKE)
+    qv = stored_query_vector(SF_SMOKE, "0")
+    out = semantic_search_served(
+        meta, vecs, qv, SearchParams(k=10, source_type="no-such-source")
+    )
+    assert out.count() == 0
+    assert "score" in out.columns
