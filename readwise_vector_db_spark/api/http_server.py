@@ -41,7 +41,15 @@ def make_handler(service: SearchService):
             if url.path == "/health":
                 return self._json(200, {"status": "ok"})
             if url.path == "/metrics":
-                return self._json(200, dict(service.metrics))
+                # Prometheus text exposition, scrape-compatible with the
+                # reference's prometheus_client output (api/routes.py:224-247)
+                data = service.registry.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", service.registry.CONTENT_TYPE)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return None
             if url.path != "/mcp/stream":
                 return self._json(404, {"detail": "not found"})
             qs = {k: v[0] for k, v in parse_qs(url.query).items()}

@@ -12,6 +12,7 @@ from typing import Any, Iterator
 
 from pyspark.sql import SparkSession
 
+from readwise_vector_db_spark.api.metrics import MetricsRegistry, default_registry
 from readwise_vector_db_spark.api.models import SearchRequest, shape_result
 from readwise_vector_db_spark.functions.embedder import embed_text_local
 from readwise_vector_db_spark.operators import search as search_ops
@@ -26,9 +27,12 @@ class SearchService:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.metadata, self.vectors = corpus_split(spark, sf_dir)
-        # observability counters (the reference exports Prometheus
-        # counters, api/routes.py:237-243; engine-independent dict here)
-        self.metrics: dict[str, int] = {"searches_total": 0, "results_total": 0}
+        # observability: same metric families the reference exports via
+        # prometheus_client (api/routes.py:237-243), rendered in the
+        # Prometheus text exposition format at GET /metrics
+        self.registry: MetricsRegistry = default_registry()
+        self._searches = self.registry.get("searches_total")
+        self._results = self.registry.get("results_total")
 
     def _params(self, req: SearchRequest) -> search_ops.SearchParams:
         return search_ops.SearchParams(
@@ -46,8 +50,8 @@ class SearchService:
             self.metadata, self.vectors, qv, self._params(req)
         )
         results = [shape_result(r.asDict(recursive=True)) for r in df.collect()]
-        self.metrics["searches_total"] += 1
-        self.metrics["results_total"] += len(results)
+        self._searches.inc()
+        self._results.inc(len(results))
         return results
 
     def stream(self, req: SearchRequest) -> Iterator[dict[str, Any]]:

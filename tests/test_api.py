@@ -256,12 +256,24 @@ def test_http_sse_stream(http_endpoint):
     assert '"total": 3' in frames[-1]
 
 
+def _parse_prometheus(text: str) -> dict[str, float]:
+    """Minimal exposition-format parser: sample name{labels} -> value."""
+    samples: dict[str, float] = {}
+    for line in text.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        name, value = line.rsplit(" ", 1)
+        samples[name] = float(value)
+    return samples
+
+
 def test_http_metrics_counters(http_endpoint):
     import urllib.request
 
     def get_metrics():
         with urllib.request.urlopen(f"{http_endpoint}/metrics", timeout=60) as r:
-            return json.loads(r.read())
+            assert r.headers["Content-Type"].startswith("text/plain; version=0.0.4")
+            return _parse_prometheus(r.read().decode())
 
     before = get_metrics()
     req = urllib.request.Request(
@@ -273,6 +285,33 @@ def test_http_metrics_counters(http_endpoint):
     after = get_metrics()
     assert after["searches_total"] == before["searches_total"] + 1
     assert after["results_total"] == before["results_total"] + 2
+    # reference metric families exist in scrapeable form (api/routes.py:237-243)
+    assert "rows_synced_total" in after
+    assert "error_rate" in after
+    assert 'sync_duration_seconds_bucket{le="+Inf"}' in after
+    assert "sync_duration_seconds_count" in after
+
+
+def test_prometheus_text_format():
+    from readwise_vector_db_spark.api.metrics import default_registry
+
+    reg = default_registry()
+    reg.get("rows_synced_total").inc(41)
+    reg.get("sync_duration_seconds").observe(0.3)
+    reg.get("sync_duration_seconds").observe(7.0)
+    text = reg.render()
+    assert "# HELP rows_synced_total Total rows synced by the sync service" in text
+    assert "# TYPE rows_synced_total counter" in text
+    assert "rows_synced_total 41.0" in text
+    assert "# TYPE sync_duration_seconds histogram" in text
+    # cumulative buckets: 0.3 lands in le=0.5, both land in le=10.0 and +Inf
+    assert 'sync_duration_seconds_bucket{le="0.5"} 1.0' in text
+    assert 'sync_duration_seconds_bucket{le="10.0"} 2.0' in text
+    assert 'sync_duration_seconds_bucket{le="+Inf"} 2.0' in text
+    assert "sync_duration_seconds_sum 7.3" in text
+    assert "sync_duration_seconds_count 2.0" in text
+    with pytest.raises(ValueError):
+        reg.get("error_rate").inc(-1)
 
 
 def test_request_rejects_bool_k_and_accepts_empty_tags():
