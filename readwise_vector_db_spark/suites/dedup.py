@@ -101,9 +101,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, threshold=0.6)
 
 
-@register(
-    "dedup_embedding",
-    f"""
+# Exact all-pairs cosine ≥ 0.999 over the augmented embeddings.  Shared by
+# dedup_embedding (the exact operator) AND dedup_lsh_embedding (the bucketed
+# scale path): the fixture corpus has no natural cos ≥ 0.999 pairs, so the
+# true answer is exactly the planted identical-vector pairs — which BRP-LSH
+# retrieves with guaranteed recall 1.0 (identical inputs hash to identical
+# buckets) and scores as cos_sim 1.0 (euclidean distance 0), matching the
+# exact path's rounded value.  One oracle therefore hash-checks both.
+_EMB_PAIRS_ORACLE = f"""
     WITH aug AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings WHERE embedding IS NOT NULL
@@ -118,8 +123,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                      6) AS cos_sim
         FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
     WHERE cos_sim >= 0.999
-    """,
-)
+"""
+
+
+@register("dedup_embedding", _EMB_PAIRS_ORACLE)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups on the augmented embeddings (25 planted)."""
     embs = load_table(spark, sf_dir, "embeddings")
@@ -129,11 +136,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_cosine_pairs(embs.unionByName(dups), threshold=0.999)
 
 
-@register("dedup_lsh_embedding", None)  # random-projection hashes aren't SQL
+@register("dedup_lsh_embedding", _EMB_PAIRS_ORACLE)
 def dedup_lsh_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BRP-LSH approxSimilarityJoin over the augmented embeddings —
-    the bucket-join scale path for dedup_embedding (exact recall on the
-    25 planted duplicates is asserted in tests/test_dedup.py)."""
+    the bucket-join scale path for dedup_embedding.  Hash-checked against
+    the exact all-pairs oracle: on this corpus the true ≥0.999 pair set is
+    exactly the planted identical-vector pairs, which LSH must find
+    (identical vectors share every bucket) and scores identically (cos 1.0
+    from distance 0).  Near-dup recall is asserted in tests/test_dedup.py."""
     embs = load_table(spark, sf_dir, "embeddings")
     dups = embs.filter(F.col("vec_id") % 20 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1000000

@@ -88,6 +88,56 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_search(assigned, centroids, qv, k=10, nprobe=4)
 
 
+@register(
+    "ann_ivf_planted",
+    """
+    SELECT vec_id AS query_id, vec_id AS neighbor_id,
+           CAST(0.0 AS DOUBLE) AS cos_dist
+    FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+    UNION ALL
+    SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+           CAST(0.0 AS DOUBLE) AS cos_dist
+    FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+    """,
+)
+def ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-duplicate recall check for the IVF path, hash-checked.
+
+    Each query vector (vec_id < 5) is re-injected into the corpus as
+    vec_id+1000000 before the KMeans layout is built.  An identical
+    vector is assigned to the centroid nearest the query, and that
+    centroid is always the first one probed, so IVF MUST retrieve both
+    distance-0 rows (the original and the plant) regardless of nprobe —
+    the oracle is therefore exact: {(q, q, 0.0), (q, q+1e6, 0.0)}.
+    This drives the full IVF machinery (KMeans build, cluster
+    assignment, centroid-pruned probe, exact rescoring, top-k) through a
+    deterministic, SQL-expressible expectation; graded recall on
+    non-planted neighbors stays in tests/test_similarity.py."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    is_query = (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    dups = embs.filter(is_query).withColumn("vec_id", F.col("vec_id") + 1000000)
+    assigned, centroids = sim.build_ivf_index(embs.unionByName(dups), n_clusters=16)
+    # Q=5 query vectors are index metadata — driver-sized by construction
+    qrows = embs.filter(is_query).select("vec_id", "embedding").collect()
+    parts = []
+    for r in qrows:
+        res = sim.ivf_search(
+            assigned, centroids, [float(x) for x in r["embedding"]], k=10, nprobe=4
+        )
+        parts.append(
+            res.filter(F.col("cos_dist") == 0.0).select(
+                F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
+                F.col("neighbor_id").cast("long"),
+                # + 0.0 normalizes IEEE -0.0 (from a 1-ulp-over-1 cosine)
+                (F.col("cos_dist") + F.lit(0.0)).alias("cos_dist"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @register("search_text_query", None)  # embedder floats aren't SQL-expressible
 def search_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end reference query path G3: free-text query → deterministic
