@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.functions.embedder import deterministic_embedder
-from readwise_vector_db_spark.operators.upsert import merge_upsert
 from readwise_vector_db_spark.sources.readwise_export import (
     embed_input,
     parse_export,
@@ -34,6 +33,7 @@ from readwise_vector_db_spark.sources.sync_state import (
     get_sync_state,
     update_sync_state,
 )
+from readwise_vector_db_spark.sources.versioned import VersionedTable
 
 SERVICE = "readwise"
 
@@ -49,13 +49,15 @@ def run_backfill(
     spark: SparkSession, export_path: str, table_path: str, dim: int = 64
 ) -> int:
     """Full rebuild: parse → filter empty text (backfill.py:39-44) → embed →
-    overwrite the highlights table.  Returns row count."""
+    commit as a fresh snapshot of the versioned highlights table.  Returns
+    row count."""
     parsed = parse_export(read_export_json(spark, export_path)).filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
     embedded = _embed_parsed(parsed, dim)
-    embedded.write.mode("overwrite").parquet(table_path)
-    return spark.read.parquet(table_path).count()
+    table = VersionedTable(table_path)
+    table.commit(embedded)
+    return table.read(spark).count()
 
 
 def run_incremental_sync(
@@ -81,12 +83,11 @@ def run_incremental_sync(
     delta = _embed_parsed(parsed, dim)
     n = delta.count()
     if n:
-        base = spark.read.parquet(table_path)
-        merged = merge_upsert(base, delta, "id")
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode("overwrite").parquet(
-            table_path
-        )
+        # snapshot-to-snapshot merge: the plan reads version N and commits
+        # N+1 (different directories), so the MERGE stays fully distributed
+        # and a crash mid-write leaves the manifest on N — no driver
+        # materialization, no lost table
+        VersionedTable(table_path).merge(spark, delta, "id")
     update_sync_state(spark, state_path, SERVICE, now)
     return n
 

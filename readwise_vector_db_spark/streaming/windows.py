@@ -102,15 +102,20 @@ def session_aggregates(
 def streaming_dedup(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:
-    """Exact first-seen dedup ON THE STREAM: duplicates arriving in later
-    micro-batches are suppressed while state stays bounded — the
-    watermark lets Spark drop per-key state once no duplicate can still
-    arrive (an unbounded-state dedup would OOM a 100 TB stream).  The
-    in-flight half of the dedup story; the batch operators live in
-    operators/dedup.py.
+    """Exact first-seen dedup ON THE STREAM with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` evicts a key's state once the
+    watermark passes its event time — plain ``dropDuplicates(keys)``
+    without the event-time column in the key subset never evicts, so its
+    state store grows forever on a long-running stream and would OOM at
+    100 TB.  The trade is the documented streaming-dedup contract:
+    duplicates are only guaranteed suppressed when they arrive within
+    the watermark delay of the first occurrence, which is exactly the
+    late-data bound the pipeline already promises.  The in-flight half
+    of the dedup story; the batch operators live in operators/dedup.py.
     """
     keys = keys or ["event_id"]
-    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def run_to_memory(stream_df: DataFrame, name: str) -> None:

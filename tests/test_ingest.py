@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.jobs.sync import run_backfill, run_incremental_sync
+from readwise_vector_db_spark.sources.versioned import VersionedTable
 from readwise_vector_db_spark.operators.upsert import dedup_updates, merge_upsert
 from readwise_vector_db_spark.sources.readwise_export import (
     parse_export,
@@ -91,7 +92,8 @@ def test_backfill_then_incremental(spark, export_file, tmp_path):
 
     n = run_backfill(spark, export_file, table, dim=16)
     assert n == 2  # blank-text row dropped (backfill.py:39-44)
-    first = spark.read.parquet(table)
+    vt = VersionedTable(table)
+    first = vt.read(spark)
     assert first.filter(F.col("embedding").isNotNull()).count() == 2
 
     update_sync_state(spark, state, "readwise", datetime(2024, 1, 2, 0, 0))
@@ -116,9 +118,12 @@ def test_backfill_then_incremental(spark, export_file, tmp_path):
         spark, page2, table, state, now=datetime(2024, 1, 4, 0, 0), dim=16
     )
     assert n2 == 2
-    after = {r["id"]: r["text"] for r in spark.read.parquet(table).collect()}
+    after = {r["id"]: r["text"] for r in vt.read(spark).collect()}
     assert after == {"1": "first highlight", "2": "second EDITED", "4": "fourth highlight"}
     assert get_sync_state(spark, state, "readwise") == datetime(2024, 1, 4, 0, 0)
+    # the merge committed a new snapshot; backfill's v1 is still time-travelable
+    assert vt.latest_version() == 2
+    assert vt.read(spark, version=1).count() == 2
 
 
 def test_merge_upsert_last_writer_wins(spark):
