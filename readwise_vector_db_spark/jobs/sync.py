@@ -67,14 +67,18 @@ def run_incremental_sync(
     state_path: str,
     now: datetime | None = None,
     dim: int = 64,
+    since: datetime | None = None,
 ) -> int:
     """Watermark-bracketed delta sync.  Returns number of upserted rows.
 
-    The ``updated_after`` filter is applied post-parse here; against the
+    ``since`` overrides the stored watermark (the reference's
+    ``rwv sync --since``, main.py:24-44 / jobs/incremental.py:37-51);
+    when omitted, the last stored sync state brackets the delta.  The
+    ``updated_after`` filter is applied post-parse here; against the
     real API it's pushed into the request (S3, core/readwise.py:47-49) —
     same predicate, different pushdown boundary.
     """
-    watermark = get_sync_state(spark, state_path, SERVICE)
+    watermark = since if since is not None else get_sync_state(spark, state_path, SERVICE)
     parsed = parse_export(read_export_json(spark, export_path)).filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )

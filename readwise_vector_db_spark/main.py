@@ -12,6 +12,7 @@ import argparse
 import asyncio
 import json
 import sys
+from datetime import datetime, timezone
 
 from readwise_vector_db_spark.session import DEFAULT_SF_DIR, get_spark
 
@@ -36,12 +37,27 @@ def _cmd_search(args: argparse.Namespace) -> int:
 def _cmd_sync(args: argparse.Namespace) -> int:
     from readwise_vector_db_spark.jobs.sync import run_backfill, run_incremental_sync
 
+    if args.backfill and args.since:
+        # reference main.py:35-37: the two modes are mutually exclusive
+        print("Error: --backfill and --since are mutually exclusive.")
+        return 1
+    since = None
+    if args.since:
+        try:
+            since = datetime.fromisoformat(args.since.replace("Z", "+00:00"))
+            if since.tzinfo is not None:
+                since = since.astimezone(timezone.utc).replace(tzinfo=None)
+        except ValueError:
+            print(f"Error: --since must be an ISO 8601 date, got {args.since!r}")
+            return 1
     spark = get_spark("rwv-sync")
     if args.backfill:
         n = run_backfill(spark, args.export_dir, args.store_dir)
     else:
         state = args.state_dir or f"{args.store_dir.rstrip('/')}_sync_state"
-        n = run_incremental_sync(spark, args.export_dir, args.store_dir, state)
+        n = run_incremental_sync(
+            spark, args.export_dir, args.store_dir, state, since=since
+        )
     print(json.dumps({"rows_upserted": n}))
     return 0
 
@@ -112,7 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=_cmd_search)
 
     y = sub.add_parser("sync", help="ingest readwise export → store")
-    y.add_argument("--backfill", action="store_true")
+    y.add_argument("--backfill", action="store_true",
+                   help="backfill all legacy highlights from the export")
+    y.add_argument("--since", default=None, metavar="ISO8601",
+                   help="incremental sync of highlights updated since this date")
     y.add_argument("--export-dir", required=True)
     y.add_argument("--store-dir", required=True)
     y.add_argument("--state-dir", default=None)

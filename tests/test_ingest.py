@@ -126,6 +126,40 @@ def test_backfill_then_incremental(spark, export_file, tmp_path):
     assert vt.read(spark, version=1).count() == 2
 
 
+def test_incremental_since_overrides_stored_watermark(spark, export_file, tmp_path):
+    """--since semantics (reference main.py:24-44): an explicit date
+    brackets the delta even when stored state says otherwise."""
+    table = str(tmp_path / "highlights")
+    state = str(tmp_path / "sync_state")
+    run_backfill(spark, export_file, table, dim=16)
+    # stored watermark would include everything; --since excludes record 1
+    update_sync_state(spark, state, "readwise", datetime(2020, 1, 1))
+    n = run_incremental_sync(
+        spark, export_file, table, state,
+        now=datetime(2024, 2, 1), dim=16,
+        since=datetime(2024, 1, 1, 12, 0),
+    )
+    assert n == 1  # only record 2 (updated 2024-01-02) is newer than since
+
+
+def test_cli_sync_flags_mutually_exclusive(capsys):
+    import readwise_vector_db_spark.main as cli
+
+    rc = cli.main([
+        "sync", "--backfill", "--since", "2024-01-01T00:00:00Z",
+        "--export-dir", "/tmp/x", "--store-dir", "/tmp/y",
+    ])
+    assert rc == 1
+    assert "mutually exclusive" in capsys.readouterr().out
+
+    rc = cli.main([
+        "sync", "--since", "not-a-date",
+        "--export-dir", "/tmp/x", "--store-dir", "/tmp/y",
+    ])
+    assert rc == 1
+    assert "ISO 8601" in capsys.readouterr().out
+
+
 def test_merge_upsert_last_writer_wins(spark):
     base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
     updates = spark.createDataFrame([(2, "B2"), (3, "c")], "id int, v string")
