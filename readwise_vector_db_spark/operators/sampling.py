@@ -1,0 +1,189 @@
+"""Training-mix construction: deterministic sampling, splits, packing.
+
+The reference serves one corpus verbatim; a 100 TB training-data
+pipeline additionally needs to SHAPE the corpus — cap over-represented
+domains, mix sources at chosen rates, carve reproducible train/val/test
+splits, and pack documents into fixed token-budget sequences.  All four
+operators here are deterministic functions of the data (hash-seeded, no
+RNG state), so reruns and retries produce byte-identical samples — the
+property that makes a training mix auditable.
+
+Scale notes per operator:
+
+- ``mixture_sample`` / ``dataset_split`` are MAP-ONLY: a hash and a
+  comparison per row, no shuffle, trivially parallel at any size.
+- ``quota_sample`` shuffles once on the group key (the window's
+  partitionBy).  A group bigger than one executor's partition is the
+  skew case: for those, ``rate_cap`` first (map-only hash threshold
+  from a known group count) shrinks the group to ~quota before the
+  exact window runs — the same two-phase trick as the df-capped
+  shingle join in operators/dedup.py.
+- ``pack_sequences`` windows within a shard, so parallelism = number of
+  shards and state per task = one shard's rows; shards are the unit a
+  real pipeline writes as one training file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from readwise_vector_db_spark.operators.dedup import hash64
+
+# hash-bucket resolution for rate comparisons: rates are quantized to
+# 1/2**20 ≈ 1e-6, plenty for mix weights and exactly representable
+_RATE_BITS = 20
+_RATE_DEN = 1 << _RATE_BITS
+
+
+def _bucket(col: Column | str, salt: str, base_hash: str) -> Column:
+    """Uniform bucket in [0, 2**20) from a salted 64-bit hash.  The salt
+    decorrelates different sampling decisions over the same ids (being
+    sampled INTO the mix must not bias WHICH split you land in)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = hash64(F.concat(F.lit(salt + ":"), c.cast("string")), base_hash)
+    return F.pmod(h, F.lit(_RATE_DEN))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    base_hash: str = "xxhash64",
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep each group's rows at its configured rate (deterministic
+    Bernoulli by id hash).  Map-only: no shuffle at any scale.
+
+    ``rates`` maps group value → keep-rate in [0, 1]; unlisted groups
+    get ``default_rate``.  The row set is a pure function of (id, salt),
+    so incremental reruns keep exactly the same documents.
+    """
+    rate_expr = F.lit(int(default_rate * _RATE_DEN))
+    for value, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(group_col) == F.lit(value), F.lit(int(rate * _RATE_DEN))
+        ).otherwise(rate_expr)
+    return df.filter(_bucket(id_col, salt, base_hash) < rate_expr)
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    base_hash: str = "xxhash64",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split with the given
+    weights (must sum to ≤ 1; any remainder is an implicit holdout
+    labelled NULL).  Map-only and stable: a document's split never
+    changes as the corpus around it grows, because it depends only on
+    the document's own id hash — the property that keeps eval sets
+    uncontaminated across dataset versions.
+    """
+    b = _bucket(id_col, salt, base_hash)
+    bounds = []
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w
+        bounds.append((name, int(round(cum * _RATE_DEN))))
+    # chain from the largest threshold down so the smallest matching
+    # bucket range wins: bucket < hi_1 ? name_1 : (bucket < hi_2 ? ...)
+    expr = F.lit(None).cast("string")
+    for name, hi in sorted(bounds, key=lambda t: -t[1]):
+        expr = F.when(b < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def quota_sample(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    base_hash: str = "xxhash64",
+    salt: str = "quota",
+) -> DataFrame:
+    """Exact per-group cap: keep at most ``quota`` rows per group,
+    chosen by hash order (a deterministic uniform sample without
+    replacement).  One shuffle on ``group_col``; for groups that dwarf a
+    partition, pre-shrink with ``rate_cap`` first.
+    """
+    w = W.partitionBy(group_col).orderBy(
+        F.asc(_bucket(id_col, salt, base_hash)), F.asc(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def rate_cap(
+    df: DataFrame,
+    group_counts: dict[str, int],
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    margin: float = 1.25,
+    base_hash: str = "xxhash64",
+    salt: str = "quota",
+) -> DataFrame:
+    """Map-only pre-filter for ``quota_sample`` on skewed groups: given
+    (approximate) group counts — a prior round's aggregate, or metastore
+    stats — keep each group at rate ``margin * quota / count`` so the
+    exact window sees ~quota·margin rows per group instead of the full
+    group.  Uses the same salt and hash as ``quota_sample``, and keeps
+    the LOWEST hash buckets, so whenever the cap retains ≥ quota rows in
+    a group (size the ``margin`` for that — 1.25 gives ~5σ headroom at
+    quota ≥ 1000), the survivors include every exact winner and
+    composing rate_cap → quota_sample returns exactly what quota_sample
+    alone would."""
+    rates = {
+        g: min(1.0, margin * quota / n) if n > 0 else 1.0
+        for g, n in group_counts.items()
+    }
+    return mixture_sample(
+        df, rates, group_col, id_col, default_rate=1.0, base_hash=base_hash, salt=salt
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): within a shard, documents are concatenated in id order and
+    the token stream is cut into ``capacity``-token sequences.  Emits
+    one row per document with its shard, start offset in the shard's
+    token stream, and the first/last sequence it lands in (a document
+    longer than the remaining room straddles sequences — that's the
+    concat-and-chunk contract, not an error).
+
+    Parallelism = shards (each shard's cumsum is an independent window);
+    a shard is the unit you'd write as one training file.  Shard
+    assignment is by id hash, so adding documents only appends to
+    streams, it never reshuffles existing ones between shards.
+    """
+    shard = F.pmod(hash64(F.col(id_col).cast("string"), base_hash), F.lit(n_shards))
+    w = W.partitionBy("shard").orderBy(F.asc(id_col))
+    return (
+        docs.withColumn("shard", shard.cast("int"))
+        .withColumn("_end", F.sum(token_col).over(w))
+        .withColumn("start_tok", (F.col("_end") - F.col(token_col)).cast("long"))
+        .withColumn(
+            "seq_first", F.floor(F.col("start_tok") / F.lit(capacity)).cast("long")
+        )
+        .withColumn(
+            "seq_last",
+            F.floor((F.col("_end") - F.lit(1)) / F.lit(capacity)).cast("long"),
+        )
+        .drop("_end")
+    )

@@ -5,6 +5,7 @@ from readwise_vector_db_spark.suites import (  # noqa: F401
     ingest,
     multimodal,
     relational,
+    sampling,
     similarity,
     text_analysis,
     vector_search,

@@ -1,0 +1,98 @@
+"""Training-mix operators: determinism, exactness, composition, packing math."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.operators import sampling as sp
+from readwise_vector_db_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = load_table(spark, SF_SMOKE, "documents")
+    df.cache().count()
+    return df
+
+
+def test_mixture_sample_deterministic_and_monotone(docs):
+    half = sp.mixture_sample(docs, {}, default_rate=0.5)
+    again = sp.mixture_sample(docs, {}, default_rate=0.5)
+    ids = {r["doc_id"] for r in half.select("doc_id").collect()}
+    assert ids == {r["doc_id"] for r in again.select("doc_id").collect()}
+    n = docs.count()
+    assert 0.35 * n < len(ids) < 0.65 * n  # rate is approximately honored
+    # raising the rate only ADDS documents (bucket thresholds nest)
+    more = {r["doc_id"] for r in
+            sp.mixture_sample(docs, {}, default_rate=0.8).select("doc_id").collect()}
+    assert ids <= more
+
+
+def test_mixture_sample_per_group_rates(docs):
+    out = sp.mixture_sample(docs, {"src1": 1.0, "src2": 0.0}, default_rate=0.5)
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["src1"] == full["src1"]  # rate 1.0 keeps everything
+    assert "src2" not in by_src  # rate 0.0 keeps nothing
+
+
+def test_dataset_split_total_and_stable_under_growth(docs):
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sp.dataset_split(docs, weights)
+    assert out.filter(F.col("split").isNull()).count() == 0
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["train"] > counts["val"]
+    assert counts["train"] > counts["test"]
+    # split is a pure function of the id: a subset corpus assigns the
+    # same labels (no contamination when the dataset version changes)
+    sub = sp.dataset_split(docs.filter(F.col("doc_id") % 3 == 0), weights)
+    full_map = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    for r in sub.select("doc_id", "split").collect():
+        assert full_map[r["doc_id"]] == r["split"]
+
+
+def test_quota_sample_exact_cap(docs):
+    out = sp.quota_sample(docs, quota=3)
+    per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 3 for r in per)
+    # groups with >= 3 docs are filled exactly to quota
+    full = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    got = {r["source"]: r["n"] for r in per}
+    for src, n in full.items():
+        assert got.get(src, 0) == min(n, 3)
+
+
+def test_rate_cap_composes_exactly_with_quota_sample(docs):
+    counts = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    exact = {r["doc_id"] for r in
+             sp.quota_sample(docs, quota=3).select("doc_id").collect()}
+    # margin 3 on these small groups keeps well over quota per group
+    capped = sp.rate_cap(docs, counts, quota=3, margin=3.0)
+    composed = {r["doc_id"] for r in
+                sp.quota_sample(capped, quota=3).select("doc_id").collect()}
+    assert composed == exact
+
+
+def test_pack_sequences_stream_is_contiguous(docs):
+    capacity = 1000
+    out = sp.pack_sequences(docs, capacity=capacity, n_shards=4,
+                            token_col="n_chars").collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 4
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in rows:
+            assert r["start_tok"] == offset  # no gaps, no overlaps
+            end = offset + r["n_chars"]
+            assert r["seq_first"] == offset // capacity
+            assert r["seq_last"] == (end - 1) // capacity
+            assert r["seq_first"] <= r["seq_last"]
+            offset = end
