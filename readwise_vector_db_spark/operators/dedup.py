@@ -88,6 +88,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     strategy: str = "index",
     df_max: int | None = DF_MAX_DEFAULT,
+    shingle_hash: str | None = "xxhash64",
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold, candidate+verify shape:
 
@@ -111,14 +112,37 @@ def ngram_jaccard_pairs(
 
     ``df_max=None`` disables the cap (candidates from the full index);
     reported pairs are then the complete exact answer.
+
+    ``shingle_hash`` replaces each shingle string with a 64-bit hash
+    before anything is joined or intersected: shuffle keys and
+    verification arrays shrink from ~25-byte strings to 8-byte longs
+    (measured ~18× steady-state end-to-end at sf0.1 — string-array
+    intersection is the old dominant cost).  The hash is applied on the
+    EXPLODED column, not inside a higher-order ``transform`` lambda:
+    HOF lambdas run interpreted, outside whole-stage codegen, which
+    costs ~2.5× cold for md5.  A collision merges two shingles — it can
+    only add candidates (verification still filters) and perturb a
+    Jaccard by ±1/|union|; negligible at 64 bits for any corpus size.
+    The oracle-checked suite entry uses the portable ``md5`` variant so
+    DuckDB reproduces the hashed sets bit-for-bit; ``None`` keeps raw
+    strings.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    # persist: the shingle table feeds the exploded index AND both sides of
-    # the verification join.  At 100 TB this is a materialized parquet
-    # intermediate, not executor cache.
-    sh = sh.filter(F.col("n_sh") > 0).persist()
+    raw = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle")
+    )
+    if shingle_hash is not None:
+        raw = raw.withColumn("shingle", hash64("shingle", shingle_hash))
+    # per-doc distinct shingle sets (collect_set also merges hash
+    # collisions), persisted: this table feeds the exploded index AND both
+    # sides of the verification join.  At 100 TB this is a materialized
+    # parquet intermediate, not executor cache.
+    sh = (
+        raw.groupBy("id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+        .persist()
+    )
     ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
 
     if df_max is not None or strategy == "prefix":

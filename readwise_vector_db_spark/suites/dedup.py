@@ -60,12 +60,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH sh AS (
+        -- shingles hashed to the portable 60-bit space exactly as the
+        -- Spark side does (shingle_hash='md5'), so index, df cap, and
+        -- intersection all operate on identical hashed sets
         SELECT doc_id AS id,
                list_distinct(list_transform(
-                   range(1, len(string_split_regex(text, '\\s+')) - 1),
-                   i -> string_split_regex(text, '\\s+')[i] || ' ' ||
-                        string_split_regex(text, '\\s+')[i+1] || ' ' ||
-                        string_split_regex(text, '\\s+')[i+2])) AS sh
+                   list_transform(
+                       range(1, len(string_split_regex(text, '\\s+')) - 1),
+                       i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+                            string_split_regex(text, '\\s+')[i+1] || ' ' ||
+                            string_split_regex(text, '\\s+')[i+2]),
+                   s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sh
         FROM documents
     ),
     ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
@@ -96,9 +101,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard pairs ≥ 0.6: df-capped candidate generation
-    (skew-bounded inverted index), exact array-intersect verification."""
+    (skew-bounded inverted index), exact array-intersect verification —
+    over portable-hashed shingles so both engines shuffle/intersect 8-byte
+    longs, not shingle strings."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    return dd.ngram_jaccard_pairs(docs, threshold=0.6)
+    return dd.ngram_jaccard_pairs(docs, threshold=0.6, shingle_hash="md5")
 
 
 # Exact all-pairs cosine ≥ 0.999 over the augmented embeddings.  Shared by
