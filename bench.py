@@ -44,6 +44,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "multimodal_features",
     "upsert_merge",
+    "quota_sample_sources",
+    "pack_sequences_q",
 ]
 
 

@@ -835,3 +835,57 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("end_us"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned range join (point-in-interval without a cross product): Spark has
+# no range-join strategy — inequality joins fall back to nested-loop.
+# operators/rangejoin.py quantizes the domain into bins, explodes each
+# interval to its covered bins, and equi-joins on the bin, so Catalyst
+# plans a hash join; containment is re-verified exactly on matches.
+# ---------------------------------------------------------------------------
+_RJ_HALF_US = 300_000_000  # ±300 s window around each anchor event
+_RJ_BIN_US = 600_000_000  # bin ≈ interval width → ≤2 bins per interval
+
+
+@register(
+    "q_events_range_join",
+    f"""
+    WITH ev AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+                FROM events),
+    a AS (SELECT event_id AS anchor_id,
+                 ts_us - {_RJ_HALF_US} AS lo, ts_us + {_RJ_HALF_US} AS hi
+          FROM ev WHERE value > 300),
+    hits AS (SELECT a.anchor_id, e.value
+             FROM a JOIN ev e ON e.ts_us >= a.lo AND e.ts_us <= a.hi)
+    SELECT anchor_id,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2)
+               AS sum_value
+    FROM hits GROUP BY anchor_id
+    """,
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity surrounding every high-value event: all events within
+    ±300 s of each value>300 anchor, counted and summed per anchor via
+    the binned range join (equi-join on 600 s bins + exact re-verify)."""
+    from readwise_vector_db_spark.operators.rangejoin import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    anchors = ev.filter(F.col("value") > 300).select(
+        F.col("event_id").alias("anchor_id"),
+        (F.col("ts_us") - _RJ_HALF_US).alias("lo"),
+        (F.col("ts_us") + _RJ_HALF_US).alias("hi"),
+    )
+    pairs = binned_range_join(
+        ev, anchors, point_col="ts_us", lo_col="lo", hi_col="hi",
+        bin_width=_RJ_BIN_US,
+    )
+    return pairs.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
