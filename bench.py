@@ -7,9 +7,10 @@ Prints ONE JSON line:
 Each query runs through a full action — ``noop`` format write forces
 complete execution of every partition without driver collection, so the
 timing covers scan → shuffle → sink, not just the driver-side head.
-Per-query value = median of ``SPARK_GRAFT_BENCH_REPS`` runs (default 2:
-the first pays plan codegen, the second is steady-state; the median of
-two averages them).
+Per-query value = median of ``SPARK_GRAFT_BENCH_REPS`` runs (default 3:
+the first pays plan codegen, and a true median of three discards one
+outlier rep — the host shows background load spikes that a
+median-of-two cannot absorb).
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ HEADLINE = [
     "q_events_hourly",
     "q_events_sessions",
     "q_events_asof",
+    "q_events_range_join",
     "search_topk",
     "search_filtered",
     "search_topk_warm",
@@ -77,7 +79,7 @@ def main() -> None:
 
     build_search_index(spark, SF_DIR)
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -61,5 +61,7 @@ class SearchService:
         df = search_ops.semantic_search_indexed(
             self.metadata, self.vectors, qv, self._params(req)
         )
+        self._searches.inc()
         for row in df.toLocalIterator():
+            self._results.inc()
             yield shape_result(row.asDict(recursive=True))
