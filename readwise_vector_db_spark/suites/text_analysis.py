@@ -314,3 +314,104 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintainable variant of doc_fingerprint."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return docs.select("doc_id", T.rolling_fingerprint("text").alias("roll_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters, Rae et al. 2021 —
+# "MassiveText" rules): excessive repetition is the strongest single
+# predictor of low-quality training text.  Computed with explode +
+# two-level aggregation so the counting stays in codegen and shuffles
+# only on doc_id (per-doc group state is tokens-per-doc sized).
+# ---------------------------------------------------------------------------
+@register(
+    "repetition_stats",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+               FROM documents),
+    base AS (SELECT doc_id, len(toks) AS n FROM t),
+    uni AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    uc AS (SELECT doc_id, COUNT(*) AS c FROM uni GROUP BY doc_id, tok),
+    umax AS (SELECT doc_id, MAX(c) AS mx FROM uc GROUP BY doc_id),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS b
+           FROM t WHERE len(toks) >= 2),
+    bc AS (SELECT doc_id, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    bmax AS (SELECT doc_id, MAX(c) AS mx FROM bc GROUP BY doc_id),
+    tri AS (SELECT doc_id,
+                   list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+            FROM t WHERE len(toks) >= 3),
+    ts AS (SELECT doc_id, len(tg) AS n_tg, len(list_distinct(tg)) AS n_tg_d
+           FROM tri)
+    SELECT base.doc_id,
+           base.n AS n_tokens,
+           ROUND(CAST(umax.mx AS DOUBLE) / base.n, 6) AS top_unigram_frac,
+           ROUND(CAST(bmax.mx AS DOUBLE) / (base.n - 1), 6) AS top_bigram_frac,
+           ROUND(1.0 - CAST(ts.n_tg_d AS DOUBLE) / ts.n_tg, 6) AS dup_trigram_frac,
+           (ROUND(CAST(umax.mx AS DOUBLE) / base.n, 6) <= 0.3
+            AND ROUND(CAST(bmax.mx AS DOUBLE) / (base.n - 1), 6) <= 0.2
+            AND ROUND(1.0 - CAST(ts.n_tg_d AS DOUBLE) / ts.n_tg, 6) <= 0.3) AS keep
+    FROM base
+    JOIN umax ON umax.doc_id = base.doc_id
+    JOIN bmax ON bmax.doc_id = base.doc_id
+    JOIN ts ON ts.doc_id = base.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition fractions + a Gopher-style keep flag
+    (top-unigram ≤ 0.30, top-bigram ≤ 0.20, duplicate-trigram ≤ 0.30;
+    thresholds in the spirit of the published MassiveText rules).  Docs
+    under 3 tokens are dropped (no defined trigram stats), mirroring the
+    oracle's inner joins."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = T.ws_tokens("text")
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).filter(F.col("n") >= 3).persist()
+
+    def kgram_list(k: int) -> F.Column:
+        def grams(ts):
+            idx = F.sequence(F.lit(1), F.size(ts) - (k - 1))
+            gram = lambda i: F.concat_ws(  # noqa: E731
+                " ", *[F.element_at(ts, i + j) for j in range(k)]
+            )
+            return F.transform(idx, gram)
+
+        # bind toks once (Catalyst does not CSE through HOF lambdas)
+        return F.element_at(F.transform(F.array(F.col("toks")), grams), 1)
+
+    uni = base.select("doc_id", F.explode("toks").alias("tok"))
+    umax = (
+        uni.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("u_mx"))
+    )
+    bg = base.select("doc_id", F.explode(kgram_list(2)).alias("b"))
+    bmax = (
+        bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("b_mx"))
+    )
+    tg = base.select(
+        "doc_id",
+        F.size(kgram_list(3)).alias("n_tg"),
+        F.size(F.array_distinct(kgram_list(3))).alias("n_tg_d"),
+    )
+    top_uni = F.round(F.col("u_mx").cast("double") / F.col("n"), 6)
+    top_bi = F.round(F.col("b_mx").cast("double") / (F.col("n") - 1), 6)
+    dup_tri = F.round(
+        F.lit(1.0) - F.col("n_tg_d").cast("double") / F.col("n_tg"), 6
+    )
+    return (
+        base.select("doc_id", "n")
+        .join(umax, "doc_id")
+        .join(bmax, "doc_id")
+        .join(tg, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            top_uni.alias("top_unigram_frac"),
+            top_bi.alias("top_bigram_frac"),
+            dup_tri.alias("dup_trigram_frac"),
+            ((top_uni <= 0.3) & (top_bi <= 0.2) & (dup_tri <= 0.3)).alias("keep"),
+        )
+    )

@@ -62,3 +62,46 @@ def test_quality_score_bounds(tdf):
     # text 1: 44 chars (below 50-char band → 0) + stopword ratio 2/9 (0.4)
     # + punct ratio 1/44 ≤ 0.1 (0.2)
     assert out[1] == pytest.approx(0.6)
+
+
+def test_repetition_stats_known_values(spark):
+    from readwise_vector_db_spark.suites.text_analysis import repetition_stats
+    import readwise_vector_db_spark.sources.tables as tables
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # top-uni 4/4; bigrams all "a a" 3/3; tris dup 1/2... 
+            (2, "x y z w v u"),        # no repetition at all
+            (3, "a b a b a b a b"),    # alternating: heavy bigram repetition
+            (4, "one two"),            # <3 tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf_dir, name, **kw: df
+        # repetition_stats resolves load_table at module level — patch there
+        import readwise_vector_db_spark.suites.text_analysis as ta
+        ta_orig = ta.load_table
+        ta.load_table = lambda spark, sf_dir, name, **kw: df
+        try:
+            rows = {r["doc_id"]: r for r in repetition_stats(spark, "ignored").collect()}
+        finally:
+            ta.load_table = ta_orig
+    finally:
+        tables.load_table = orig
+
+    assert set(rows) == {1, 2, 3}  # doc 4 dropped (no trigrams)
+    r1 = rows[1]
+    assert r1["top_unigram_frac"] == 1.0
+    assert r1["top_bigram_frac"] == 1.0
+    assert r1["dup_trigram_frac"] == 0.5  # 2 trigrams, 1 distinct
+    assert r1["keep"] is False
+    r2 = rows[2]
+    assert r2["top_unigram_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert r2["dup_trigram_frac"] == 0.0
+    assert r2["keep"] is True
+    r3 = rows[3]
+    assert r3["top_unigram_frac"] == 0.5
+    assert r3["top_bigram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert r3["keep"] is False
