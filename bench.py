@@ -95,6 +95,14 @@ def main() -> None:
             (samples[reps // 2 - 1] + samples[reps // 2]) / 2
         )
         timings[name] = round(mid, 3)
+        # queries persist intermediates internally; drop them once this
+        # query's reps are done so 20+ queries of accumulated cache don't
+        # squeeze later queries into GC/eviction (isolated reruns showed
+        # 2-4x inflation on the tail queries without this), and collect
+        # the freed heap now so the pause lands between queries instead of
+        # mid-measurement (ngram-jaccard median: 8.1 s -> 2.7 s)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
     out = {
