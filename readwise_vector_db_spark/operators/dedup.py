@@ -160,6 +160,13 @@ def ngram_jaccard_pairs(
             .drop("rank")
         )
 
+    if df_max is not None or strategy == "prefix":
+        # the pruned index feeds BOTH sides of the self-join below; without
+        # a persist the df-count + join (+ window, for prefix) chain runs
+        # twice — the static plan showed Window ×2 and zero exchange reuse.
+        # At 100 TB this is the materialized inverted-index intermediate.
+        ex = ex.persist()
+
     a, b = ex.alias("a"), ex.alias("b")
     # length filter: J(A,B) ≤ min/max of sizes, so J ≥ t ⇒ na ≥ t·nb (wlog);
     # cannot drop a true pair, so it needs no oracle mirror

@@ -74,15 +74,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
-    -- df cap mirrors the Spark operator's default-on skew bound: only
-    -- shingles with df <= {dd.DF_MAX_DEFAULT} generate candidates;
-    -- verification below is exact over the full shingle sets
-    freq AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
-    idx AS (SELECT ex.* FROM ex JOIN freq USING (shingle)
-            WHERE freq.df <= {dd.DF_MAX_DEFAULT}),
+    -- the Spark side prunes candidates with PPJoin prefix filtering,
+    -- which is EXACT (pigeonhole: any pair with J >= t must collide in
+    -- the first n - ceil(t*n) + 1 shingles ranked by global df), so the
+    -- oracle needs no candidate-generation mirror at all: all pairs
+    -- sharing any shingle, verified exactly, is the same answer
     cands AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
     ),
     scored AS (
         SELECT c.id_a, c.id_b,
@@ -100,12 +99,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-shingle Jaccard pairs ≥ 0.6: df-capped candidate generation
-    (skew-bounded inverted index), exact array-intersect verification —
-    over portable-hashed shingles so both engines shuffle/intersect 8-byte
-    longs, not shingle strings."""
+    """Exact 3-shingle Jaccard pairs ≥ 0.6 via PPJoin prefix filtering:
+    each doc indexes only its n − ⌈t·n⌉ + 1 globally-rarest shingles
+    (pigeonhole-exact, and hot shingles rank last so they never become
+    join keys — the skew bound at 100× corpus size), then exact
+    array-intersect verification — over portable-hashed shingles so both
+    engines shuffle/intersect 8-byte longs, not shingle strings.
+    Measured at sf0.1: 719k → far fewer candidate pairs vs the plain
+    df-capped inverted index, and exact output (no df-cap approximation),
+    so the oracle is pure exact Jaccard."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    return dd.ngram_jaccard_pairs(docs, threshold=0.6, shingle_hash="md5")
+    return dd.ngram_jaccard_pairs(
+        docs, threshold=0.6, strategy="prefix", df_max=None, shingle_hash="md5"
+    )
 
 
 # Exact all-pairs cosine ≥ 0.999 over the augmented embeddings.  Shared by
