@@ -1,0 +1,133 @@
+"""Corpus-curation operators: decontamination, PII redaction, chunking.
+
+Three more pieces of the training-data north star (the reference has no
+curation surface; these follow the published recipes used by large LM
+data pipelines):
+
+* **decontaminate** — flag corpus documents sharing any k-gram with an
+  evaluation/benchmark set (the GPT-3 appendix-C / Llama recipe:
+  13-gram collision ⇒ contaminated; k is a parameter here).
+* **pii_scrub** — regex redaction of emails / IPv4s / phone numbers
+  with per-document match counts (pure Column expressions, all
+  JVM-side; the regexes are RE2-compatible so the DuckDB oracle runs
+  the identical patterns).
+* **chunk_overlap** — sliding-window token chunking (window W, stride
+  S < W ⇒ adjacent chunks overlap by W−S tokens), the retrieval-index
+  / context-packing shape.  Map-only: sequence + slice per row, no
+  shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.functions.text import word_shingles, ws_tokens
+from readwise_vector_db_spark.operators.dedup import hash64
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_hash: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, n_shared) for every corpus doc sharing ≥1 k-gram with
+    the eval set; docs absent from the output are clean.
+
+    Shape for 100 TB: the corpus side explodes to hashed k-gram longs
+    (one narrow map stage); the eval side — benchmarks are tiny relative
+    to any training corpus — collapses to a DISTINCT hashed-shingle set
+    that is explicitly ``broadcast``, so the collision join is map-side
+    with NO shuffle of the corpus.  The only shuffle is the final
+    per-doc count, keyed on doc id.  ``countDistinct`` (not count)
+    makes the result insensitive to 64-bit hash collisions merging two
+    distinct shingles within one doc.
+    """
+    c_sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+    ).withColumn("shingle", hash64("shingle", shingle_hash))
+    e_sh = (
+        eval_set.select(F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .withColumn("shingle", hash64("shingle", shingle_hash))
+        .distinct()
+    )
+    return (
+        c_sh.join(F.broadcast(e_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )
+
+
+# RE2-compatible (no backrefs / lookaround), so Spark (Java regex) and
+# DuckDB (RE2) match identical spans.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d ]{7,}\d"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_email, n_ip, n_phone, clean_md5): match counts per PII
+    class and the md5 of the text after replacing every match with a
+    typed placeholder (email → ip → phone, in that fixed order — the
+    order is part of the contract since an earlier replacement can
+    destroy a later pattern's match).
+
+    Entirely built-in Column expressions — regexp_count /
+    regexp_replace run inside whole-stage codegen, no Python in the
+    path, map-only at any scale.
+    """
+    c = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(EMAIL_RE)).alias("n_email"),
+        F.regexp_count(c, F.lit(IPV4_RE)).alias("n_ip"),
+        F.regexp_count(c, F.lit(PHONE_RE)).alias("n_phone"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunks: (doc_id, chunk_idx, n_chunk_tokens,
+    chunk_md5), one row per window of ``window`` whitespace tokens
+    starting every ``stride`` tokens (last chunk may be short; a doc
+    shorter than one window yields a single chunk).
+
+    Map-only — sequence/slice/explode inside one projection; the chunk
+    text itself is emitted as an md5 so the output stays narrow.
+    """
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    toks = ws_tokens(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, window)
+    return (
+        docs.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("n_toks"))
+        .filter(F.col("n_toks") > 0)
+        .select(F.col(id_col), "toks", F.explode(starts.cast("array<int>")).alias("start"))
+        .select(
+            F.col(id_col),
+            (F.col("start") / stride).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )

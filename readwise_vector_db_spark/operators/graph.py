@@ -1,0 +1,144 @@
+"""Connected components over an edge DataFrame — dedup cluster resolution.
+
+A near-duplicate pipeline emits PAIRS (exact-fingerprint groups, Jaccard
+pairs, MinHash collisions, embedding-cosine pairs…); turning pairs into
+a deduped corpus needs the transitive closure: the connected component
+each document belongs to, so one canonical doc per component survives.
+The reference has no such operator (it dedups nothing); this is part of
+the repo's training-data north star.
+
+Algorithm: min-label propagation with pointer jumping.
+
+* propagation step — every vertex takes the minimum label over itself
+  and its neighbours (one hash aggregation over the symmetric edge
+  list: shuffle keyed on vertex id).
+* pointer-jumping step — every vertex re-reads the label OF its label
+  (``labels ⋈ labels``) and keeps the minimum.  This doubles the
+  distance a small label travels per round, so convergence is
+  O(log diameter) rounds instead of O(diameter) — the difference
+  between 40 shuffles and 6 on a 100 TB corpus with chained
+  near-duplicates (A≈B≈C≈… chains are common: successive crawl
+  snapshots of the same page).
+
+Each round is two shuffles (agg on vertex, self-join on label), both on
+the same long key; AQE handles skew (a huge component funnels into its
+min label's partition only for the label-table self-join, which is
+|V|-sized, not |E|-sized).  Convergence is detected with a 1-row
+checksum aggregate per round — the only driver-side data movement.
+
+Every round ends in ``localCheckpoint(eager=True)``: iterative plans
+grow EXPONENTIALLY without lineage truncation (the pointer-jumping
+self-join doubles the logical plan per round — at round ~7 the plan
+string alone crossed 2 GB and killed the driver), and persist() does
+not truncate lineage, only caches results.  On a real cluster the same
+call (or ``checkpoint()`` to a reliable store, which survives executor
+loss) is what GraphX/GraphFrames do for exactly this reason.
+
+The DuckDB oracle for the suite entry computes the same closure with a
+recursive CTE (reachability → MIN over reached ids), so the whole
+operator is value-hash-checked cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex in ``edges``; component = min
+    vertex id reachable through undirected edges.
+
+    ``max_iter`` bounds the driver loop; with pointer jumping the label
+    of the component minimum reaches every vertex in
+    O(log diameter) rounds, so 25 covers any graph up to diameter
+    ~2^25.  Raises if the loop fails to converge (never observed —
+    a safety net, not a tunable).
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
+    # symmetric closure once, up front; localCheckpoint cuts the lineage
+    # AND caches — it is rescanned every round
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # 1) neighbour propagation: label(v) -> u for every edge (u,v)
+        nbr = sym.join(labels, sym["v"] == labels["id"]).select(
+            sym["u"].alias("id"), labels["label"]
+        )
+        prop = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # feeds both sides of the self-join
+        )
+        # 2) pointer jumping: label(id) := min(label(id), label(label(id))).
+        # The right side renames its columns instead of using .alias():
+        # self-joining a checkpointed frame through alias() leaves both
+        # sides sharing attribute ids, and the NEXT localCheckpoint dies
+        # in attribute resolution ("key not found: id#N").
+        right = prop.select(
+            F.col("id").alias("r_id"), F.col("label").alias("r_label")
+        )
+        hop = prop.join(right, prop["label"] == right["r_id"], "left").select(
+            prop["id"],
+            F.least(
+                prop["label"], F.coalesce(right["r_label"], prop["label"])
+            ).alias("label"),
+        )
+        new_labels = hop.localCheckpoint(eager=True)
+        # convergence: any vertex whose label still shrank this round?
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup-pipeline face of :func:`connected_components`:
+    (doc_id, cluster_id, cluster_size) for every doc in ≥1 pair, where
+    ``cluster_id`` = the canonical (minimum) doc id of the component —
+    the row a keep-one-per-cluster pass retains."""
+    comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size"),
+        )
+    )

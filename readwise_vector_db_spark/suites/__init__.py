@@ -1,6 +1,7 @@
 """Import every suite module so its ``@register`` calls populate the registry."""
 
 from readwise_vector_db_spark.suites import (  # noqa: F401
+    curation,
     dedup,
     ingest,
     multimodal,

@@ -1,0 +1,232 @@
+"""Curation suite: cluster resolution, decontamination, PII, chunking.
+
+Every entry plants its interesting rows deterministically with the SAME
+construction on both engines (the repo-wide pattern: the fixture corpus
+is clean, so contamination / PII / duplicate topology is injected by
+SQL-expressible transforms and the full operator output is then
+value-hash-checked cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.functions.text import fingerprint_md5
+from readwise_vector_db_spark.operators import curation as cu
+from readwise_vector_db_spark.operators import dedup as dd
+from readwise_vector_db_spark.operators.graph import resolve_clusters
+from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.sources.tables import load_table
+from readwise_vector_db_spark.suites.dedup import (
+    _AUG_DOCS_SQL,
+    _augmented_docs,
+    jaccard_pairs_ctes,
+)
+
+# --- dedup cluster resolution ----------------------------------------------
+#
+# A real pipeline runs SEVERAL pair detectors and must merge their pair
+# lists into components before it can keep one canonical doc per
+# cluster.  Edges here = exact-fingerprint groups (star edges keep_id →
+# member) ∪ exact Jaccard ≥ 0.6 pairs, both over the augmented corpus —
+# chains appear when detector A links x–y and detector B links y–z,
+# which is precisely what makes closure non-trivial.
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE aug AS ({_AUG_DOCS_SQL}),
+    fps AS (SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+            FROM aug),
+    exact_edges AS (
+        SELECT g.keep_id AS u, p.doc_id AS v
+        FROM (SELECT fp, MIN(doc_id) AS keep_id FROM fps
+              GROUP BY fp HAVING COUNT(*) > 1) g
+        JOIN fps p USING (fp)
+        WHERE p.doc_id <> g.keep_id
+    ),
+    {jaccard_pairs_ctes("aug")},
+    edges0 AS (
+        SELECT u, v FROM exact_edges
+        UNION
+        SELECT id_a AS u, id_b AS v FROM jac_pairs WHERE jaccard >= 0.6
+    ),
+    edges AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+    verts AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the union of two dedup detectors'
+    pairs (exact fingerprint ∪ Jaccard ≥ 0.6) on the augmented corpus:
+    (doc_id, cluster_id = component min, cluster_size).  Spark side is
+    iterative min-label propagation + pointer jumping
+    (operators/graph.py); the oracle recomputes the closure with a
+    recursive CTE — same answer, different algorithm, hash-checked."""
+    docs = _augmented_docs(spark, sf_dir)
+    fps = docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+    groups = (
+        fps.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .drop("n")
+    )
+    exact_edges = (
+        fps.join(groups, "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("keep_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    jac_edges = dd.ngram_jaccard_pairs(
+        docs, threshold=0.6, strategy="prefix", df_max=None, shingle_hash="md5"
+    ).select("id_a", "id_b")
+    return resolve_clusters(exact_edges.unionByName(jac_edges))
+
+
+# --- decontamination --------------------------------------------------------
+#
+# Eval set = 400-char slices of every 83rd document (planted
+# contamination: each sampled doc is guaranteed to share 8-grams with
+# its own slice; near-duplicates of sampled docs get flagged too —
+# exactly the transitive leak this check exists to catch).
+
+_K_DECON = 8
+_EVAL_DOCS_SQL = """
+        SELECT doc_id + 2000000 AS doc_id, substr(text, 50, 400) AS text
+        FROM documents WHERE doc_id % 83 = 0
+"""
+
+
+def _kgram_hashes_sql(k: int) -> str:
+    """DuckDB expr: distinct md5-hashed k-gram longs of ``text``."""
+    toks = "string_split_regex(text, '\\s+')"
+    concat = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(k))
+    return f"""list_distinct(list_transform(
+        list_transform(range(1, len({toks}) - {k - 2}), i -> {concat}),
+        s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))"""
+
+
+_DECON_ORACLE = f"""
+    WITH eval_docs AS ({_EVAL_DOCS_SQL}),
+    eval_sh AS (
+        SELECT DISTINCT h FROM (
+            SELECT unnest({_kgram_hashes_sql(_K_DECON)}) AS h FROM eval_docs)
+    ),
+    corp_sh AS (
+        SELECT doc_id, unnest({_kgram_hashes_sql(_K_DECON)}) AS h FROM documents
+    )
+    SELECT doc_id, COUNT(DISTINCT h) AS n_shared
+    FROM corp_sh JOIN eval_sh USING (h)
+    GROUP BY doc_id
+"""
+
+
+@register("decontaminate", _DECON_ORACLE)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 8-gram with
+    the (planted) eval set, with the count of distinct shared 8-grams.
+    Broadcast collision join — the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    eval_set = docs.filter(F.col("doc_id") % 83 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.substring("text", 50, 400).alias("text"),
+    )
+    return cu.decontaminate(
+        docs, eval_set, k=_K_DECON, shingle_hash="md5"
+    )
+
+
+# --- PII redaction ----------------------------------------------------------
+#
+# Planted PII: every 11th doc gets an email (unique per doc), an IPv4
+# and an international phone number appended — same concat on both
+# engines.  Counts + md5-of-redacted-text hash-check both the counting
+# and the replacement spans.
+
+_PII_DOCS_SQL = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com from 10.1.2.3 call +1 555 123 4567'
+                    ELSE text END AS text
+        FROM documents
+"""
+
+_PII_ORACLE = f"""
+    WITH pii AS ({_PII_DOCS_SQL})
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{cu.EMAIL_RE}')) AS n_email,
+           len(regexp_extract_all(text, '{cu.IPV4_RE}')) AS n_ip,
+           len(regexp_extract_all(text, '{cu.PHONE_RE}')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text, '{cu.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{cu.IPV4_RE}', '<IP>', 'g'),
+               '{cu.PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+    FROM pii
+"""
+
+
+@register("pii_redact", _PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus with planted emails/IPs/phones: per-doc
+    match counts + md5 of the redacted text.  Pure codegen projection."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.1.2.3 call +1 555 123 4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cu.pii_scrub(planted)
+
+
+# --- sliding-window chunking ------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 64, 48
+
+_CHUNK_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+               len(string_split_regex(text, '\\s+')) AS n
+        FROM documents
+    ),
+    st AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, greatest(n - 1, 0) + 1, {_CHUNK_S})) AS start
+        FROM t WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_S} AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, least(start + {_CHUNK_W}, n))) AS INT)
+               AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(toks, start + 1, least(start + {_CHUNK_W}, n)), ' '))
+               AS chunk_md5
+    FROM st
+"""
+
+
+@register("chunk_overlap", _CHUNK_ORACLE)
+def chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (window 64, stride 48 ⇒ 16-token
+    overlap): one row per chunk with its token count and text md5.
+    Map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return cu.chunk_overlap(docs, window=_CHUNK_W, stride=_CHUNK_S)

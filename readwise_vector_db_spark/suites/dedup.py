@@ -56,13 +56,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_groups(_augmented_docs(spark, sf_dir))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH sh AS (
-        -- shingles hashed to the portable 60-bit space exactly as the
-        -- Spark side does (shingle_hash='md5'), so index, df cap, and
-        -- intersection all operate on identical hashed sets
+def jaccard_pairs_ctes(src: str) -> str:
+    """CTE chain ``sh, ex, cands, scored, jac_pairs`` computing the exact
+    3-shingle Jaccard pairs (≥ 0.6 filter left to the consumer) over any
+    (doc_id, text) relation ``src`` — shared by ``dedup_ngram_jaccard``
+    and the ``dedup_clusters`` edge set.
+
+    Shingles are hashed to the portable 60-bit space exactly as the
+    Spark side does (``shingle_hash='md5'``), so index and intersection
+    operate on identical hashed sets.  The Spark side prunes candidates
+    with PPJoin prefix filtering, which is EXACT (pigeonhole: any pair
+    with J ≥ t must collide in the first n − ⌈t·n⌉ + 1 shingles ranked
+    by global df), so the oracle needs no candidate-generation mirror:
+    all pairs sharing any shingle, verified exactly, is the same answer.
+    """
+    return f"""
+    sh AS (
         SELECT doc_id AS id,
                list_distinct(list_transform(
                    list_transform(
@@ -71,14 +80,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                             string_split_regex(text, '\\s+')[i+1] || ' ' ||
                             string_split_regex(text, '\\s+')[i+2]),
                    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sh
-        FROM documents
+        FROM {src}
     ),
     ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM sh),
-    -- the Spark side prunes candidates with PPJoin prefix filtering,
-    -- which is EXACT (pigeonhole: any pair with J >= t must collide in
-    -- the first n - ceil(t*n) + 1 shingles ranked by global df), so the
-    -- oracle needs no candidate-generation mirror at all: all pairs
-    -- sharing any shingle, verified exactly, is the same answer
     cands AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
@@ -90,12 +94,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cands c
         JOIN sh sa ON sa.id = c.id_a
         JOIN sh sb ON sb.id = c.id_b
-    )
-    SELECT id_a, id_b, jaccard FROM (
-        SELECT id_a, id_b,
-               ROUND(inter / (na + nb - inter), 6) AS jaccard
-        FROM scored)
-    WHERE jaccard >= 0.6
+    ),
+    jac_pairs AS (
+        SELECT id_a, id_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
+        FROM scored
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {jaccard_pairs_ctes("documents")}
+    SELECT id_a, id_b, jaccard FROM jac_pairs WHERE jaccard >= 0.6
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,88 @@
+"""connected_components / resolve_clusters vs a plain union-find."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from readwise_vector_db_spark.operators.graph import connected_components, resolve_clusters
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def _check(spark, edges: list[tuple[int, int]]) -> None:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    want = set(_union_find_components(edges).items())
+    assert got == want
+
+
+def test_two_triangles(spark):
+    _check(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)])
+
+
+def test_chain_converges_logarithmically(spark):
+    # a 64-vertex path has diameter 63; pointer jumping must close it
+    # well inside max_iter (plain propagation would need 63 rounds)
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, max_iter=10).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == 65
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for _ in range(3):
+        n = rng.randrange(20, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 50))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        _check(spark, edges)
+
+
+def test_resolve_clusters_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    rows = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in resolve_clusters(pairs).collect()
+    }
+    assert rows == {
+        (1, 1, 3),
+        (2, 1, 3),
+        (3, 1, 3),
+        (7, 7, 2),
+        (8, 7, 2),
+    }
+
+
+def test_does_not_converge_raises(spark):
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=1)
