@@ -42,6 +42,10 @@ HEADLINE = [
     "knn_join",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "decontaminate",
+    "pii_redact",
+    "chunk_overlap",
     "text_stats",
     "tfidf_top_terms",
     "multimodal_features",

@@ -72,25 +72,37 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # init = the first propagation round fused into label creation:
+    # label(u) = min(u, min neighbour).  Star- and clique-shaped
+    # components (the overwhelming dedup case) are at their fixpoint
+    # immediately, so the loop's first iteration is already the
+    # confirmation round.
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u").alias("id"), F.least("u", "mv").alias("label"))
         .localCheckpoint(eager=True)
     )
 
+    # Convergence detection: labels are vertex ids that only ever
+    # DECREASE (min over a set containing the current label), so the
+    # total Σlabel strictly decreases whenever any vertex changed and is
+    # exactly stable at the fixpoint — a 1-row aggregate per round, no
+    # old-vs-new join.  (No overflow: Σ of ≤2^32 ids each <2^32 fits a
+    # 64-bit sum with headroom; Spark sum(long) is exact.)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    converged = False
     for _ in range(max_iter):
         # 1) neighbour propagation: label(v) -> u for every edge (u,v)
         nbr = sym.join(labels, sym["v"] == labels["id"]).select(
             sym["u"].alias("id"), labels["label"]
         )
-        prop = (
-            labels.unionByName(nbr)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)  # feeds both sides of the self-join
-        )
+        prop = labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
         # 2) pointer jumping: label(id) := min(label(id), label(label(id))).
+        # prop is NOT checkpointed although it feeds both join sides: its
+        # lineage is one shallow agg over checkpointed inputs, and
+        # recomputing that beats a full materialize+rescan per round.
         # The right side renames its columns instead of using .alias():
         # self-joining a checkpointed frame through alias() leaves both
         # sides sharing attribute ids, and the NEXT localCheckpoint dies
@@ -104,19 +116,13 @@ def connected_components(
                 prop["label"], F.coalesce(right["r_label"], prop["label"])
             ).alias("label"),
         )
-        new_labels = hop.localCheckpoint(eager=True)
-        # convergence: any vertex whose label still shrank this round?
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = hop.localCheckpoint(eager=True)
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            converged = True
             break
-    else:
+        prev_sum = new_sum
+    if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
     return labels.select(F.col("id"), F.col("label").alias("component"))
