@@ -21,7 +21,7 @@ from readwise_vector_db_spark.sources.tables import load_table
 from readwise_vector_db_spark.suites.dedup import (
     _AUG_DOCS_SQL,
     _augmented_docs,
-    jaccard_pairs_ctes,
+    minhash_pairs_ctes,
 )
 
 # --- dedup cluster resolution ----------------------------------------------
@@ -29,9 +29,13 @@ from readwise_vector_db_spark.suites.dedup import (
 # A real pipeline runs SEVERAL pair detectors and must merge their pair
 # lists into components before it can keep one canonical doc per
 # cluster.  Edges here = exact-fingerprint groups (star edges keep_id →
-# member) ∪ exact Jaccard ≥ 0.6 pairs, both over the augmented corpus —
-# chains appear when detector A links x–y and detector B links y–z,
-# which is precisely what makes closure non-trivial.
+# member) ∪ MinHash-LSH est-Jaccard ≥ 0.6 pairs, both over the
+# augmented corpus — chains appear when detector A links x–y and
+# detector B links y–z, which is precisely what makes closure
+# non-trivial.  MinHash is the detector a 100 TB pipeline would feed in
+# here (one shuffle, banded candidates), and its pair list is already
+# hash-checked standalone by dedup_minhash_lsh; the exact-Jaccard
+# detector keeps its own standalone check in dedup_ngram_jaccard.
 
 _CLUSTERS_ORACLE = f"""
     WITH RECURSIVE aug AS ({_AUG_DOCS_SQL}),
@@ -45,11 +49,11 @@ _CLUSTERS_ORACLE = f"""
         JOIN fps p USING (fp)
         WHERE p.doc_id <> g.keep_id
     ),
-    {jaccard_pairs_ctes("aug")},
+    {minhash_pairs_ctes("aug")},
     edges0 AS (
         SELECT u, v FROM exact_edges
         UNION
-        SELECT id_a AS u, id_b AS v FROM jac_pairs WHERE jaccard >= 0.6
+        SELECT id_a AS u, id_b AS v FROM mh_pairs WHERE est_jaccard >= 0.6
     ),
     edges AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
     verts AS (SELECT DISTINCT u AS id FROM edges),
@@ -68,11 +72,12 @@ _CLUSTERS_ORACLE = f"""
 @register("dedup_clusters", _CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the union of two dedup detectors'
-    pairs (exact fingerprint ∪ Jaccard ≥ 0.6) on the augmented corpus:
-    (doc_id, cluster_id = component min, cluster_size).  Spark side is
-    iterative min-label propagation + pointer jumping
-    (operators/graph.py); the oracle recomputes the closure with a
-    recursive CTE — same answer, different algorithm, hash-checked."""
+    pairs (exact fingerprint ∪ MinHash-LSH est-Jaccard ≥ 0.6) on the
+    augmented corpus: (doc_id, cluster_id = component min,
+    cluster_size).  Spark side is iterative min-label propagation +
+    pointer jumping (operators/graph.py); the oracle recomputes the
+    closure with a recursive CTE — same answer, different algorithm,
+    hash-checked."""
     docs = _augmented_docs(spark, sf_dir)
     fps = docs.select("doc_id", fingerprint_md5("text").alias("fp"))
     groups = (
@@ -86,10 +91,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select(F.col("keep_id").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    jac_edges = dd.ngram_jaccard_pairs(
-        docs, threshold=0.6, strategy="prefix", df_max=None, shingle_hash="md5"
-    ).select("id_a", "id_b")
-    return resolve_clusters(exact_edges.unionByName(jac_edges))
+    mh_edges = dd.minhash_lsh_pairs(docs, threshold=0.6, base_hash="md5").select(
+        "id_a", "id_b"
+    )
+    return resolve_clusters(exact_edges.unionByName(mh_edges))
 
 
 # --- decontamination --------------------------------------------------------

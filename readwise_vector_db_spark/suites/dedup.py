@@ -59,8 +59,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_pairs_ctes(src: str) -> str:
     """CTE chain ``sh, ex, cands, scored, jac_pairs`` computing the exact
     3-shingle Jaccard pairs (≥ 0.6 filter left to the consumer) over any
-    (doc_id, text) relation ``src`` — shared by ``dedup_ngram_jaccard``
-    and the ``dedup_clusters`` edge set.
+    (doc_id, text) relation ``src`` — used by ``dedup_ngram_jaccard``.
 
     Shingles are hashed to the portable 60-bit space exactly as the
     Spark side does (``shingle_hash='md5'``), so index and intersection
@@ -177,18 +176,18 @@ def dedup_lsh_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable 60-bit token hash both engines compute identically
 _H60 = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 
-_SH_CTE = """
-        SELECT doc_id AS id,
-               list_distinct(list_transform(
-                   range(1, len(string_split_regex(text, '\\s+')) - 1),
-                   i -> string_split_regex(text, '\\s+')[i] || ' ' ||
-                        string_split_regex(text, '\\s+')[i+1] || ' ' ||
-                        string_split_regex(text, '\\s+')[i+2])) AS sh
-        FROM documents
-"""
 
+def minhash_pairs_ctes(src: str) -> str:
+    """CTE chain ``msh, mex, mhs, sig, bands, mcand, mh_pairs`` computing
+    MinHash(64) + 16×4-band LSH candidate pairs with their estimated
+    Jaccard (threshold filter left to the consumer) over any
+    (doc_id, text) relation ``src`` — shared by ``dedup_minhash_lsh``
+    and the ``dedup_clusters`` edge set.
 
-def _minhash_oracle() -> str:
+    Mirrors ``operators/dedup.py:minhash_lsh_pairs`` with the portable
+    md5 base hash: same 3-word shingles, same 64 affine permutations mod
+    MINHASH_P, same banding — so candidates AND signature-agreement
+    estimates are identical cross-engine."""
     P = dd.MINHASH_P
     coeffs = dd._hash_coeffs()
     mins = ",\n               ".join(
@@ -209,23 +208,37 @@ def _minhash_oracle() -> str:
     )
     h60 = _H60.format(col="shingle")
     return f"""
-    WITH sh AS ({_SH_CTE}),
-    ex AS (SELECT id, unnest(sh) AS shingle FROM sh),
-    hs AS (SELECT id, {h60} % {P} AS h FROM ex),
-    sig AS (SELECT id, {mins} FROM hs GROUP BY id),
+    msh AS (
+        SELECT doc_id AS id,
+               list_distinct(list_transform(
+                   range(1, len(string_split_regex(text, '\\s+')) - 1),
+                   i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+                        string_split_regex(text, '\\s+')[i+1] || ' ' ||
+                        string_split_regex(text, '\\s+')[i+2])) AS sh
+        FROM {src}
+    ),
+    mex AS (SELECT id, unnest(sh) AS shingle FROM msh),
+    mhs AS (SELECT id, {h60} % {P} AS h FROM mex),
+    sig AS (SELECT id, {mins} FROM mhs GROUP BY id),
     bands AS ({band_selects}),
-    cand AS (
+    mcand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-    )
-    SELECT id_a, id_b, est_jaccard FROM (
+    ),
+    mh_pairs AS (
         SELECT id_a, id_b,
                ROUND(CAST(({agree}) AS DOUBLE) / {dd.N_HASHES}, 6) AS est_jaccard
-        FROM cand
-        JOIN sig sa ON sa.id = cand.id_a
-        JOIN sig sb ON sb.id = cand.id_b)
-    WHERE est_jaccard >= 0.6
+        FROM mcand
+        JOIN sig sa ON sa.id = mcand.id_a
+        JOIN sig sb ON sb.id = mcand.id_b
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {minhash_pairs_ctes("documents")}
+    SELECT id_a, id_b, est_jaccard FROM mh_pairs WHERE est_jaccard >= 0.6
     """
 
 
