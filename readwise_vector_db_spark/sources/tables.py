@@ -66,18 +66,24 @@ def load_table(
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS); without this conf a
-        # plain session raises PARQUET_TYPE_ILLEGAL.  session.py sets it at
-        # build time, but callers may pass in their own SparkSession (the
-        # correctness harness does) — the conf is runtime-settable, so set it
-        # here where the dependency actually lives.
+        # older fixture generations stored ts as TIMESTAMP(NANOS), which a
+        # plain session rejects with PARQUET_TYPE_ILLEGAL unless nanos are
+        # read as long.  Current fixtures use TIMESTAMP(MICROS, utc=false)
+        # (→ TIMESTAMP_NTZ), where the conf is a no-op — kept so either
+        # generation loads under any caller-provided SparkSession.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as int64 nanos (see session.py); truncate to
-        # micros exactly like DuckDB does when it loads the same file.
+        # nanos-as-long fallback: truncate to micros exactly like DuckDB
+        # does, then rebuild the NTZ wall time the micros fixtures produce.
         # integer division — float division would lose precision above 2^53 ns
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts DIV 1000,"
+                " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
+        )
     if parallelize and _input_bytes(path) < _SMALL_INPUT_BYTES:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from readwise_vector_db_spark.functions.timeops import epoch_s, epoch_us, hour_bucket_s
 from readwise_vector_db_spark.registry import register
 from readwise_vector_db_spark.sources.tables import load_table
 
@@ -437,7 +438,7 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the big one — so the join broadcasts the GRID, not the data.
     """
     ev = load_table(spark, sf_dir, "events")
-    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    hour = hour_bucket_s("ts")
     bounds = ev.agg(
         F.min(hour).alias("lo"), F.max(hour).alias("hi")
     )
@@ -679,7 +680,7 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", "user_id", "ts"), cp, key="user_id", payload=["cp_id"]
     )
     return joined.select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "cp_id"
+        "event_id", "user_id", epoch_us("ts").alias("ts_us"), "cp_id"
     )
 
 
@@ -772,7 +773,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("value"), "sum_value"),
         )
         .select(
-            F.unix_timestamp(F.col("window.start")).alias("bucket"),
+            epoch_s(F.col("window.start")).alias("bucket"),
             "event_type",
             "n",
             "sum_value",
@@ -815,7 +816,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic lag+cumsum sessionizer — one shuffle on user_id shared
     by both window functions and the final aggregation (Catalyst reuses
     the partitioning, so this is a single-exchange plan)."""
-    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", epoch_us("ts"))
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.withColumn(
         "is_new",
@@ -872,7 +873,7 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from readwise_vector_db_spark.operators.rangejoin import binned_range_join
 
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "event_id", epoch_us("ts").alias("ts_us"), "value"
     )
     anchors = ev.filter(F.col("value") > 300).select(
         F.col("event_id").alias("anchor_id"),

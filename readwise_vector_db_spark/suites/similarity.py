@@ -138,12 +138,41 @@ def ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("search_text_query", None)  # embedder floats aren't SQL-expressible
+_STQ_TEXT = "spark query window merge"
+# The embedder is deterministic pure Python (seeded hashing projection,
+# functions/embedder.py), so the query vector is computable at import time
+# and its exact doubles inline into the oracle as correctly-rounded string
+# casts — giving the free-text path a full value-hash check instead of the
+# rows-only one it had when the floats were assumed "not SQL-expressible".
+_STQ_QV = embed_text_local(_STQ_TEXT)
+_STQ_QV_SQL = "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in _STQ_QV) + "]"
+_STQ_HL = """
+    SELECT CAST(d.doc_id AS VARCHAR) AS id, d.text, d.source AS source_type,
+           d.lang, d.n_chars, str_split(d.text, ' ')[1:3] AS tags,
+           CAST(e.embedding AS DOUBLE[]) AS emb
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+@register(
+    "search_text_query",
+    f"""
+    WITH h AS ({_STQ_HL}),
+    q AS (SELECT {_STQ_QV_SQL} AS qv)
+    SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
+           array_to_string(h.tags, ',') AS tags,
+           ROUND({seq_cos_dist("h.emb", "q.qv")}, 6) AS score
+    FROM h, q
+    WHERE h.emb IS NOT NULL AND h.lang = 'en'
+    ORDER BY score ASC, h.id ASC
+    LIMIT 10
+    """,
+)
 def search_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end reference query path G3: free-text query → deterministic
     embedder → filtered cosine top-k (reference core/search.py:189-249)."""
     hl = highlights(spark, sf_dir)
-    qv = embed_text_local("spark query window merge")
+    qv = embed_text_local(_STQ_TEXT)
     params = search_ops.SearchParams(k=10, lang="en")
     out = search_ops.semantic_search(hl, qv, params)
     # string-join the tags array: the driver canon cannot hash list cells
