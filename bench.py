@@ -32,6 +32,7 @@ HEADLINE = [
     "q_part_cube",
     "q_value_percentiles",
     "q_events_hourly",
+    "q_events_sliding",
     "q_events_sessions",
     "q_events_asof",
     "q_events_range_join",

@@ -80,7 +80,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem", parallelize=True)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum(F.col("l_quantity"), "sum_qty"),
@@ -119,10 +119,10 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — no global sort even at 100 TB."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
@@ -162,8 +162,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -768,6 +768,51 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+        .select(
+            epoch_s(F.col("window.start")).alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sliding-window aggregation (batch twin of streaming sliding_rates)
+# ---------------------------------------------------------------------------
+@register(
+    "q_events_sliding",
+    """
+    SELECT bucket, event_type, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2)
+               AS sum_value
+    FROM (
+        SELECT (epoch_us(ts) // 1000000)
+               - ((epoch_us(ts) // 1000000) % 1800) - off AS bucket,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS off)
+    )
+    GROUP BY bucket, event_type
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event lands in exactly 2
+    overlapping windows) — the batch twin of streaming/windows.py:
+    sliding_rates, emitted as epoch-second window starts.
+
+    Spark's ``window(ts, 1h, 30m)`` replicates each row into its
+    ``size/slide`` covering windows before the aggregation — the same
+    2× expansion the oracle spells out with its 2-offset cross join.
+    The expansion happens map-side, so partial aggregation still
+    collapses each partition to ≤ (windows × types) rows pre-shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             _dec_sum(F.col("value"), "sum_value"),
