@@ -51,7 +51,12 @@ def _input_bytes(path: str) -> int:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parallelize: bool = False,
+    columns: list[str] | None = None,
+    where=None,
 ) -> DataFrame:
     """Load a fixture table.
 
@@ -61,6 +66,12 @@ def load_table(
     cores exist, serializing the whole map stage.  The hint repartitions
     to core count — but only when the input is actually small, so at
     100 TB (thousands of natural splits) it is a no-op by construction.
+
+    ``columns``/``where`` prune BEFORE that repartition: a projection or
+    filter applied by the caller afterwards would ride on the exchange,
+    shuffling rows and columns the query immediately drops.  (On the
+    plain unparallelized path Catalyst pushes caller-side prunes into
+    the scan anyway — these args matter when the hint is on.)
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -84,6 +95,10 @@ def load_table(
                 " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
             ),
         )
+    if columns is not None:
+        df = df.select(*columns)
+    if where is not None:
+        df = df.filter(where)
     if parallelize and _input_bytes(path) < _SMALL_INPUT_BYTES:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

@@ -78,10 +78,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality mean partial aggregation collapses each input partition
     to ≤ 6 rows before the shuffle.
     """
-    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
+    li = load_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        parallelize=True,
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+        where=F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"),
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum(F.col("l_quantity"), "sum_qty"),
             _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
