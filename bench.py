@@ -59,10 +59,13 @@ HEADLINE = [
 def main() -> None:
     from readwise_vector_db_spark.session import get_spark
 
-    import __spark_entry__ as entry
+    import readwise_vector_db_spark.suites  # noqa: F401  (populates registry)
+
+    # bench the full surface: driver-facing registry + retired extras
+    from readwise_vector_db_spark.registry import all_queries
 
     spark = get_spark("bench")
-    qs = entry.queries()
+    qs = all_queries()
 
     # Warm the one-time machinery every query shares — codegen infra, the
     # parquet reader, shuffle service, noop committer — with a query that

@@ -21,22 +21,83 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
+
+def normalize_neg_zero(df: DataFrame) -> DataFrame:
+    """Rewrite every float/double output column as ``col + 0.0``.
+
+    IEEE 754: ``-0.0 + 0.0 == +0.0``, all other values unchanged — so a
+    rounded expression that lands on negative zero (e.g. ROUND(-1e-17, 6))
+    can never leak a sign-bit difference into the driver's value hash
+    (bit-level, unlike Python equality where ``-0.0 == 0.0``).  Applied to
+    every registered query's result at registration time; the extra
+    projection collapses into the query's own final project under
+    Catalyst's CollapseProject, so the plan cost is zero.  Oracles must
+    normalize per-site (``sqlfrag.round_pos``) since SQL strings can't be
+    rewritten generically — tools/oracle_check.py is -0.0-strict to keep
+    both sides honest.
+    """
+    if not any(isinstance(f.dataType, (DoubleType, FloatType)) for f in df.schema.fields):
+        return df
+    cols = [
+        (F.col(f.name) + F.lit(0.0)).cast(f.dataType).alias(f.name)
+        if isinstance(f.dataType, (DoubleType, FloatType))
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
+
 _REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
 
+# Retired / superseded entries: still implemented, tested, benched, and
+# oracle-checked locally (tools/oracle_check.py), but kept OFF the driver
+# surface — the driver checks only the first 50 registered queries, so the
+# main registry is capped at 50 and every entry on it gets a CORRECTNESS
+# row.  An entry goes here when a strictly better sibling covers the same
+# operator family (e.g. ``knn_join`` → ``knn_join_blocked``).
+_EXTRAS: dict[str, tuple[SparkQuery, str | None]] = {}
 
-def register(name: str, oracle: str | None):
-    """Decorator: add a query + its DuckDB oracle to the registry."""
+# Hard cap matching the driver's check limit; registration fails loudly if
+# the main surface would silently overflow it again (round-2 regression).
+DRIVER_QUERY_CAP = 50
+
+
+def register(name: str, oracle: str | None, *, extra: bool = False):
+    """Decorator: add a query + its DuckDB oracle to the registry.
+
+    ``extra=True`` keeps the query runnable/checkable locally without
+    occupying one of the ``DRIVER_QUERY_CAP`` driver-checked slots.
+    """
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        if name in _REGISTRY:
+        if name in _REGISTRY or name in _EXTRAS:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = (fn, oracle)
+
+        def normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return normalize_neg_zero(fn(spark, sf_dir))
+
+        normalized.__name__ = getattr(fn, "__name__", name)
+        normalized.__doc__ = fn.__doc__
+        target = _EXTRAS if extra else _REGISTRY
+        target[name] = (normalized, oracle)
+        if len(_REGISTRY) > DRIVER_QUERY_CAP:
+            raise ValueError(
+                f"main registry exceeds the driver's {DRIVER_QUERY_CAP}-query "
+                f"limit at {name!r}; register redundant entries with extra=True"
+            )
         return fn
 
     return deco
+
+
+def register_extra(name: str, oracle: str | None):
+    """``register(..., extra=True)`` as a decorator name, so retiring an
+    entry from the driver surface is a one-line diff at its definition."""
+    return register(name, oracle, extra=True)
 
 
 def queries() -> dict[str, SparkQuery]:
@@ -45,3 +106,14 @@ def queries() -> dict[str, SparkQuery]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    """Main + retired entries, for bench and the local oracle gate."""
+    merged = {**_REGISTRY, **_EXTRAS}
+    return {name: fn for name, (fn, _) in merged.items()}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    merged = {**_REGISTRY, **_EXTRAS}
+    return {name: sql for name, (_, sql) in merged.items() if sql is not None}

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.operators import dedup as dd
-from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.registry import register, register_extra
 from readwise_vector_db_spark.sources.tables import load_table
 from readwise_vector_db_spark.suites.sqlfrag import seqdot
 
@@ -148,7 +148,7 @@ _EMB_PAIRS_ORACLE = f"""
 """
 
 
-@register("dedup_embedding", _EMB_PAIRS_ORACLE)
+@register_extra("dedup_embedding", _EMB_PAIRS_ORACLE)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups on the augmented embeddings (25 planted)."""
     embs = load_table(spark, sf_dir, "embeddings")

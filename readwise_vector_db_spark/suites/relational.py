@@ -26,7 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.functions.timeops import epoch_s, epoch_us, hour_bucket_s
-from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.registry import register, register_extra
 from readwise_vector_db_spark.sources.tables import load_table
 
 DEC = "decimal(28,10)"
@@ -194,7 +194,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Revenue per nation per year — join + multi-key agg with a derived key
 # ---------------------------------------------------------------------------
-@register(
+@register_extra(
     "q_nation_revenue_year",
     f"""
     SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
@@ -272,7 +272,7 @@ def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Semi join: customers with at least one urgent order
 # ---------------------------------------------------------------------------
-@register(
+@register_extra(
     "q_urgent_customers",
     """
     SELECT c_custkey, c_name
@@ -325,7 +325,7 @@ def q_brand_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Rollup: hierarchical subtotals (grouping-sets surface)
 # ---------------------------------------------------------------------------
-@register(
+@register_extra(
     "q_rollup_returns",
     """
     SELECT l_returnflag, l_linestatus,
@@ -521,9 +521,9 @@ def q_big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_user_event_pivot",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
     FROM events
     WHERE user_id % 5 = 0
     GROUP BY user_id
@@ -552,7 +552,7 @@ def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Array aggregation: per-group sorted distinct list (deterministic ordering
 # makes an array column hash-comparable)
 # ---------------------------------------------------------------------------
-@register(
+@register_extra(
     "q_customer_priority_sets",
     """
     SELECT o_custkey,
@@ -793,7 +793,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Events: sliding-window aggregation (batch twin of streaming sliding_rates)
 # ---------------------------------------------------------------------------
-@register(
+@register_extra(
     "q_events_sliding",
     """
     SELECT bucket, event_type, COUNT(*) AS n,

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from readwise_vector_db_spark.operators import sampling as sp
-from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.registry import register, register_extra
 from readwise_vector_db_spark.sources.tables import load_table
 
 # DuckDB twin of operators/sampling._bucket on the md5 path:
@@ -37,7 +37,7 @@ def _rate_case() -> str:
     return f"CASE {whens} ELSE {int(_MIX_DEFAULT * den)} END"
 
 
-@register(
+@register_extra(
     "mix_sample_sources",
     f"""
     SELECT doc_id, source FROM documents

@@ -1,6 +1,11 @@
-"""Similarity-search suite: k-NN join (oracle-checked) + IVF ANN + text-query
-search through the deterministic embedder (rows-only: float UDF output is not
-SQL-expressible)."""
+"""Similarity-search suite: k-NN join + IVF ANN + free-text query search.
+
+Everything here is value-hash oracle-checked, including the free-text path:
+the embedder is deterministic pure Python, so the query vector's exact
+doubles are inlined into the DuckDB oracle as string-cast literals
+(``_STQ_QV_SQL``).  Only the raw ``ann_ivf`` entry is rows-only (KMeans
+centroids aren't SQL-expressible); its machinery is hash-checked via the
+planted-duplicate construction in ``ann_ivf_planted``."""
 
 from __future__ import annotations
 
@@ -10,16 +15,16 @@ from pyspark.sql import functions as F
 from readwise_vector_db_spark.functions.embedder import embed_text_local
 from readwise_vector_db_spark.operators import search as search_ops
 from readwise_vector_db_spark.operators import similarity as sim
-from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.registry import register, register_extra
 from readwise_vector_db_spark.sources.tables import highlights, load_table
-from readwise_vector_db_spark.suites.sqlfrag import seq_cos_dist
+from readwise_vector_db_spark.suites.sqlfrag import round_pos, seq_cos_dist
 
 # Rank on the ROUNDED distance (ties by id), exactly as the Spark side
 # does, so a sub-6dp ordering ambiguity can never flip ranks either way.
 _KNN_DIST = seq_cos_dist("e.v", "q.qv")
 
 
-@register(
+@register_extra(
     "knn_join",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -27,7 +32,7 @@ _KNN_DIST = seq_cos_dist("e.v", "q.qv")
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
         SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-               ROUND({_KNN_DIST}, 6) AS cos_dist
+               {round_pos(_KNN_DIST, 6)} AS cos_dist
         FROM q CROSS JOIN e)
     SELECT query_id, neighbor_id, cos_dist, rn FROM (
         SELECT query_id, neighbor_id, cos_dist,
@@ -55,7 +60,7 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
         SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-               ROUND({_KNN_DIST}, 6) AS cos_dist
+               {round_pos(_KNN_DIST, 6)} AS cos_dist
         FROM q CROSS JOIN e)
     SELECT query_id, neighbor_id, cos_dist, rn FROM (
         SELECT query_id, neighbor_id, cos_dist,
@@ -78,7 +83,7 @@ def knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_join_blocked(queries, embs, k=5, corpus_id="vec_id")
 
 
-@register("ann_ivf", None)  # KMeans centroids aren't SQL-expressible
+@register_extra("ann_ivf", None)  # KMeans centroids aren't SQL-expressible
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN: KMeans(16) layout, probe 4 clusters, top-10.
     Recall vs the exact scan is asserted in tests/test_similarity.py."""
@@ -161,7 +166,7 @@ _STQ_HL = """
     q AS (SELECT {_STQ_QV_SQL} AS qv)
     SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
            array_to_string(h.tags, ',') AS tags,
-           ROUND({seq_cos_dist("h.emb", "q.qv")}, 6) AS score
+           {round_pos(seq_cos_dist("h.emb", "q.qv"), 6)} AS score
     FROM h, q
     WHERE h.emb IS NOT NULL AND h.lang = 'en'
     ORDER BY score ASC, h.id ASC

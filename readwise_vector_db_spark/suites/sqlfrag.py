@@ -26,6 +26,18 @@ def seqdot(a: str, b: str) -> str:
     )
 
 
+def round_pos(expr: str, digits: int) -> str:
+    """ROUND with IEEE negative-zero normalization (``-0.0 + 0.0 = +0.0``).
+
+    DuckDB's ROUND keeps the sign bit: ``ROUND(-1e-17, 6)`` → ``-0.0``,
+    while the Spark side is blanket-normalized to ``+0.0``
+    (``registry.normalize_neg_zero``) — a bit-level value hash then
+    mismatches on numerically identical rows (round-2 ``knn_join``).
+    Every rounded DOUBLE *output* column in an oracle goes through this.
+    """
+    return f"(ROUND({expr}, {digits}) + 0.0)"
+
+
 def seq_cos_dist(v: str, q: str) -> str:
     """1 - cos(v, q) with sequential folds; operand order matches
     ``functions.vector.cosine_distance(v, q, a_norm, b_norm)`` (denominator

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.functions import text as T
-from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.registry import register, register_extra
 from readwise_vector_db_spark.sources.tables import load_table
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -145,7 +145,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
 
 
-@register(
+@register_extra(
     "doc_fingerprint",
     """
     SELECT doc_id,
@@ -241,7 +241,7 @@ _SIM_SH_CTE = """
 """
 
 
-@register(
+@register_extra(
     "text_similar_topk",
     f"""
     WITH sh AS ({_SIM_SH_CTE}),

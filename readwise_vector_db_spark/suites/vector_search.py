@@ -11,10 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.operators import search as search_ops
-from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.registry import register, register_extra
 from readwise_vector_db_spark.sources.search_index import stored_query_vector, warm_tables
 from readwise_vector_db_spark.sources.tables import corpus_split, load_table
-from readwise_vector_db_spark.suites.sqlfrag import seq_cos_dist
+from readwise_vector_db_spark.suites.sqlfrag import round_pos, seq_cos_dist
 
 # Shared oracle fragments -----------------------------------------------------
 
@@ -45,7 +45,7 @@ def _stringify_tags(df: DataFrame) -> DataFrame:
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
     SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
            array_to_string(h.tags, ',') AS tags,
-           ROUND({COS_DIST}, 6) AS score
+           {round_pos(COS_DIST, 6)} AS score
     FROM h, q
     WHERE h.emb IS NOT NULL
     ORDER BY score ASC, h.id ASC
@@ -68,7 +68,7 @@ def search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
     SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
            array_to_string(h.tags, ',') AS tags,
-           ROUND({COS_DIST}, 6) AS score
+           {round_pos(COS_DIST, 6)} AS score
     FROM h, q
     WHERE h.emb IS NOT NULL
       AND h.lang = 'en'
@@ -99,7 +99,7 @@ def _stored_query_vec(sf_dir: str, vecs, qid: str) -> list[float]:
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3)
     SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
            array_to_string(h.tags, ',') AS tags,
-           ROUND({COS_DIST}, 6) AS score
+           {round_pos(COS_DIST, 6)} AS score
     FROM h, q
     WHERE h.emb IS NOT NULL
     ORDER BY score ASC, h.id ASC
@@ -118,14 +118,14 @@ def search_topk_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
     "search_filtered_warm",
     f"""
     WITH h AS ({HL_ORACLE}),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 4)
     SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
            array_to_string(h.tags, ',') AS tags,
-           ROUND({COS_DIST}, 6) AS score
+           {round_pos(COS_DIST, 6)} AS score
     FROM h, q
     WHERE h.emb IS NOT NULL
       AND h.lang = 'en'
@@ -197,7 +197,7 @@ _SQ8_CODES = """
                ROUND(1 - list_dot_product(CAST(c.q AS DOUBLE[]), CAST(qv.qq AS DOUBLE[]))
                      / (sqrt(list_dot_product(CAST(c.q AS DOUBLE[]), CAST(c.q AS DOUBLE[])))
                         * sqrt(list_dot_product(CAST(qv.qq AS DOUBLE[]), CAST(qv.qq AS DOUBLE[])))),
-                     6) AS qdist
+                     6) + 0.0 AS qdist
         FROM codes c CROSS JOIN qv
     )
     SELECT neighbor_id, qdist FROM scored

@@ -28,9 +28,13 @@ def _norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        r = round(v, 9)
+        # Python equality can't see the sign bit (-0.0 == 0.0) but the
+        # driver's hash is bit-level — round-2 shipped a knn -0.0 oracle
+        # bug this gate waved through.  repr() keeps the sign visible.
+        return repr(r) if r == 0.0 else r
     if isinstance(v, Decimal):
-        return round(float(v), 9)
+        return _norm_value(float(v))
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
@@ -116,7 +120,10 @@ def main() -> int:
         .getOrCreate()
     )
     con = duckdb_conn(sf_dir)
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    # check the FULL surface — driver-facing registry plus retired extras
+    from readwise_vector_db_spark.registry import all_oracle_sql, all_queries
+
+    qs, oracles = all_queries(), all_oracle_sql()
     failed, ran = [], 0
     for name, fn in qs.items():
         if only and name not in only:
