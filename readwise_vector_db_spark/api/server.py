@@ -25,6 +25,11 @@ class McpServer:
         self.host = host
         self.port = port
         self._server: asyncio.AbstractServer | None = None
+        # graceful-shutdown bookkeeping (reference mcp/server.py:231-294):
+        # in-flight request tasks are awaited by stop() before connections
+        # close, so a client mid-stream receives its final frames
+        self._inflight: set[asyncio.Task] = set()
+        self._connections: set[asyncio.StreamWriter] = set()
 
     async def _handle_search(
         self, writer: asyncio.StreamWriter, params: dict[str, Any] | None, rid: Any
@@ -50,6 +55,7 @@ class McpServer:
     async def _handle_client(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
     ) -> None:
+        self._connections.add(writer)
         try:
             while True:
                 line = await reader.readline()
@@ -67,7 +73,13 @@ class McpServer:
                             rid,
                         )
                     else:
-                        await self._handle_search(writer, msg.get("params"), rid)
+                        # run as a tracked task so stop() can drain it
+                        task = asyncio.ensure_future(
+                            self._handle_search(writer, msg.get("params"), rid)
+                        )
+                        self._inflight.add(task)
+                        task.add_done_callback(self._inflight.discard)
+                        await task
                         continue
                 except framing.FramingError as e:
                     frame = framing.error(framing.ErrorCodes.PARSE_ERROR, str(e), rid)
@@ -87,6 +99,7 @@ class McpServer:
                 writer.write(framing.pack_message(frame))
                 await writer.drain()
         finally:
+            self._connections.discard(writer)
             writer.close()
             try:
                 await writer.wait_closed()
@@ -106,7 +119,27 @@ class McpServer:
         async with self._server:
             await self._server.serve_forever()
 
-    async def stop(self) -> None:
+    async def stop(self, drain_timeout: float = 5.0) -> None:
+        """Graceful shutdown: stop accepting, drain in-flight requests
+        (bounded by ``drain_timeout``), then close remaining connections.
+        A client streaming a response when stop() is called receives every
+        remaining frame before its socket closes; only handlers that
+        overrun the timeout are cancelled."""
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()
+        if self._inflight:
+            done, pending = await asyncio.wait(
+                set(self._inflight), timeout=drain_timeout
+            )
+            for task in pending:
+                task.cancel()
+            if pending:
+                logger.warning("cancelled %d handlers at drain timeout", len(pending))
+        for writer in list(self._connections):
+            writer.close()
+            try:
+                await writer.wait_closed()
+            except (ConnectionError, OSError):
+                pass
+        self._connections.clear()

@@ -26,13 +26,15 @@ min label's partition only for the label-table self-join, which is
 |V|-sized, not |E|-sized).  Convergence is detected with a 1-row
 checksum aggregate per round — the only driver-side data movement.
 
-Every round ends in ``localCheckpoint(eager=True)``: iterative plans
-grow EXPONENTIALLY without lineage truncation (the pointer-jumping
-self-join doubles the logical plan per round — at round ~7 the plan
-string alone crossed 2 GB and killed the driver), and persist() does
-not truncate lineage, only caches results.  On a real cluster the same
-call (or ``checkpoint()`` to a reliable store, which survives executor
-loss) is what GraphX/GraphFrames do for exactly this reason.
+Every round ends in a lineage-truncating checkpoint: iterative plans
+grow EXPONENTIALLY without truncation (the pointer-jumping self-join
+doubles the logical plan per round — at round ~7 the plan string alone
+crossed 2 GB and killed the driver), and persist() does not truncate
+lineage, only caches results.  Local mode uses
+``localCheckpoint(eager=True)``; pass ``checkpoint_dir=`` to use
+reliable ``checkpoint()`` into HDFS/object storage instead, which
+survives executor loss — what GraphX/GraphFrames do for exactly this
+reason, and what a 1000-executor 100 TB run requires.
 
 The DuckDB oracle for the suite entry computes the same closure with a
 recursive CTE (reachability → MIN over reached ids), so the whole
@@ -50,6 +52,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; component = min
     vertex id reachable through undirected edges.
@@ -59,29 +62,45 @@ def connected_components(
     O(log diameter) rounds, so 25 covers any graph up to diameter
     ~2^25.  Raises if the loop fails to converge (never observed —
     a safety net, not a tunable).
+
+    ``checkpoint_dir``: when given, per-round lineage truncation uses
+    reliable ``checkpoint()`` into that directory (HDFS/object-store
+    path on a real cluster) instead of ``localCheckpoint()``.
+    localCheckpoint blocks are executor-memory/disk-resident — one lost
+    executor mid-iteration kills the job at 100 TB; a reliable
+    checkpoint survives executor loss at the cost of a write per round.
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
     )
-    # symmetric closure once, up front; localCheckpoint cuts the lineage
+    # symmetric closure once, up front; the checkpoint cuts the lineage
     # AND caches — it is rescanned every round
-    sym = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    sym = cut(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     )
     # init = the first propagation round fused into label creation:
     # label(u) = min(u, min neighbour).  Star- and clique-shaped
     # components (the overwhelming dedup case) are at their fixpoint
     # immediately, so the loop's first iteration is already the
     # confirmation round.
-    labels = (
+    labels = cut(
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select(F.col("u").alias("id"), F.least("u", "mv").alias("label"))
-        .localCheckpoint(eager=True)
     )
 
     # Convergence detection: labels are vertex ids that only ever
@@ -116,7 +135,7 @@ def connected_components(
                 prop["label"], F.coalesce(right["r_label"], prop["label"])
             ).alias("label"),
         )
-        labels = hop.localCheckpoint(eager=True)
+        labels = cut(hop)
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
             converged = True
@@ -133,12 +152,15 @@ def resolve_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Dedup-pipeline face of :func:`connected_components`:
     (doc_id, cluster_id, cluster_size) for every doc in ≥1 pair, where
     ``cluster_id`` = the canonical (minimum) doc id of the component —
     the row a keep-one-per-cluster pass retains."""
-    comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    comp = connected_components(
+        pairs, src=id_a, dst=id_b, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(sizes, "component")

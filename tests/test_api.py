@@ -320,3 +320,55 @@ def test_request_rejects_bool_k_and_accepts_empty_tags():
         SearchRequest.from_dict({"q": "x", "k": True})
     req = SearchRequest.from_dict({"q": "x", "tags": []})
     assert req.tags == []
+
+
+# --- graceful shutdown drain -------------------------------------------------
+
+
+class _SlowService:
+    """Search that blocks until released — holds a request in-flight so the
+    test can call stop() mid-request (no Spark needed)."""
+
+    def __init__(self):
+        self.started = threading.Event()
+        self.release = threading.Event()
+
+    def search(self, req):
+        self.started.set()
+        assert self.release.wait(timeout=30)
+        return [{"id": str(i), "text": f"t{i}", "score": 0.1 * i} for i in range(3)]
+
+
+def test_mcp_stop_drains_inflight_search():
+    """Reference mcp/server.py:231-294 drains in-flight client tasks on
+    shutdown; a client mid-stream must get its final frames, then EOF —
+    not a truncated stream."""
+    from readwise_vector_db_spark.api.server import McpServer
+
+    async def scenario():
+        svc = _SlowService()
+        server = McpServer(svc, port=0)
+        await server.start()
+        reader, writer = await asyncio.open_connection(server.host, server.port)
+        writer.write(framing.pack_message(framing.request("search", {"q": "x"}, 1)))
+        await writer.drain()
+        loop = asyncio.get_running_loop()
+        # request is now in-flight inside the executor
+        await loop.run_in_executor(None, svc.started.wait, 10)
+        stop_task = asyncio.create_task(server.stop())
+        await asyncio.sleep(0.1)  # let stop() close the listener and reach the drain
+        assert not stop_task.done(), "stop() returned while a request was in flight"
+        svc.release.set()
+        frames = []
+        while True:
+            line = await asyncio.wait_for(reader.readline(), timeout=10)
+            if not line:
+                break  # EOF — server closed the connection after the stream
+            frames.append(framing.unpack_message(line))
+        await asyncio.wait_for(stop_task, timeout=10)
+        writer.close()
+        return frames
+
+    frames = asyncio.run(scenario())
+    assert len(frames) == 3
+    assert [f["result"]["id"] for f in frames] == ["0", "1", "2"]

@@ -86,3 +86,26 @@ def test_does_not_converge_raises(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iter=1)
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable checkpoint():
+    results are identical, checkpoint files land in the directory, and the
+    returned plan is bounded (a scan of the final checkpoint, not the
+    accumulated iterative plan)."""
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = [(i, i + 1) for i in range(64)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, checkpoint_dir=ckpt)
+    got = {(r["id"], r["component"]) for r in out.collect()}
+    want = set(_union_find_components(edges).items())
+    assert got == want
+    # reliable checkpoints were actually written to the requested dir
+    files = list((tmp_path / "cc_ckpt").rglob("*"))
+    assert any(f.is_file() for f in files)
+    # lineage is truncated: the final frame reads back a checkpointed RDD
+    # rather than replaying every iteration's joins (which would put one
+    # Join per round in the plan)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in plan
+    assert len(plan.splitlines()) < 10
