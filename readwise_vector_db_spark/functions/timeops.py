@@ -34,14 +34,27 @@ def epoch_us(col: Column | str) -> Column:
 
 
 def epoch_s(col: Column | str) -> Column:
-    """Whole seconds since epoch of an NTZ wall time (== DuckDB epoch)."""
-    return F.timestamp_diff("SECOND", _epoch_ntz(), _as_col(col))
+    """FLOOR whole seconds since epoch of an NTZ wall time.
+
+    ``timestamp_diff("SECOND", …)`` truncates toward zero, which differs
+    from floor for pre-1970 times with sub-second parts (1969-12-31
+    23:59:59.5 → 0 truncated vs −1 floored); the correction term keeps
+    floor semantics across the whole timeline, all in exact integer math.
+    Equals ``floor(DuckDB epoch(ts))`` — DuckDB's ``epoch()`` itself
+    returns a fractional DOUBLE, so compare against its floor, not it.
+    """
+    c = _as_col(col)
+    s_trunc = F.timestamp_diff("SECOND", _epoch_ntz(), c)
+    us = epoch_us(c)
+    return s_trunc - F.when(us < s_trunc * F.lit(1_000_000), F.lit(1)).otherwise(F.lit(0))
 
 
 def hour_bucket_s(col: Column | str) -> Column:
     """Epoch seconds of the enclosing hour (== DuckDB
     epoch(time_bucket(INTERVAL 1 HOUR, ts))) — integer remainder math on
     the tz-free epoch, not date_trunc, which round-trips through the
-    session timezone for NTZ input."""
+    session timezone for NTZ input.  ``pmod`` (not ``%``, which takes the
+    dividend's sign) keeps the bucket a floor for pre-1970 times, matching
+    DuckDB's time_bucket (1969-12-31 23:30 → −3600, not 0)."""
     s = epoch_s(col)
-    return s - s % F.lit(3600)
+    return s - F.pmod(s, F.lit(3600))

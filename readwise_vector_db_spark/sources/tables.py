@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.functions.vector import l2_norm
@@ -56,7 +56,7 @@ def load_table(
     name: str,
     parallelize: bool = False,
     columns: list[str] | None = None,
-    where=None,
+    where: Column | None = None,
 ) -> DataFrame:
     """Load a fixture table.
 
@@ -95,10 +95,12 @@ def load_table(
                 " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
             ),
         )
-    if columns is not None:
-        df = df.select(*columns)
+    # filter BEFORE projecting: a ``where`` referencing a column outside
+    # ``columns`` must not raise (Catalyst prunes to the scan either way)
     if where is not None:
         df = df.filter(where)
+    if columns is not None:
+        df = df.select(*columns)
     if parallelize and _input_bytes(path) < _SMALL_INPUT_BYTES:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

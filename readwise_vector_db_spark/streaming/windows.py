@@ -22,6 +22,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from readwise_vector_db_spark.functions.timeops import epoch_s
+
+
+def _bucket_s(col: str) -> F.Column:
+    """Window-boundary LTZ timestamp → tz-free wall-clock epoch seconds.
+
+    The scan coerced the fixture's NTZ wall time into an instant through
+    the session timezone (LTZ is the price of watermark support); casting
+    back to NTZ applies the inverse session-tz conversion, recovering the
+    original wall clock, and ``timeops.epoch_s`` extracts its epoch with
+    no timezone term — so stream output matches the batch twins
+    (``q_events_hourly``/``q_events_sliding``/``q_events_sessions``) in
+    any session timezone, not just UTC.  (Caveat: with a
+    fractional-hour session offset the LTZ window *boundaries* themselves
+    shift off wall-clock hours — inherent to instant-based windowing.)
+    """
+    return epoch_s(F.col(col).cast("timestamp_ntz"))
+
+# ts must be LTZ TimestampType: Spark watermarks reject TIMESTAMP_NTZ
+# (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the NTZ fixture wall time is
+# read as a session-tz instant here.  ``_bucket_s`` undoes that shift at
+# the output boundary so emitted buckets match the NTZ batch twins.
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -54,7 +76,7 @@ def tumbling_counts(
         .groupBy(F.window("ts", window), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
         .select(
-            F.unix_timestamp(F.col("window.start")).alias("bucket"),
+            _bucket_s("window.start").alias("bucket"),
             "event_type",
             "n",
             "sum_value",
@@ -74,7 +96,7 @@ def sliding_rates(
         .groupBy(F.window("ts", window, slide), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.unix_timestamp(F.col("window.start")).alias("bucket"),
+            _bucket_s("window.start").alias("bucket"),
             "event_type",
             "n",
         )
@@ -91,8 +113,8 @@ def session_aggregates(
         .groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.unix_timestamp(F.col("session_window.start")).alias("start_s"),
-            F.unix_timestamp(F.col("session_window.end")).alias("end_s"),
+            _bucket_s("session_window.start").alias("start_s"),
+            _bucket_s("session_window.end").alias("end_s"),
             "user_id",
             "n_events",
         )
