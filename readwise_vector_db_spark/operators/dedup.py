@@ -32,7 +32,6 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.functions.text import fingerprint_md5, word_shingles
@@ -132,40 +131,74 @@ def ngram_jaccard_pairs(
     )
     if shingle_hash is not None:
         raw = raw.withColumn("shingle", hash64("shingle", shingle_hash))
-    # per-doc distinct shingle sets (collect_set also merges hash
-    # collisions), persisted: this table feeds the exploded index AND both
-    # sides of the verification join.  At 100 TB this is a materialized
-    # parquet intermediate, not executor cache.
-    sh = (
-        raw.groupBy("id")
-        .agg(F.collect_set("shingle").alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
-        .persist()
-    )
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
-
-    if df_max is not None or strategy == "prefix":
-        freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        ex = ex.join(freq, "shingle")
-        if df_max is not None:
-            ex = ex.filter(F.col("df") <= df_max)
 
     if strategy == "prefix":
-        w = W.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-        prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-        ex = (
-            ex.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= prefix_len)
-            .drop("rank")
+        # PPJoin prefix, built array-side in ONE per-doc aggregation.
+        # Correctness of prefix filtering needs only a CONSISTENT global
+        # total order on shingles; df-ascending is the heuristic that
+        # minimizes candidates.  Ranking by OCCURRENCE count (no per-doc
+        # distinct pass — ≈ document frequency on natural text, where
+        # in-doc shingle repeats are rare) lets one groupBy produce the
+        # df-sorted struct array, from which the distinct set, its size,
+        # and the prefix slice all derive map-side — no window stage, one
+        # fewer shuffle, and one cached table instead of two.  In this
+        # mode a ``df_max`` cap therefore also counts occurrences (an
+        # upper bound of doc frequency: the cap is at least as
+        # aggressive as documented).
+        # raw feeds the frequency aggregate AND the join's probe side —
+        # persist so the scan+shingle+hash pass runs once, not twice
+        # (MEMORY_AND_DISK: at 100 TB this spills instead of evicting)
+        raw = raw.persist()
+        freq = raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        joined = raw.join(freq, "shingle")
+        tbl = (
+            joined.groupBy("id")
+            # collect_set dedups in-doc repeats AND hash collisions (a
+            # shingle's df is functionally determined by the shingle)
+            .agg(F.array_sort(F.collect_set(F.struct("df", "shingle"))).alias("arr"))
+            .withColumn("n_sh", F.size("arr"))
+            .filter(F.col("n_sh") > 0)
         )
+        eligible = (
+            F.col("arr")
+            if df_max is None
+            else F.filter("arr", lambda x: x["df"] <= F.lit(df_max))
+        )
+        prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        # persisted once: feeds both self-join sides AND the verification
+        # join.  At 100 TB this is a materialized parquet intermediate.
+        sh = (
+            tbl.withColumn("sh", F.transform("arr", lambda x: x["shingle"]))
+            .withColumn(
+                "pref",
+                F.transform(
+                    F.slice(eligible, F.lit(1), prefix_len), lambda x: x["shingle"]
+                ),
+            )
+            .drop("arr")
+            .persist()
+        )
+        ex = sh.select("id", "n_sh", F.explode("pref").alias("shingle"))
+    else:
+        # per-doc distinct shingle sets (collect_set also merges hash
+        # collisions), persisted: this table feeds the exploded index AND
+        # both sides of the verification join.  At 100 TB this is a
+        # materialized parquet intermediate, not executor cache.
+        sh = (
+            raw.groupBy("id")
+            .agg(F.collect_set("shingle").alias("sh"))
+            .withColumn("n_sh", F.size("sh"))
+            .filter(F.col("n_sh") > 0)
+            .persist()
+        )
+        ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
 
-    if df_max is not None or strategy == "prefix":
-        # the pruned index feeds BOTH sides of the self-join below; without
-        # a persist the df-count + join (+ window, for prefix) chain runs
-        # twice — the static plan showed Window ×2 and zero exchange reuse.
-        # At 100 TB this is the materialized inverted-index intermediate.
-        ex = ex.persist()
+        if df_max is not None:
+            freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            # the capped index feeds BOTH sides of the self-join below;
+            # without a persist the df-count + join chain runs twice —
+            # the static plan showed zero exchange reuse.
+            ex = ex.join(freq, "shingle").filter(F.col("df") <= df_max).persist()
 
     a, b = ex.alias("a"), ex.alias("b")
     # length filter: J(A,B) ≤ min/max of sizes, so J ≥ t ⇒ na ≥ t·nb (wlog);
