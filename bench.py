@@ -112,6 +112,45 @@ def main() -> None:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
+    # --- curation pipeline, end-to-end composite -------------------------
+    # The composed training-data funnel (quality -> lang -> exact dedup ->
+    # near-dup -> versioned commit) benched as ONE unit: stage coupling
+    # (persist reuse, shuffle sharing) is what a per-operator bench can't
+    # see.  Timed once per rep including the snapshot write.
+    import shutil
+    import tempfile
+
+    from readwise_vector_db_spark.jobs.curate import curate_corpus
+
+    samples = []
+    for _ in range(reps):
+        out_root = tempfile.mkdtemp(prefix="bench_curate_")
+        t0 = time.perf_counter()
+        curate_corpus(spark, SF_DIR, out_root)
+        samples.append(time.perf_counter() - t0)
+        shutil.rmtree(out_root, ignore_errors=True)
+    samples.sort()
+    mid = samples[len(samples) // 2] if reps % 2 else (
+        (samples[reps // 2 - 1] + samples[reps // 2]) / 2
+    )
+    timings["curate_pipeline"] = round(mid, 3)
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+
+    # --- warm-path serving P95 ------------------------------------------
+    # The reference's latency gate is a P95 over repeated warm searches
+    # (locustfile.py:33, 500 ms).  Median-of-3 can't speak to tails, so
+    # rerun the warm k=10 search enough times for a real 95th percentile.
+    p95_reps = int(os.environ.get("SPARK_GRAFT_P95_REPS", "20"))
+    warm_fn = qs["search_topk_warm"]
+    lat = []
+    for _ in range(p95_reps):
+        t0 = time.perf_counter()
+        warm_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p95 = lat[min(len(lat) - 1, int(round(0.95 * len(lat))) - 1)]
+
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
     out = {
         "metric": "total_wall_sec",
@@ -119,6 +158,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "search_warm_p95": round(p95, 3),
+        "search_warm_p50": round(lat[len(lat) // 2], 3),
     }
     print(json.dumps(out))
 

@@ -46,28 +46,44 @@ def curate_corpus(
     the row-accounting every curation run must report.
     """
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    stats: dict[str, int] = {"raw": docs.count()}
 
-    quality = docs.filter(F.round(T.quality_score("text"), 6) >= min_quality)
-    stats["after_quality"] = quality.count()
+    # Stage flags computed once, first three funnel counts from ONE
+    # aggregate pass — quality_score tokenizes every document, so separate
+    # per-stage count() actions would re-run the scan + scoring 3x.
+    flagged = docs.withColumn(
+        "_q_ok", F.round(T.quality_score("text"), 6) >= min_quality
+    ).withColumn("_l_ok", T.lang_id("text") == lang)
+    head = flagged.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(F.col("_q_ok").cast("long")).alias("after_quality"),
+        F.sum((F.col("_q_ok") & F.col("_l_ok")).cast("long")).alias("after_lang"),
+    ).collect()[0]
+    stats: dict[str, int] = {
+        "raw": int(head["raw"]),
+        "after_quality": int(head["after_quality"] or 0),
+        "after_lang": int(head["after_lang"] or 0),
+    }
 
-    in_lang = quality.filter(T.lang_id("text") == lang)
-    stats["after_lang"] = in_lang.count()
+    in_lang = flagged.filter(F.col("_q_ok") & F.col("_l_ok")).drop("_q_ok", "_l_ok")
 
-    # exact dedup keeps the smallest id per normalized text
-    exact = exact_dedup(in_lang, id_col="doc_id", text_col="text")
+    # exact dedup keeps the smallest id per normalized text.  persist: the
+    # deduped frame feeds its own count, the LSH pair pass, and the
+    # anti-join — three traversals of one shuffle's output.
+    exact = exact_dedup(in_lang, id_col="doc_id", text_col="text").persist()
     stats["after_exact_dedup"] = exact.count()
 
     # near-dup: drop the HIGHER id of every candidate pair (deterministic
-    # survivor).  persist: pairs feed an anti-join against the same frame.
+    # survivor).
     pairs = minhash_lsh_pairs(
         exact, threshold=near_dup_threshold, id_col="doc_id", text_col="text"
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = exact.join(losers, "doc_id", "left_anti")
+    survivors = exact.join(losers, "doc_id", "left_anti").persist()
     stats["after_near_dup"] = survivors.count()
 
     table = VersionedTable(out_root)
     table.commit(survivors)
     stats["committed_version"] = table.latest_version()
+    survivors.unpersist()
+    exact.unpersist()
     return stats
