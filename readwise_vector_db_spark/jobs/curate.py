@@ -50,9 +50,14 @@ def curate_corpus(
     # Stage flags computed once, first three funnel counts from ONE
     # aggregate pass — quality_score tokenizes every document, so separate
     # per-stage count() actions would re-run the scan + scoring 3x.
+    # persist: quality_score + lang_id tokenize every document — by far
+    # the priciest narrow map in the funnel — and the flagged frame is
+    # traversed by the stats aggregate AND every downstream stage
+    # (exact_dedup alone reads it twice).  At 100 TB this is the
+    # materialized post-scoring corpus a real pipeline writes anyway.
     flagged = docs.withColumn(
         "_q_ok", F.round(T.quality_score("text"), 6) >= min_quality
-    ).withColumn("_l_ok", T.lang_id("text") == lang)
+    ).withColumn("_l_ok", T.lang_id("text") == lang).persist()
     head = flagged.agg(
         F.count(F.lit(1)).alias("raw"),
         F.sum(F.col("_q_ok").cast("long")).alias("after_quality"),
@@ -86,4 +91,5 @@ def curate_corpus(
     stats["committed_version"] = table.latest_version()
     survivors.unpersist()
     exact.unpersist()
+    flagged.unpersist()
     return stats

@@ -12,12 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from readwise_vector_db_spark.functions import text as T
 from readwise_vector_db_spark.functions.text import fingerprint_md5
 from readwise_vector_db_spark.operators import curation as cu
 from readwise_vector_db_spark.operators import dedup as dd
 from readwise_vector_db_spark.operators.graph import resolve_clusters
 from readwise_vector_db_spark.registry import register
 from readwise_vector_db_spark.sources.tables import load_table
+from readwise_vector_db_spark.suites import text_analysis as ta
 from readwise_vector_db_spark.suites.dedup import (
     _AUG_DOCS_SQL,
     _augmented_docs,
@@ -235,3 +237,68 @@ def chunk_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only at any scale."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return cu.chunk_overlap(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+# --- composed curation funnel -----------------------------------------------
+#
+# The full training-data funnel (jobs/curate.py) as ONE driver-checked
+# query: quality filter → language filter → exact dedup (min id per
+# normalized-text fingerprint) → near-dup removal (MinHash-LSH pairs,
+# higher id of each pair dropped).  Every stage reuses an oracle
+# fragment that is already independently hash-checked (text_stats
+# quality, lang_id prediction, dedup_minhash_lsh pairs), so a red row
+# here localizes to stage COMPOSITION, not any one operator.  The
+# portable md5 base hash replaces jobs/curate.py's production xxhash64
+# so DuckDB reproduces the pair set exactly.
+
+_CURATE_QUALITY_SQL = f"""ROUND(
+      (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN {ta._SW_RATIO} >= 0.05 AND {ta._SW_RATIO} <= 0.6
+              THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN CAST(({ta._PUNCT_N}) AS DOUBLE) / length(text) <= 0.1
+              THEN 0.2 ELSE 0.0 END), 6)"""
+
+_CURATE_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               {", ".join(f"{expr} AS s_{lang}" for lang, expr in ta._LANG_SCORES.items())}
+        FROM documents
+        WHERE {_CURATE_QUALITY_SQL} >= 0.4
+    ),
+    flagged AS (
+        SELECT doc_id, text FROM scored WHERE ({ta._PRED_CASE}) = 'en'
+    ),
+    fps AS (
+        SELECT doc_id, text,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM flagged
+    ),
+    exact AS (
+        SELECT f.doc_id, f.text
+        FROM fps f
+        JOIN (SELECT fp, MIN(doc_id) AS keep_id FROM fps GROUP BY fp) k
+          ON f.fp = k.fp AND f.doc_id = k.keep_id
+    ),
+    {minhash_pairs_ctes("exact")},
+    losers AS (SELECT DISTINCT id_b FROM mh_pairs WHERE est_jaccard >= 0.6)
+    SELECT doc_id FROM exact
+    WHERE doc_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
+@register("curate_survivors", _CURATE_ORACLE)
+def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor ids of the composed curation funnel (jobs/curate.py
+    stages, md5-portable hashing): quality ≥ 0.4, lang 'en', exact dedup,
+    MinHash-LSH near-dup removal.  At 100 TB: two narrow filter maps, one
+    fingerprint shuffle, one banded-LSH shuffle, one anti-join."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    flagged = docs.filter(
+        (F.round(T.quality_score("text"), 6) >= 0.4) & (T.lang_id("text") == "en")
+    )
+    exact = dd.exact_dedup(flagged, id_col="doc_id", text_col="text")
+    pairs = dd.minhash_lsh_pairs(
+        exact, threshold=0.6, id_col="doc_id", text_col="text", base_hash="md5"
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact.join(losers, "doc_id", "left_anti").select("doc_id")
