@@ -151,6 +151,31 @@ def main() -> None:
     lat.sort()
     p95 = lat[min(len(lat) - 1, int(round(0.95 * len(lat))) - 1)]
 
+    # --- streaming throughput -------------------------------------------
+    # The windowed-aggregation stream (streaming twin of q_events_hourly)
+    # drained over the full events fixture in 4-file micro-batches:
+    # events/sec through watermark + tumbling window + memory sink.
+    # Measures the stateful-streaming path end-to-end, which the batch
+    # entries above never touch.
+    from readwise_vector_db_spark.sources.tables import load_table
+    from readwise_vector_db_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    ev_dir = tempfile.mkdtemp(prefix="bench_stream_")
+    ev.repartition(16).write.mode("overwrite").parquet(ev_dir)
+    t0 = time.perf_counter()
+    run_to_memory(
+        tumbling_counts(read_event_stream(spark, ev_dir, max_files=4)),
+        "bench_stream",
+    )
+    stream_wall = time.perf_counter() - t0
+    shutil.rmtree(ev_dir, ignore_errors=True)
+
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
     out = {
         "metric": "total_wall_sec",
@@ -160,6 +185,7 @@ def main() -> None:
         "sf": sf,
         "search_warm_p95": round(p95, 3),
         "search_warm_p50": round(lat[len(lat) // 2], 3),
+        "streaming_events_per_sec": int(n_events / stream_wall),
     }
     print(json.dumps(out))
 

@@ -645,7 +645,13 @@ def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous-interpolation percentiles per event type."""
+    """Exact continuous-interpolation percentiles per event type.
+
+    Scale note: ``percentile`` buffers each group's values (exact but
+    memory-proportional) — the cross-engine-checkable choice.  At 100 TB
+    swap in ``approx_percentile(value, [...], accuracy)`` (bounded-memory
+    KLL-style sketch, partial-aggregatable) — same plan shape, no exact
+    DuckDB twin, which is why the registered entry stays exact."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
