@@ -132,12 +132,34 @@ def stored_query_vector(sf_dir: str, qid: str) -> list[float] | None:
     return [float(x) for x in row[0]] if row else None
 
 
+# (applicationId, sf-tag, source-fingerprint, cache flag) → handles.
+# A serving process resolves its index handles once, not per request:
+# rebuilding the DataFrames per call costs catalog round-trips + plan
+# re-analysis that dominated the measured warm latency (~340 ms of a
+# ~380 ms request at sf0.1).  The fingerprint keys staleness — a
+# regenerated fixture gets fresh handles — and the applicationId keys
+# the session.
+_HANDLES: dict[tuple[str, str, str, bool], tuple[DataFrame, DataFrame]] = {}
+
+
 def warm_tables(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, cache: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """(metadata, vectors) DataFrames over the warm layout, building it on
     first use.  Reads come from registered bucketed catalog tables so
-    joins on id require no Exchange."""
+    joins on id require no Exchange.
+
+    ``cache=True`` pins both tables in Spark's storage cache — the
+    analogue of the reference's memory-resident HNSW index (its serving
+    latency also assumes the index is in RAM, not read per query).
+    MEMORY_AND_DISK default storage: an index bigger than executor
+    memory spills instead of failing, and a `clearCache()` (or executor
+    loss) just re-materializes lazily from the parquet layout."""
+    fp = _source_fingerprint(sf_dir)
+    key = (spark.sparkContext.applicationId, _tag(sf_dir), fp, cache)
+    hit = _HANDLES.get(key)
+    if hit is not None:
+        return hit
     tag = _tag(sf_dir)
     base = _INDEX_ROOT / tag
     vname, mname = f"rw_warm_vectors_{tag}", f"rw_warm_meta_{tag}"
@@ -146,4 +168,8 @@ def warm_tables(
     if rebuilt or not cat.tableExists(vname) or not cat.tableExists(mname):
         _register_external(spark, vname, _VEC_SCHEMA, base / "vectors")
         _register_external(spark, mname, _META_SCHEMA, base / "metadata")
-    return spark.table(mname), spark.table(vname)
+    meta_df, vec_df = spark.table(mname), spark.table(vname)
+    if cache:
+        meta_df, vec_df = meta_df.cache(), vec_df.cache()
+    _HANDLES[key] = (meta_df, vec_df)
+    return meta_df, vec_df
