@@ -40,7 +40,9 @@ SHARED = ["region", "nation"]
 
 
 def _stride(df: DataFrame, keys: list[str]) -> int:
-    mx = df.select(F.greatest(*[F.max(k) for k in keys]).alias("m")).first()["m"] or 0
+    maxes = [F.max(k) for k in keys]
+    agg = maxes[0] if len(maxes) == 1 else F.greatest(*maxes)
+    mx = df.select(agg.alias("m")).first()["m"] or 0
     s = 10
     while s <= mx:
         s *= 10
@@ -77,8 +79,8 @@ def replicate(spark: SparkSession, src: str, out: str, n: int) -> None:
 if __name__ == "__main__":
     src, out = sys.argv[1], sys.argv[2]
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from readwise_vector_db_spark.session import get_spark
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     replicate(get_spark("make_sfx"), src, out, n)
     print("done ->", out)
