@@ -23,6 +23,7 @@ regenerated fixture never serves a stale index.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -106,21 +107,12 @@ def build_search_index(spark: SparkSession, sf_dir: str, force: bool = False) ->
     return True
 
 
-def stored_query_vector(sf_dir: str, qid: str) -> list[float] | None:
-    """Fetch one stored embedding from the warm layout WITHOUT a Spark job.
-
-    A serving path resolves the query vector from index metadata, not a
-    distributed scan — this reads the (local, narrow) layout files
-    driver-side.  At cluster scale the same read is a bucket-pruned
-    single-file fetch (id → Murmur3 bucket); here all buckets together
-    are a few MB, so pruning is skipped.  Returns None if the layout (or
-    the id) is missing — callers fall back to a Spark fetch.
-    """
+@functools.lru_cache(maxsize=4096)
+def _stored_vec_cached(vec_dir: str, qid: str, _fp: str) -> tuple[float, ...] | None:
+    # _fp (source fingerprint) keys staleness: a regenerated fixture
+    # changes the fingerprint and misses this cache.
     import duckdb
 
-    vec_dir = _INDEX_ROOT / _tag(sf_dir) / "vectors"
-    if not vec_dir.exists():
-        return None
     row = (
         duckdb.connect()
         .execute(
@@ -129,7 +121,26 @@ def stored_query_vector(sf_dir: str, qid: str) -> list[float] | None:
         )
         .fetchone()
     )
-    return [float(x) for x in row[0]] if row else None
+    return tuple(float(x) for x in row[0]) if row else None
+
+
+def stored_query_vector(sf_dir: str, qid: str) -> list[float] | None:
+    """Fetch one stored embedding from the warm layout WITHOUT a Spark job.
+
+    A serving path resolves the query vector from index metadata, not a
+    distributed scan — this reads the (local, narrow) layout files
+    driver-side and memoizes per (layout, id, source fingerprint), as a
+    server's query-vector lookup layer would.  At cluster scale the same
+    read is a bucket-pruned single-file fetch (id → Murmur3 bucket);
+    here all buckets together are a few MB, so pruning is skipped.
+    Returns None if the layout (or the id) is missing — callers fall
+    back to a Spark fetch.
+    """
+    vec_dir = _INDEX_ROOT / _tag(sf_dir) / "vectors"
+    if not vec_dir.exists():
+        return None
+    vec = _stored_vec_cached(str(vec_dir), qid, _source_fingerprint(sf_dir))
+    return list(vec) if vec is not None else None
 
 
 # (applicationId, sf-tag, source-fingerprint, cache flag) → handles.
