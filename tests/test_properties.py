@@ -108,3 +108,97 @@ def test_ngram_jaccard_matches_bruteforce(spark, texts):
             if round(j, 6) >= 0.3:
                 expect[(a, b)] = round(j, 6)
     assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=20
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from readwise_vector_db_spark.operators.graph import connected_components
+
+    rows = [(a, b) for a, b in edges if a != b]
+    if not rows:
+        rows = [(0, 1)]
+    df = spark.createDataFrame(rows, "src INT, dst INT")
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+
+    # brute-force union-find with min-label components
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in rows:
+        union(a, b)
+    expect = {v: find(v) for v in parent}
+    assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(["aa bb cc dd", "aa bb cc dd ee", "zz yy xx ww"]),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_min_id_survives_and_is_idempotent(spark, texts):
+    from readwise_vector_db_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    once = exact_dedup(docs)
+    got = sorted((r["doc_id"], r["text"]) for r in once.collect())
+    # brute force: min id per exact text
+    first: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        first.setdefault(t, i)
+    expect = sorted((i, t) for t, i in first.items())
+    assert got == expect
+    # idempotent: deduping the deduped set is a no-op
+    again = sorted((r["doc_id"], r["text"]) for r in exact_dedup(once).collect())
+    assert again == got
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_and_simhash_always_pair_identical_docs(spark, seed):
+    """Guarantee property: byte-identical documents MUST collide in every
+    LSH band (minhash est = 1.0) and in every simhash chunk — a detector
+    that can miss exact duplicates is broken regardless of tuning."""
+    import random
+
+    from readwise_vector_db_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["w%d" % i for i in range(30)]
+    text = " ".join(rng.choice(vocab) for _ in range(25))
+    other = " ".join(rng.choice(vocab) for _ in range(25))
+    docs = spark.createDataFrame(
+        [(0, text), (1, text), (2, other)], "doc_id INT, text STRING"
+    )
+    mh = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+          for r in minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    assert mh.get((0, 1)) == 1.0
+    sh = {(r["id_a"], r["id_b"]): r["hamming"]
+          for r in simhash_pairs(docs, max_hamming=0).collect()}
+    assert sh.get((0, 1)) == 0
