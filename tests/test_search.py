@@ -154,3 +154,31 @@ def test_served_empty_filter_returns_empty(spark):
     )
     assert out.count() == 0
     assert "score" in out.columns
+
+
+def test_warm_handles_memoized_and_fingerprint_invalidated(spark, tmp_path):
+    """warm_tables returns the SAME handle objects per (session, layout,
+    source fingerprint) — and a changed source fingerprint (regenerated
+    fixture) must miss the memo and rebuild, never serve stale handles."""
+    import shutil
+
+    from readwise_vector_db_spark.sources import search_index as si
+
+    # private fixture copy so touching mtimes can't interfere with other tests
+    src = str(tmp_path / "sf_copy")
+    shutil.copytree(SF_SMOKE, src)
+
+    a = si.warm_tables(spark, src)
+    b = si.warm_tables(spark, src)
+    assert a[0] is b[0] and a[1] is b[1]
+
+    # simulate fixture regeneration: bump a source file's mtime
+    import os
+    import time as _time
+
+    doc = f"{src}/documents.parquet"
+    os.utime(doc, (os.path.getatime(doc), os.path.getmtime(doc) + 5))
+    c = si.warm_tables(spark, src)
+    assert c[0] is not a[0]
+    # the rebuilt handles still serve correct data
+    assert c[1].count() == a[1].count() > 0
