@@ -176,6 +176,29 @@ def main() -> None:
     stream_wall = time.perf_counter() - t0
     shutil.rmtree(ev_dir, ignore_errors=True)
 
+    # --- batch embedding throughput -------------------------------------
+    # The ingest pipeline's compute stage: Arrow-batched pandas-UDF
+    # embedding over every document (the reference's ingest is bound by
+    # the OpenAI API; ours measures the distributed-UDF machinery with
+    # the deterministic local embedder).  docs/sec through scan → UDF →
+    # noop sink.
+    from pyspark.sql import functions as _F
+
+    from readwise_vector_db_spark.functions.embedder import deterministic_embedder
+
+    docs = load_table(spark, SF_DIR, "documents", parallelize=True)
+    n_docs = docs.count()
+    emb_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        docs.select("doc_id", deterministic_embedder()(_F.col("text")).alias("e")) \
+            .write.format("noop").mode("overwrite").save()
+        emb_times.append(time.perf_counter() - t0)
+    emb_times.sort()
+    emb_wall = emb_times[len(emb_times) // 2] if reps % 2 else (
+        (emb_times[reps // 2 - 1] + emb_times[reps // 2]) / 2
+    )
+
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
     out = {
         "metric": "total_wall_sec",
@@ -186,6 +209,7 @@ def main() -> None:
         "search_warm_p95": round(p95, 3),
         "search_warm_p50": round(lat[len(lat) // 2], 3),
         "streaming_events_per_sec": int(n_events / stream_wall),
+        "embed_docs_per_sec": int(n_docs / emb_wall),
     }
     print(json.dumps(out))
 
