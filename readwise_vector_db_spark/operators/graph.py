@@ -53,9 +53,19 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    distinct_edges: bool = True,
 ) -> DataFrame:
     """(id, component) for every vertex in ``edges``; component = min
     vertex id reachable through undirected edges.
+
+    ``distinct_edges=False`` skips the dedup shuffle on the symmetric
+    edge list.  Duplicate edges are CORRECT here regardless (every step
+    is a min-aggregation, idempotent under input multiplicity) — the
+    flag only trades the |E|-sized distinct shuffle against join fan-out
+    in the propagation rounds.  Pass False when the caller knows the
+    pair list is already duplicate-free (e.g. detectors emitting
+    disjoint pair sets); at 100 TB that saves a full pass over the edge
+    list.
 
     ``max_iter`` bounds the driver loop; with pointer jumping the label
     of the component minimum reaches every vertex in
@@ -89,9 +99,10 @@ def connected_components(
     )
     # symmetric closure once, up front; the checkpoint cuts the lineage
     # AND caches — it is rescanned every round
-    sym = cut(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if distinct_edges:
+        sym = sym.distinct()
+    sym = cut(sym)
     # init = the first propagation round fused into label creation:
     # label(u) = min(u, min neighbour).  Star- and clique-shaped
     # components (the overwhelming dedup case) are at their fixpoint
@@ -153,13 +164,19 @@ def resolve_clusters(
     id_b: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    distinct_edges: bool = True,
 ) -> DataFrame:
     """Dedup-pipeline face of :func:`connected_components`:
     (doc_id, cluster_id, cluster_size) for every doc in ≥1 pair, where
     ``cluster_id`` = the canonical (minimum) doc id of the component —
     the row a keep-one-per-cluster pass retains."""
     comp = connected_components(
-        pairs, src=id_a, dst=id_b, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+        pairs,
+        src=id_a,
+        dst=id_b,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        distinct_edges=distinct_edges,
     )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

@@ -79,24 +79,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_size).  Spark side is iterative min-label propagation +
     pointer jumping (operators/graph.py); the oracle recomputes the
     closure with a recursive CTE — same answer, different algorithm,
-    hash-checked."""
-    docs = _augmented_docs(spark, sf_dir)
-    fps = docs.select("doc_id", fingerprint_md5("text").alias("fp"))
-    groups = (
-        fps.groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .drop("n")
-    )
+    hash-checked.
+
+    Exact-dedup-first: MinHash runs only over one REPRESENTATIVE doc per
+    fingerprint (the min id), while the oracle minhashes the whole
+    corpus.  Same closure — identical texts have identical signatures,
+    so every full-corpus mh edge (a, b) is implied by the rep edge
+    (rep(a), rep(b)) plus the star edges a–rep(a), b–rep(b), and every
+    dropped vertex is a ≥2-member exact-group member that keeps its star
+    edge.  At 100 TB this is THE shape: a replica-heavy corpus shrinks
+    ~|corpus|→|distinct texts| before the expensive shingle+signature
+    stage, and C(n,2) intra-group pair emission never happens."""
+    # docs feeds the fingerprint pass AND the rep-side of the MinHash
+    # chain; fps feeds the group agg and the star-edge join — persist
+    # both so the corpus is scanned once and fingerprinted once
+    docs = _augmented_docs(spark, sf_dir).persist()
+    fps = docs.select("doc_id", fingerprint_md5("text").alias("fp")).persist()
+    groups = fps.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     exact_edges = (
         fps.join(groups, "fp")
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select(F.col("keep_id").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    mh_edges = dd.minhash_lsh_pairs(docs, threshold=0.6, base_hash="md5").select(
+    # broadcast the winner-id list (8 B per distinct text) so rep
+    # selection is a map-side semi join — the corpus never shuffles
+    reps = docs.join(
+        F.broadcast(groups.select(F.col("keep_id").alias("doc_id"))),
+        "doc_id",
+        "left_semi",
+    )
+    mh_edges = dd.minhash_lsh_pairs(reps, threshold=0.6, base_hash="md5").select(
         "id_a", "id_b"
     )
-    return resolve_clusters(exact_edges.unionByName(mh_edges))
+    # exact edges are keep→non-rep, mh edges are rep↔rep: disjoint by
+    # construction, so the symmetric-closure distinct can be skipped
+    return resolve_clusters(
+        exact_edges.unionByName(mh_edges), distinct_edges=False
+    )
 
 
 # --- decontamination --------------------------------------------------------

@@ -54,6 +54,26 @@ def test_ivf_prunes_scan(spark, embs):
     assert len(clusters) <= 4
 
 
+def test_ivf_multi_assign_improves_recall_no_dupes(spark, embs):
+    """n_assign=2 must (a) emit each vector at most once from search,
+    (b) strictly contain the single-assignment candidate set, so recall
+    can only go up at equal nprobe."""
+    a1, c1 = sim.build_ivf_index(embs, n_clusters=16, n_assign=1)
+    a2, c2 = sim.build_ivf_index(embs, n_clusters=16, n_assign=2)
+    # same KMeans seed → same centroids
+    assert [c for c, _ in c1] == [c for c, _ in c2]
+    n = embs.filter(F.col("embedding").isNotNull()).count()
+    assert a2.count() == 2 * n
+    # every (vec, primary cluster) row of a1 is present in a2
+    assert a1.select("vec_id", "cluster").exceptAll(
+        a2.select("vec_id", "cluster")
+    ).count() == 0
+    qv = [float(x) for x in embs.first()["embedding"]]
+    out = sim.ivf_search(a2, c2, qv, k=10, nprobe=4, multi_assigned=True).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert len(ids) == len(set(ids)) == 10
+
+
 def test_deterministic_embedder_is_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "spark window merge"), (2, ""), (3, None)], "id int, text string"
