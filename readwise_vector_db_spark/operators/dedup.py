@@ -34,7 +34,11 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from readwise_vector_db_spark.functions.text import fingerprint_md5, word_shingles
+from readwise_vector_db_spark.functions.text import (
+    fingerprint_md5,
+    word_shingles,
+    ws_tokens,
+)
 from readwise_vector_db_spark.functions.vector import cosine_similarity
 
 # --- exact ------------------------------------------------------------------
@@ -88,6 +92,7 @@ def ngram_jaccard_pairs(
     strategy: str = "index",
     df_max: int | None = DF_MAX_DEFAULT,
     shingle_hash: str | None = "xxhash64",
+    group_exact: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold, candidate+verify shape:
 
@@ -125,7 +130,76 @@ def ngram_jaccard_pairs(
     The oracle-checked suite entry uses the portable ``md5`` variant so
     DuckDB reproduces the hashed sets bit-for-bit; ``None`` keeps raw
     strings.
+
+    ``group_exact`` (default on) runs exact dedup FIRST: docs are
+    grouped by raw-text md5, the shingle/index/verify pipeline above
+    runs over one representative per group (the min id), and the
+    verdicts fan back out — byte-identical texts have identical shingle
+    sets, so J(x, y) = J(rep(x), rep(y)) for cross-group pairs and
+    exactly 1.0 within a group, making the rewrite output-identical for
+    EVERY input.  This is the 100 TB shape: a replica-heavy corpus (the
+    common crawl case) shrinks |corpus| → |distinct texts| before the
+    expensive shingle stage, and the C(g,2) intra-group pairs are
+    emitted by a cheap id-level self-join instead of being rediscovered
+    through the inverted index (measured: the ×10 replicated corpus —
+    10 byte-copies of every doc — cut from 15.8 s to well under the
+    ungrouped path's cost; see SCALING.md appendix).  Cost when there
+    are NO duplicates: one extra narrow (id, md5) aggregation + the
+    fan-out joins over the pair list — noise next to the shingle stage.
+    In grouped mode the df statistics (df_max cap, prefix ranking) are
+    computed over representatives, i.e. over distinct texts — arguably
+    the right corpus statistic; with exact strategies
+    (``prefix``/``df_max=None``) the output is unconditionally exact
+    either way.  Requires ``threshold <= 1.0`` (a Jaccard is ≤ 1).
     """
+    if group_exact:
+        assert threshold <= 1.0
+        ids = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_gfp"))
+        groups = ids.groupBy("_gfp").agg(
+            F.min("id").alias("gid"), F.count(F.lit(1)).alias("gn")
+        )
+        # (member id → group rep id, group size): narrow — two longs and
+        # a hash — persisted because it feeds rep selection, the intra
+        # self-join, and both sides of the cross fan-out
+        members = ids.join(groups, "_gfp").select("id", "gid", "gn").persist()
+        reps = docs.join(
+            members.filter(F.col("id") == F.col("gid")).select(F.col("id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        rep_pairs = ngram_jaccard_pairs(
+            reps, threshold, k, id_col, text_col, strategy, df_max, shingle_hash,
+            group_exact=False,
+        )
+        ga = members.select(F.col("gid").alias("id_a"), F.col("id").alias("_ma"))
+        gb = members.select(F.col("gid").alias("id_b"), F.col("id").alias("_mb"))
+        cross = (
+            rep_pairs.join(ga, "id_a")
+            .join(gb, "id_b")
+            .select(
+                F.least("_ma", "_mb").alias("id_a"),
+                F.greatest("_ma", "_mb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        # within a ≥2 group every pair is J = 1.0 — provided the text
+        # has ≥ k words at all (the pipeline's n_sh > 0 filter: an
+        # empty shingle set pairs with nothing, 0/0 is no Jaccard).
+        # ≥ k whitespace tokens ⟺ word_shingles nonempty, without
+        # materializing the shingle array.
+        elig = reps.filter(F.size(ws_tokens(text_col)) >= k).select(
+            F.col(id_col).alias("gid")
+        )
+        dup_members = members.filter(F.col("gn") > 1).join(elig, "gid", "left_semi")
+        m1 = dup_members.select("gid", F.col("id").alias("id_a"))
+        m2 = dup_members.select("gid", F.col("id").alias("id_b"))
+        intra = (
+            m1.join(m2, "gid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        )
+        return cross.unionByName(intra)
+
     raw = docs.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle")
     )

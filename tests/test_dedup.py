@@ -109,3 +109,32 @@ def test_lsh_embedding_pairs_finds_planted_duplicates(spark):
         (r["id_a"], r["id_b"]) for r in lsh_embedding_pairs(aug, 0.999).collect()
     }
     assert exact and approx == exact
+
+
+def test_ngram_grouped_matches_ungrouped(spark, docs):
+    """``group_exact`` pre-dedup must be output-identical on a corpus
+    with byte-identical duplicate groups: cross-group pairs carry the
+    rep pair's Jaccard, intra-group pairs are exactly 1.0, and a
+    duplicate group of <k-word texts (empty shingle sets) emits
+    nothing."""
+    dups = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    short = spark.createDataFrame(
+        [(900001, "aa bb"), (900002, "aa bb")], "doc_id long, text string"
+    )
+    aug = docs.unionByName(dups).unionByName(short)
+    grouped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(aug, threshold=0.6, group_exact=True).collect()
+    }
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(aug, threshold=0.6, group_exact=False).collect()
+    }
+    assert grouped == plain
+    # planted byte-copies appear as intra-group pairs at exactly 1.0
+    planted = [p for p in grouped if p[1] == p[0] + 1000000]
+    assert planted and all(grouped[p] == 1.0 for p in planted)
+    # the short-text duplicate group has no shingles -> no pair
+    assert (900001, 900002) not in grouped

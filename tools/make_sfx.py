@@ -3,9 +3,13 @@
 Usage: python tools/make_sfx.py <src_sf_dir> <out_dir> [N]
 
 Produces a join-consistent corpus N× the source: every key column is
-offset per copy by ``i * stride`` (stride = a round power of ten above
-the source's max key), so join cardinalities grow linearly — copy i's
-lineitem rows join copy i's orders/customer rows only.  Shared small
+offset per copy by ``i * stride``.  The stride is a SINGLE round power
+of ten above the max key across ALL remapped tables — key domains span
+tables (o_custkey ↔ c_custkey, l_partkey ↔ p_partkey, …), so a
+per-table stride would shift the two sides of an FK pair by different
+amounts and leave every copy i ≥ 1 dangling.  With one global stride,
+copy i's lineitem rows join copy i's orders/customer/part/supplier
+rows exactly, and join cardinalities grow linearly.  Shared small
 dimensions (region, nation) keep a single copy, and the foreign keys
 into them are left unmapped.  Timestamps are untouched (the time domain
 is the same; density grows N×, which is what a bigger day of events
@@ -39,10 +43,18 @@ REMAP: dict[str, list[str]] = {
 SHARED = ["region", "nation"]
 
 
-def _stride(df: DataFrame, keys: list[str]) -> int:
-    maxes = [F.max(k) for k in keys]
-    agg = maxes[0] if len(maxes) == 1 else F.greatest(*maxes)
-    mx = df.select(agg.alias("m")).first()["m"] or 0
+def _global_stride(spark: SparkSession, src: str) -> int:
+    """One stride for every key domain: pow10 above the max key over all
+    remapped tables.  Key domains cross tables (o_custkey must stay
+    aligned with c_custkey under the same copy offset), so the stride
+    must be shared — never computed per table."""
+    mx = 0
+    for name, keys in REMAP.items():
+        df = spark.read.parquet(f"{src}/{name}.parquet")
+        maxes = [F.max(k) for k in keys]
+        agg = maxes[0] if len(maxes) == 1 else F.greatest(*maxes)
+        m = df.select(agg.alias("m")).first()["m"] or 0
+        mx = max(mx, int(m))
     s = 10
     while s <= mx:
         s *= 10
@@ -51,13 +63,13 @@ def _stride(df: DataFrame, keys: list[str]) -> int:
 
 def replicate(spark: SparkSession, src: str, out: str, n: int) -> None:
     os.makedirs(out, exist_ok=True)
+    stride = _global_stride(spark, src)
     for name in SHARED:
         spark.read.parquet(f"{src}/{name}.parquet").write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
     for name, keys in REMAP.items():
         df = spark.read.parquet(f"{src}/{name}.parquet")
-        stride = _stride(df, keys)
         copies = [
             df.select(
                 *[
