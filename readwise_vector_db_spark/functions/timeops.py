@@ -36,17 +36,20 @@ def epoch_us(col: Column | str) -> Column:
 def epoch_s(col: Column | str) -> Column:
     """FLOOR whole seconds since epoch of an NTZ wall time.
 
-    ``timestamp_diff("SECOND", …)`` truncates toward zero, which differs
-    from floor for pre-1970 times with sub-second parts (1969-12-31
-    23:59:59.5 → 0 truncated vs −1 floored); the correction term keeps
-    floor semantics across the whole timeline, all in exact integer math.
-    Equals ``floor(DuckDB epoch(ts))`` — DuckDB's ``epoch()`` itself
-    returns a fractional DOUBLE, so compare against its floor, not it.
+    Derived from the single µs extraction: ``pmod`` rounds the µs count
+    down to the second boundary (floor semantics for pre-1970 times with
+    sub-second parts, where plain SECOND truncation rounds toward zero:
+    1969-12-31 23:59:59.5 → −1 floored, not 0), and the division is then
+    exact — the floored µs count is a multiple of 10⁶ representable
+    exactly in a double for |ts| within ±2^53 µs (≈ year 285), so the
+    quotient is the exact integer.  One ``timestamp_diff`` and no branch
+    vs the earlier trunc-plus-correction form (the per-row cost the r3
+    events-window bench regression pointed at).  Equals
+    ``floor(DuckDB epoch(ts))`` — DuckDB's ``epoch()`` itself returns a
+    fractional DOUBLE, so compare against its floor, not it.
     """
-    c = _as_col(col)
-    s_trunc = F.timestamp_diff("SECOND", _epoch_ntz(), c)
-    us = epoch_us(c)
-    return s_trunc - F.when(us < s_trunc * F.lit(1_000_000), F.lit(1)).otherwise(F.lit(0))
+    us = epoch_us(col)
+    return ((us - F.pmod(us, F.lit(1_000_000))) / F.lit(1_000_000)).cast("long")
 
 
 def hour_bucket_s(col: Column | str) -> Column:

@@ -886,7 +886,11 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
-    w_run = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+    # same sort key as w_order (ts ↔ ts_us is a monotone bijection, so
+    # ordering by either is the same permutation): both window functions
+    # then share one sort and one Window operator instead of paying a
+    # second per-partition sort for a differently-keyed-but-equal order
+    w_run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     sessions = flagged.withColumn("session_id", F.sum("is_new").over(w_run).cast("long"))
