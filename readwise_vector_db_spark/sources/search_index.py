@@ -23,8 +23,7 @@ regenerated fixture never serves a stale index.
 
 from __future__ import annotations
 
-import functools
-import json
+
 import os
 import re
 import shutil
@@ -107,10 +106,23 @@ def build_search_index(spark: SparkSession, sf_dir: str, force: bool = False) ->
     return True
 
 
-@functools.lru_cache(maxsize=4096)
-def _stored_vec_cached(vec_dir: str, qid: str, _fp: str) -> tuple[float, ...] | None:
-    # _fp (source fingerprint) keys staleness: a regenerated fixture
-    # changes the fingerprint and misses this cache.
+# (vec_dir, qid, source-fingerprint) → embedding.  Driver-process-local
+# memo (a forked worker would start empty, never stale — lookups happen
+# only on the driver).  MISSES ARE NOT CACHED: a lookup racing a layout
+# rebuild can legitimately see a partial/empty vectors dir, and a cached
+# None would silently force the Spark-fetch fallback for that id until
+# the source fixture's mtime changed.  A found vector is safe to cache —
+# for a fixed source fingerprint the value can't change (force rebuilds
+# rewrite the same rows).
+_VEC_CACHE: dict[tuple[str, str, str], tuple[float, ...]] = {}
+_VEC_CACHE_MAX = 4096
+
+
+def _stored_vec_cached(vec_dir: str, qid: str, fp: str) -> tuple[float, ...] | None:
+    key = (vec_dir, qid, fp)
+    hit = _VEC_CACHE.get(key)
+    if hit is not None:
+        return hit
     import duckdb
 
     row = (
@@ -121,7 +133,13 @@ def _stored_vec_cached(vec_dir: str, qid: str, _fp: str) -> tuple[float, ...] | 
         )
         .fetchone()
     )
-    return tuple(float(x) for x in row[0]) if row else None
+    if row is None:
+        return None
+    if len(_VEC_CACHE) >= _VEC_CACHE_MAX:
+        _VEC_CACHE.clear()
+    vec = tuple(float(x) for x in row[0])
+    _VEC_CACHE[key] = vec
+    return vec
 
 
 def stored_query_vector(sf_dir: str, qid: str) -> list[float] | None:
@@ -171,6 +189,20 @@ def warm_tables(
     hit = _HANDLES.get(key)
     if hit is not None:
         return hit
+    # fingerprint miss: evict superseded generations for this (app, tag)
+    # — without this a long-lived serving session that regenerates its
+    # fixture leaks storage memory (the old entry's cached DataFrames
+    # stay pinned over dropped/re-created catalog tables forever)
+    for stale in [
+        k for k in _HANDLES if k[0] == key[0] and k[1] == key[1] and k[2] != fp
+    ]:
+        old_meta, old_vec = _HANDLES.pop(stale)
+        if stale[3]:
+            try:
+                old_meta.unpersist()
+                old_vec.unpersist()
+            except Exception:
+                pass
     tag = _tag(sf_dir)
     base = _INDEX_ROOT / tag
     vname, mname = f"rw_warm_vectors_{tag}", f"rw_warm_meta_{tag}"

@@ -182,3 +182,13 @@ def test_warm_handles_memoized_and_fingerprint_invalidated(spark, tmp_path):
     assert c[0] is not a[0]
     # the rebuilt handles still serve correct data
     assert c[1].count() == a[1].count() > 0
+    # the superseded generation is EVICTED, not leaked: exactly one
+    # handle entry remains for this (app, tag), and the old cached
+    # DataFrames were unpersisted (storage memory released)
+    app = spark.sparkContext.applicationId
+    tag = si._tag(src)
+    live = [k for k in si._HANDLES if k[0] == app and k[1] == tag]
+    assert len(live) == 1
+    # (storageLevel can't distinguish old from new here: both handles
+    # resolve the same catalog table name, and Spark's cache registry is
+    # plan-keyed — the eviction itself is what the count above pins.)
