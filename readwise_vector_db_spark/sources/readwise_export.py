@@ -165,14 +165,32 @@ def parse_export(raw: DataFrame) -> DataFrame:
     )
 
 
-def embed_input(df: DataFrame, max_tokens: int | None = None) -> DataFrame:
+def embed_input(
+    df: DataFrame, max_tokens: int | None = None, tokenizer: str = "bpe"
+) -> DataFrame:
     """text + optional note → the string the embedder sees
     (reference jobs/incremental.py:58: f"{text} {note or ''}"), capped at
     the embedding input limit (C3; reference core/embedding.py:24-31
-    truncates to 8191 tokens before every embed call)."""
+    truncates to 8191 tokens before every embed call).
+
+    ``tokenizer="bpe"`` (default) counts the cap in BPE tokens like the
+    reference's tiktoken cl100k_base does — an Arrow-batched UDF over
+    functions/bpe.py (drop the real rank artifact at $RWVDB_BPE_RANKS
+    for bit-level parity; the pinned table otherwise).  ``"ws"`` is the
+    whitespace proxy: pure codegen, correct only when "token" means
+    whitespace token — kept for SQL-oracle-parity call sites."""
     from readwise_vector_db_spark.functions.embedder import MAX_TOKENS
-    from readwise_vector_db_spark.functions.text import truncate_tokens
 
     joined = F.concat_ws(" ", "text", "note")
-    capped = truncate_tokens(joined, max_tokens or MAX_TOKENS)
+    cap = max_tokens or MAX_TOKENS
+    if tokenizer == "bpe":
+        from readwise_vector_db_spark.functions.bpe import bpe_truncate
+
+        capped = bpe_truncate(joined, cap)
+    elif tokenizer == "ws":
+        from readwise_vector_db_spark.functions.text import truncate_tokens
+
+        capped = truncate_tokens(joined, cap)
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     return df.withColumn("embed_text", capped)

@@ -1,0 +1,155 @@
+"""BPE tokenizer: cl100k-parity mechanics over a pinned rank table.
+
+The counts below are RECORDED fixtures for the pinned deterministic
+vocabulary (functions/bpe.py trains it from a fixed corpus with a fully
+deterministic trainer).  True cl100k_base counts require the ~1.7 MB
+public rank artifact, unavailable offline — the mechanics (published
+split regex, greedy lowest-rank byte merges) are identical, and
+pointing $RWVDB_BPE_RANKS at the real artifact swaps tables without a
+code change (the loader is round-tripped below on a miniature file).
+"""
+
+import base64
+
+import pytest
+
+from readwise_vector_db_spark.functions import bpe
+
+# (text, recorded token count under the pinned vocabulary)
+RECORDED = [
+    ("The quick brown fox jumps over the lazy dog.", 14),
+    ("it's a truth universally acknowledged, isn't it?", 23),
+    ("wir müssen wissen — straße, façade, niño, œuvre", 23),
+    ("学而时习之 日本語のテキスト 🙂", 31),
+    ("def tokenize(text): return [t for t in text.split()] # 3.14159", 43),
+    ("", 0),
+    ("a", 1),
+    ("  leading and   irregular   whitespace\n\nnewlines\r\n", 38),
+]
+
+
+@pytest.mark.parametrize("text,n", RECORDED)
+def test_recorded_counts_exact(text, n):
+    assert bpe.count_tokens(text) == n
+    assert len(bpe.encode(text)) == n
+
+
+@pytest.mark.parametrize("text,n", RECORDED)
+def test_encode_decode_roundtrip(text, n):
+    """Byte-level BPE must reconstruct the exact original string."""
+    assert bpe.decode(bpe.encode(text)) == text
+
+
+def test_trainer_is_deterministic():
+    a = bpe.train_bpe(bpe._PINNED_CORPUS, bpe.PINNED_VOCAB_SIZE)
+    b = bpe.train_bpe(bpe._PINNED_CORPUS, bpe.PINNED_VOCAB_SIZE)
+    assert a == b
+    assert len(a) == bpe.PINNED_VOCAB_SIZE
+
+
+def test_pretokenizer_matches_cl100k_shapes():
+    """The published split regex: contractions split off, digits chunk
+    in threes, leading space glues to the following word."""
+    assert bpe.pretokenize("don't stop") == ["don", "'t", " stop"]
+    assert bpe.pretokenize("I'll we've they're") == [
+        "I", "'ll", " we", "'ve", " they", "'re",
+    ]
+    assert bpe.pretokenize("1234567") == ["123", "456", "7"]
+    assert bpe.pretokenize("hello, world!") == ["hello", ",", " world", "!"]
+
+
+def test_truncate_exact_cap():
+    """Reference semantics (core/embedding.py:24-31): texts over the cap
+    come back at EXACTLY the cap; shorter texts are returned verbatim."""
+    long = "word " * 10_000
+    out = bpe.truncate_to_tokens(long, 8191)
+    assert bpe.count_tokens(out) == 8191
+    short = "just a few tokens"
+    assert bpe.truncate_to_tokens(short, 8191) == short
+
+
+def test_truncate_mid_character_replaces():
+    """Truncating inside a multi-byte char mirrors tiktoken's
+    errors='replace' decode instead of raising."""
+    text = "🚀" * 50  # not in the pinned corpus -> spans several tokens
+    per = bpe.count_tokens("🚀")
+    assert per > 1
+    out = bpe.truncate_to_tokens(text, per + 1)
+    assert "�" in out  # split multi-byte char -> replacement char
+
+
+def test_tiktoken_file_loader_roundtrip(tmp_path):
+    """The public .tiktoken format (base64 token + rank per line) loads
+    into a usable rank table."""
+    ranks = {bytes([i]): i for i in range(256)}
+    ranks[b"th"] = 256
+    ranks[b"the"] = 257
+    p = tmp_path / "mini.tiktoken"
+    p.write_bytes(
+        b"\n".join(
+            base64.b64encode(tok) + b" " + str(r).encode() for tok, r in ranks.items()
+        )
+    )
+    loaded = bpe.load_tiktoken_ranks(str(p))
+    assert loaded == ranks
+    assert bpe.encode("the the", loaded) == [257, 32, 257]
+
+
+def test_env_ranks_override(tmp_path, monkeypatch):
+    """$RWVDB_BPE_RANKS swaps in an external table — the cl100k plug
+    point — without code changes."""
+    ranks = {bytes([i]): i for i in range(256)}
+    ranks[b"ab"] = 256
+    p = tmp_path / "ext.tiktoken"
+    p.write_bytes(
+        b"\n".join(
+            base64.b64encode(t) + b" " + str(r).encode() for t, r in ranks.items()
+        )
+    )
+    monkeypatch.setenv(bpe.RANKS_ENV, str(p))
+    bpe.default_ranks.cache_clear()
+    try:
+        assert bpe.count_tokens("ab") == 1
+        assert bpe.count_tokens("ba") == 2
+    finally:
+        bpe.default_ranks.cache_clear()
+
+
+def test_spark_bpe_udf_matches_driver(spark):
+    """The Arrow-batched UDFs agree with the driver-side encoder."""
+    texts = [t for t, _ in RECORDED if t]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    rows = df.select(
+        "id",
+        bpe.bpe_count("text").alias("n"),
+        bpe.bpe_truncate("text", 5).alias("t5"),
+    ).collect()
+    for r in rows:
+        text = texts[r["id"]]
+        assert r["n"] == bpe.count_tokens(text)
+        assert r["t5"] == bpe.truncate_to_tokens(text, 5)
+
+
+def test_pack_sequences_with_bpe_budget(spark):
+    """Sequence packing against a real BPE budget: pack_sequences is
+    tokenizer-agnostic via token_col, so feeding bpe_count makes the
+    capacity a cl100k-style budget (the reference's budgets are tiktoken
+    budgets) — offsets must advance by exactly the BPE counts."""
+    from readwise_vector_db_spark.operators.sampling import pack_sequences
+
+    texts = [t for t, _ in RECORDED if t]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).withColumn("n_tokens", bpe.bpe_count("text").cast("long"))
+    rows = pack_sequences(docs, capacity=16, n_shards=2).collect()
+    assert len(rows) == len(texts)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in shard_rows:
+            assert r["start_tok"] == offset
+            assert r["n_tokens"] == bpe.count_tokens(texts[r["doc_id"]])
+            offset += r["n_tokens"]

@@ -256,10 +256,18 @@ def test_parse_reader_list(spark, tmp_path):
 def test_embed_input_truncates_to_token_cap(spark):
     from readwise_vector_db_spark.sources.readwise_export import embed_input
 
+    from readwise_vector_db_spark.functions import bpe
+
     long_text = " ".join(f"tok{i}" for i in range(20))
     df = spark.createDataFrame([(long_text, "note")], "text STRING, note STRING")
+    # default path: the cap is a real BPE budget (reference counts with
+    # tiktoken, core/embedding.py:24-31)
     out = embed_input(df, max_tokens=5).first()["embed_text"]
-    assert out == "tok0 tok1 tok2 tok3 tok4"
+    assert out == bpe.truncate_to_tokens(long_text + " note", 5)
+    assert bpe.count_tokens(out) == 5
+    # whitespace proxy stays available for SQL-parity call sites
+    ws = embed_input(df, max_tokens=5, tokenizer="ws").first()["embed_text"]
+    assert ws == "tok0 tok1 tok2 tok3 tok4"
     # default cap leaves short inputs untouched (text + note joined)
     short = embed_input(df).first()["embed_text"]
     assert short == long_text + " note"
