@@ -97,12 +97,17 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
     )
-    # symmetric closure once, up front; the checkpoint cuts the lineage
-    # AND caches — it is rescanned every round
+    # symmetric closure once, up front.  persist(), not checkpoint: sym
+    # is rescanned every round so it must be cached, but its lineage is
+    # STATIC (one union over the input) — only the labels table's
+    # lineage grows per round and needs truncation.  An eager checkpoint
+    # here cost one extra materialization pass before the first real
+    # action; on executor loss the shallow recompute is the right trade
+    # even in reliable-checkpoint mode.
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if distinct_edges:
         sym = sym.distinct()
-    sym = cut(sym)
+    sym = sym.persist()
     # init = the first propagation round fused into label creation:
     # label(u) = min(u, min neighbour).  Star- and clique-shaped
     # components (the overwhelming dedup case) are at their fixpoint

@@ -108,9 +108,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_semi",
     )
-    mh_edges = dd.minhash_lsh_pairs(reps, threshold=0.6, base_hash="md5").select(
-        "id_a", "id_b"
-    )
+    # dedupe_pairs=False: multi-band collisions emit duplicate edges,
+    # which CC's min-aggregation absorbs — skipping the distinct saves a
+    # full candidate-list shuffle
+    mh_edges = dd.minhash_lsh_pairs(
+        reps, threshold=0.6, base_hash="md5", dedupe_pairs=False
+    ).select("id_a", "id_b")
     # exact edges are keep→non-rep, mh edges are rep↔rep: disjoint by
     # construction, so the symmetric-closure distinct can be skipped
     return resolve_clusters(
@@ -315,7 +318,10 @@ def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = docs.filter(
         (F.round(T.quality_score("text"), 6) >= 0.4) & (T.lang_id("text") == "en")
     )
-    exact = dd.exact_dedup(flagged, id_col="doc_id", text_col="text")
+    # persist: the scored+deduped survivors feed the MinHash chain AND
+    # the final anti-join — without it the quality/lang scan and the
+    # fingerprint dedup (the two corpus passes) execute twice
+    exact = dd.exact_dedup(flagged, id_col="doc_id", text_col="text").persist()
     pairs = dd.minhash_lsh_pairs(
         exact, threshold=0.6, id_col="doc_id", text_col="text", base_hash="md5"
     )
