@@ -122,6 +122,10 @@ def ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_query = (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
     dups = embs.filter(is_query).withColumn("vec_id", F.col("vec_id") + 1000000)
     assigned, centroids = sim.build_ivf_index(embs.unionByName(dups), n_clusters=16)
+    # persist: the five probe branches below each scan the assigned
+    # layout — uncached, every branch re-runs the KMeans transform over
+    # the corpus union
+    assigned = assigned.persist()
     # Q=5 query vectors are index metadata — driver-sized by construction
     qrows = embs.filter(is_query).select("vec_id", "embedding").collect()
     parts = []
