@@ -271,7 +271,13 @@ def main() -> None:
         (emb_times[reps // 2 - 1] + emb_times[reps // 2]) / 2
     )
 
-    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    # "sf0.1" -> 0.1; non-numeric tags (replicated corpora like "sfx10")
+    # fall back to the tag string so the run still reports
+    tag = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf: float | str = float(tag or 0)
+    except ValueError:
+        sf = tag
     out = {
         "metric": "total_wall_sec",
         "value": round(sum(timings.values()), 3),
