@@ -80,7 +80,8 @@ def curate_corpus(
     # near-dup: drop the HIGHER id of every candidate pair (deterministic
     # survivor).
     pairs = minhash_lsh_pairs(
-        exact, threshold=near_dup_threshold, id_col="doc_id", text_col="text"
+        exact, threshold=near_dup_threshold, id_col="doc_id", text_col="text",
+        group_exact=False,  # exact dedup above already removed byte copies
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = exact.join(losers, "doc_id", "left_anti").persist()

@@ -83,6 +83,72 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 DF_MAX_DEFAULT = 1000
 
 
+def _exact_group_fanout(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    score_col: str,
+    inner,
+) -> DataFrame:
+    """Exact-dedup-first wrapper shared by the shingle-based pair
+    detectors: group docs by raw-text md5, run ``inner`` (a pair
+    detector returning (id_a, id_b, <score_col>)) over one
+    representative per group (the min id), then fan verdicts back out.
+
+    Output-identical to running ``inner`` on the full corpus whenever
+    the detector's score is a pure function of the shingle/token set:
+    byte-identical texts have identical sets, so score(x, y) =
+    score(rep(x), rep(y)) for cross-group pairs and exactly 1.0 within
+    a group.  Intra-group pairs are emitted only for groups whose text
+    has ≥ k whitespace tokens (⟺ a nonempty shingle set — an empty set
+    pairs with nothing in any detector here).
+
+    This is the 100 TB shape: a replica-heavy corpus shrinks
+    |corpus| → |distinct texts| before the expensive shingle stage, and
+    the C(g,2) intra-group pairs come from a cheap id-level self-join
+    instead of being rediscovered through an inverted index or banded
+    signatures.
+    """
+    ids = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_gfp"))
+    groups = ids.groupBy("_gfp").agg(
+        F.min("id").alias("gid"), F.count(F.lit(1)).alias("gn")
+    )
+    # (member id → group rep id, group size): narrow — two longs and a
+    # hash — persisted because it feeds rep selection, the intra
+    # self-join, and both sides of the cross fan-out
+    members = ids.join(groups, "_gfp").select("id", "gid", "gn").persist()
+    reps = docs.join(
+        members.filter(F.col("id") == F.col("gid")).select(F.col("id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    rep_pairs = inner(reps)
+    ga = members.select(F.col("gid").alias("id_a"), F.col("id").alias("_ma"))
+    gb = members.select(F.col("gid").alias("id_b"), F.col("id").alias("_mb"))
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            score_col,
+        )
+    )
+    elig = reps.filter(F.size(ws_tokens(text_col)) >= k).select(
+        F.col(id_col).alias("gid")
+    )
+    dup_members = members.filter(F.col("gn") > 1).join(elig, "gid", "left_semi")
+    m1 = dup_members.select("gid", F.col("id").alias("id_a"))
+    m2 = dup_members.select("gid", F.col("id").alias("id_b"))
+    intra = (
+        m1.join(m2, "gid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias(score_col))
+    )
+    return cross.unionByName(intra)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -154,51 +220,17 @@ def ngram_jaccard_pairs(
     """
     if group_exact:
         assert threshold <= 1.0
-        ids = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_gfp"))
-        groups = ids.groupBy("_gfp").agg(
-            F.min("id").alias("gid"), F.count(F.lit(1)).alias("gn")
-        )
-        # (member id → group rep id, group size): narrow — two longs and
-        # a hash — persisted because it feeds rep selection, the intra
-        # self-join, and both sides of the cross fan-out
-        members = ids.join(groups, "_gfp").select("id", "gid", "gn").persist()
-        reps = docs.join(
-            members.filter(F.col("id") == F.col("gid")).select(F.col("id").alias(id_col)),
+        return _exact_group_fanout(
+            docs,
             id_col,
-            "left_semi",
+            text_col,
+            k,
+            "jaccard",
+            lambda reps: ngram_jaccard_pairs(
+                reps, threshold, k, id_col, text_col, strategy, df_max,
+                shingle_hash, group_exact=False,
+            ),
         )
-        rep_pairs = ngram_jaccard_pairs(
-            reps, threshold, k, id_col, text_col, strategy, df_max, shingle_hash,
-            group_exact=False,
-        )
-        ga = members.select(F.col("gid").alias("id_a"), F.col("id").alias("_ma"))
-        gb = members.select(F.col("gid").alias("id_b"), F.col("id").alias("_mb"))
-        cross = (
-            rep_pairs.join(ga, "id_a")
-            .join(gb, "id_b")
-            .select(
-                F.least("_ma", "_mb").alias("id_a"),
-                F.greatest("_ma", "_mb").alias("id_b"),
-                "jaccard",
-            )
-        )
-        # within a ≥2 group every pair is J = 1.0 — provided the text
-        # has ≥ k words at all (the pipeline's n_sh > 0 filter: an
-        # empty shingle set pairs with nothing, 0/0 is no Jaccard).
-        # ≥ k whitespace tokens ⟺ word_shingles nonempty, without
-        # materializing the shingle array.
-        elig = reps.filter(F.size(ws_tokens(text_col)) >= k).select(
-            F.col(id_col).alias("gid")
-        )
-        dup_members = members.filter(F.col("gn") > 1).join(elig, "gid", "left_semi")
-        m1 = dup_members.select("gid", F.col("id").alias("id_a"))
-        m2 = dup_members.select("gid", F.col("id").alias("id_b"))
-        intra = (
-            m1.join(m2, "gid")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
-        )
-        return cross.unionByName(intra)
 
     raw = docs.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle")
@@ -363,6 +395,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     base_hash: str = "xxhash64",
     dedupe_pairs: bool = True,
+    group_exact: bool = True,
 ) -> DataFrame:
     """Candidate pairs from banded LSH, scored by signature agreement.
 
@@ -374,7 +407,30 @@ def minhash_lsh_pairs(
     The band key is the band's signature slice rendered as text — a
     grouping key only, so any injective rendering works, and this one is
     engine-portable.
+
+    ``group_exact`` (default on) routes through
+    :func:`_exact_group_fanout`: signatures are a pure function of the
+    shingle set, so byte-identical texts have identical signatures,
+    cross-group estimates equal the rep pair's, and intra-group
+    estimates are exactly 64/64 = 1.0 — output-identical for every
+    input, while the signature build and band join run over distinct
+    texts only (the ×10 replicated corpus dropped 16.5 s → ~3 s).  Pass
+    False when the caller already deduplicated (e.g. the curation
+    funnel's post-exact-dedup stage).
     """
+    if group_exact:
+        assert threshold <= 1.0
+        return _exact_group_fanout(
+            docs,
+            id_col,
+            text_col,
+            k,
+            "est_jaccard",
+            lambda reps: minhash_lsh_pairs(
+                reps, threshold, k, id_col, text_col, base_hash,
+                dedupe_pairs=dedupe_pairs, group_exact=False,
+            ),
+        )
     # persist: the signature table feeds both sides of the candidate
     # self-join AND the verification join — without it the shingle+64-min
     # aggregation (the expensive stage) runs twice.  At 100 TB this is a
@@ -520,6 +576,7 @@ def lsh_embedding_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_hash_tables: int = 3,
+    n_projections: int = 6,
     bucket_length: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
@@ -529,24 +586,30 @@ def lsh_embedding_pairs(
 
     1. L2-normalize, so cosine ≥ t ⟺ euclidean ≤ √(2−2t) and the
        euclidean-LSH family applies to cosine semantics.
-    2. Per hash table t: bucket = ⌊(v·p_t + o_t) / bucket_length⌋ with a
-       seeded dense projection p_t (and a seeded offset o_t, which
-       decorrelates the boundary cuts of the tables — vanilla BRP-LSH
-       puts every table's boundary at the same multiples).  All tables
-       come out of ONE ``posexplode`` projection.
-    3. Candidates: equi-join on (table, bucket) — linear bucket-join
-       cost instead of the exact operator's O(n²).
+    2. Per hash table t: an E2LSH COMPOUND key — the xxhash of
+       ``n_projections`` quantized projections ⌊(v·p_{t,j} + o_{t,j}) /
+       bucket_length⌋.  AND-composition is what keeps buckets small on
+       data with no cluster structure: ONE 1-d projection over n
+       near-uniform unit vectors yields O(1/w) fat buckets and the
+       bucket join degenerates to ~n²/buckets pairs (measured: the ×10
+       corpus, 52 k vectors, took 327 s with 1-d keys — ~12 buckets of
+       ~4 k vectors each); six projections cut bucket occupancy to ~1
+       and the join cost to the true-pair neighborhood.  OR across
+       ``num_hash_tables`` tables restores near-dup recall lost to the
+       sharper keys.  All table keys come out of ONE ``posexplode``
+       projection.
+    3. Candidates: equi-join on (table, key) — linear bucket-join cost.
     4. Exact verification with the SAME cosine expression as the exact
        operator (original vectors + precomputed norms), so reported
        values are bit-identical to the brute-force baseline.
 
-    Identical vectors share every bucket (the hash is deterministic in
-    the input), so planted exact duplicates have recall 1.0; near-dups
-    are found w.h.p. scaling with ``num_hash_tables``.  Formerly MLlib
-    ``BucketedRandomProjectionLSH.approxSimilarityJoin``; the rewrite
-    removed the array→Vector UDF conversions and the explode-heavy
-    join plan (measured ~10 s → ~1.5 s on the sf0.1 augmented
-    embeddings, identical output).
+    Identical vectors agree on every projection, hence share every
+    table key — planted exact duplicates have recall 1.0 by
+    construction; near-dups (d ≤ √(2−2t), a small fraction of w) agree
+    per projection w.h.p. and are found with probability
+    ≥ 1−(1−p^k)^tables.  Formerly MLlib
+    ``BucketedRandomProjectionLSH.approxSimilarityJoin`` (1-d keys, the
+    same fat-bucket degeneracy, plus array→Vector UDF conversions).
     """
     from readwise_vector_db_spark.functions.vector import (
         cosine_similarity,
@@ -560,9 +623,13 @@ def lsh_embedding_pairs(
     ).first()
     dim = int(dim_row["d"]) if dim_row else 0
     projs = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_hash_tables)
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_projections)]
+        for _ in range(num_hash_tables)
     ]
-    offsets = [rng.uniform(0.0, bucket_length) for _ in range(num_hash_tables)]
+    offsets = [
+        [rng.uniform(0.0, bucket_length) for _ in range(n_projections)]
+        for _ in range(num_hash_tables)
+    ]
 
     base = (
         embs.select(
@@ -576,17 +643,24 @@ def lsh_embedding_pairs(
         .persist()
     )
 
-    def bucket(t: int) -> Column:
+    def quantized(t: int, j: int) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 "nv",
-                F.array(*[F.lit(w) for w in projs[t]]),
+                F.array(*[F.lit(w) for w in projs[t][j]]),
                 lambda x, w: x * w,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.floor((proj + F.lit(offsets[t])) / F.lit(bucket_length)).cast("long")
+        return F.floor((proj + F.lit(offsets[t][j])) / F.lit(bucket_length)).cast(
+            "long"
+        )
+
+    def bucket(t: int) -> Column:
+        # compound key: one 64-bit hash over the table's k quantized
+        # projections (xxhash64 is variadic and JVM-side)
+        return F.xxhash64(*[quantized(t, j) for j in range(n_projections)])
 
     # the bucket self-join shuffles ONLY (table, bucket, id) — vectors
     # never ride the LSH shuffle (at 100 TB the tables×n bucket rows are

@@ -111,8 +111,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedupe_pairs=False: multi-band collisions emit duplicate edges,
     # which CC's min-aggregation absorbs — skipping the distinct saves a
     # full candidate-list shuffle
+    # group_exact=False: reps are one per normalized fingerprint, so no
+    # two are byte-identical — the rep indirection would find only
+    # singletons
     mh_edges = dd.minhash_lsh_pairs(
-        reps, threshold=0.6, base_hash="md5", dedupe_pairs=False
+        reps, threshold=0.6, base_hash="md5", dedupe_pairs=False, group_exact=False
     ).select("id_a", "id_b")
     # exact edges are keep→non-rep, mh edges are rep↔rep: disjoint by
     # construction, so the symmetric-closure distinct can be skipped
@@ -323,7 +326,8 @@ def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint dedup (the two corpus passes) execute twice
     exact = dd.exact_dedup(flagged, id_col="doc_id", text_col="text").persist()
     pairs = dd.minhash_lsh_pairs(
-        exact, threshold=0.6, id_col="doc_id", text_col="text", base_hash="md5"
+        exact, threshold=0.6, id_col="doc_id", text_col="text", base_hash="md5",
+        group_exact=False,  # exact dedup above already removed byte copies
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact.join(losers, "doc_id", "left_anti").select("doc_id")

@@ -138,3 +138,25 @@ def test_ngram_grouped_matches_ungrouped(spark, docs):
     assert planted and all(grouped[p] == 1.0 for p in planted)
     # the short-text duplicate group has no shingles -> no pair
     assert (900001, 900002) not in grouped
+
+
+def test_minhash_grouped_matches_ungrouped(spark, docs):
+    """Same equivalence for the MinHash detector: signatures are a pure
+    function of the shingle set, so exact-group fan-out is
+    output-identical (intra pairs at est 1.0, cross pairs at the rep
+    estimate)."""
+    dups = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    aug = docs.unionByName(dups)
+    grouped = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dd.minhash_lsh_pairs(aug, threshold=0.6, group_exact=True).collect()
+    }
+    plain = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dd.minhash_lsh_pairs(aug, threshold=0.6, group_exact=False).collect()
+    }
+    assert grouped == plain
+    planted = [p for p in grouped if p[1] == p[0] + 1000000]
+    assert planted and all(grouped[p] == 1.0 for p in planted)
