@@ -85,7 +85,15 @@ def connected_components(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def cut(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            # persist first: RDD checkpoint runs a SEPARATE job to write
+            # the files, and without a cache that job recomputes the
+            # whole plan a second time (the classic reliable-checkpoint
+            # trap).  The cache is dropped as soon as the files are down
+            # — the checkpointed data is the durable copy.
+            df = df.persist()
+            out = df.checkpoint(eager=True)
+            df.unpersist()
+            return out
 
     else:
 
