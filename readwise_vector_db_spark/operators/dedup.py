@@ -90,6 +90,7 @@ def _exact_group_fanout(
     k: int,
     score_col: str,
     inner,
+    intra_score: Column | None = None,
 ) -> DataFrame:
     """Exact-dedup-first wrapper shared by the shingle-based pair
     detectors: group docs by raw-text md5, run ``inner`` (a pair
@@ -99,10 +100,12 @@ def _exact_group_fanout(
     Output-identical to running ``inner`` on the full corpus whenever
     the detector's score is a pure function of the shingle/token set:
     byte-identical texts have identical sets, so score(x, y) =
-    score(rep(x), rep(y)) for cross-group pairs and exactly 1.0 within
-    a group.  Intra-group pairs are emitted only for groups whose text
-    has ≥ k whitespace tokens (⟺ a nonempty shingle set — an empty set
-    pairs with nothing in any detector here).
+    score(rep(x), rep(y)) for cross-group pairs and ``intra_score``
+    (default 1.0 — a Jaccard-family self-similarity; SimHash passes
+    hamming 0) within a group.  Intra-group pairs are emitted only for
+    groups whose text has ≥ k whitespace tokens (⟺ a nonempty
+    shingle/token set under that detector's tokenizer — an empty set
+    pairs with nothing).
 
     This is the 100 TB shape: a replica-heavy corpus shrinks
     |corpus| → |distinct texts| before the expensive shingle stage, and
@@ -141,10 +144,11 @@ def _exact_group_fanout(
     dup_members = members.filter(F.col("gn") > 1).join(elig, "gid", "left_semi")
     m1 = dup_members.select("gid", F.col("id").alias("id_a"))
     m2 = dup_members.select("gid", F.col("id").alias("id_b"))
+    score = intra_score if intra_score is not None else F.lit(1.0)
     intra = (
         m1.join(m2, "gid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias(score_col))
+        .select("id_a", "id_b", score.alias(score_col))
     )
     return cross.unionByName(intra)
 
@@ -523,13 +527,34 @@ def simhash_fingerprints(
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text", base_hash: str = "xxhash64") -> DataFrame:
+                  text_col: str = "text", base_hash: str = "xxhash64",
+                  group_exact: bool = True) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming.
 
     Candidates via 4-chunk equality (pigeonhole: ≤3 differing bits
     ⇒ ≥1 of 4 chunks identical), then exact bit_count(xor) filter — the
     classic Google simhash dedup layout, as a pure DataFrame plan.
+
+    ``group_exact`` (default on) routes through
+    :func:`_exact_group_fanout`: the fingerprint is a pure function of
+    the token stream, so byte-identical texts have identical simhashes —
+    cross-group pairs carry the rep pair's hamming and intra-group
+    pairs are exactly 0.  Every text has ≥1 whitespace token (the
+    tokenizer never yields an empty set), so ``k=1`` eligibility admits
+    all duplicate groups.
     """
+    if group_exact:
+        return _exact_group_fanout(
+            docs,
+            id_col,
+            text_col,
+            1,
+            "hamming",
+            lambda reps: simhash_pairs(
+                reps, max_hamming, id_col, text_col, base_hash, group_exact=False
+            ),
+            intra_score=F.lit(0).cast("int"),
+        )
     n_bits = simhash_bits(base_hash)
     chunk_w = n_bits // 4
     chunk_mask = (1 << chunk_w) - 1

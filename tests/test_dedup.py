@@ -160,3 +160,24 @@ def test_minhash_grouped_matches_ungrouped(spark, docs):
     assert grouped == plain
     planted = [p for p in grouped if p[1] == p[0] + 1000000]
     assert planted and all(grouped[p] == 1.0 for p in planted)
+
+
+def test_simhash_grouped_matches_ungrouped(spark, docs):
+    """SimHash fan-out equivalence: fingerprints are a pure function of
+    the token stream, so intra-group pairs land at hamming 0 and cross
+    pairs at the rep hamming."""
+    dups = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    aug = docs.unionByName(dups)
+    grouped = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_pairs(aug, max_hamming=3, group_exact=True).collect()
+    }
+    plain = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_pairs(aug, max_hamming=3, group_exact=False).collect()
+    }
+    assert grouped == plain
+    planted = [p for p in grouped if p[1] == p[0] + 1000000]
+    assert planted and all(grouped[p] == 0 for p in planted)
