@@ -113,10 +113,20 @@ def _exact_group_fanout(
     instead of being rediscovered through an inverted index or banded
     signatures.
     """
-    ids = docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_gfp"))
+    ids = docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_gfp")
+    ).persist()
     groups = ids.groupBy("_gfp").agg(
         F.min("id").alias("gid"), F.count(F.lit(1)).alias("gn")
-    )
+    ).persist()
+    # Data-adaptive short-circuit (the AQE spirit, one narrow
+    # aggregation job): a duplicate-free corpus gains nothing from the
+    # rep indirection, so skip the semi-join + fan-out machinery
+    # entirely — on the clean sf0.1 fixture this wrapper otherwise costs
+    # ~0.5 s of pure stage overhead.  At 100 TB the probe is one
+    # map-side-combined count over (id, md5) — noise next to shingling.
+    if groups.filter(F.col("gn") > 1).isEmpty():
+        return inner(docs)
     # (member id → group rep id, group size): narrow — two longs and a
     # hash — persisted because it feeds rep selection, the intra
     # self-join, and both sides of the cross fan-out
