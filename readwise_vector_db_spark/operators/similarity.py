@@ -315,3 +315,40 @@ def ivf_search(
         .limit(k)
         .select(F.col(id_col).alias("neighbor_id"), "cos_dist", "cluster")
     )
+
+
+def save_ivf_index(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+) -> None:
+    """Persist the IVF index as a serving artifact: the assigned corpus
+    written ``partitionBy("cluster")`` (the layout that turns a probe's
+    cluster IN-filter into partition pruning — ``ivf_search`` over the
+    loaded index reads nprobe/n_clusters of the directories, nothing
+    else) plus the centroid table.  The build (KMeans + assignment) is
+    the offline job; serving processes only ever ``load_ivf_index``.
+    This is the reference's "HNSW index exists in the database" split
+    (migration 6e900a582819) re-expressed as a parquet layout.
+    """
+    spark = assigned.sparkSession
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/assigned"
+    )
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """(assigned, centroids) from a :func:`save_ivf_index` layout.
+    ``assigned`` scans the partitioned parquet — cluster predicates
+    prune directories; ``centroids`` is driver-side index metadata
+    (n_clusters rows)."""
+    assigned = spark.read.parquet(f"{path}/assigned")
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = sorted(
+        (int(r["cluster"]), [float(x) for x in r["centroid"]]) for r in cent
+    )
+    return assigned, centroids

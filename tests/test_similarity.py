@@ -173,3 +173,33 @@ def test_knn_blocked_equals_codegen_path(spark, embs):
     rows_a = {(r["query_id"], r["rn"]): (r["neighbor_id"], r["cos_dist"]) for r in a.collect()}
     rows_b = {(r["query_id"], r["rn"]): (r["neighbor_id"], r["cos_dist"]) for r in b.collect()}
     assert rows_a == rows_b
+
+
+def test_ivf_save_load_roundtrip_same_results(spark, embs, tmp_path):
+    """The persisted IVF layout is a serving artifact: load_ivf_index
+    must reproduce the in-memory index's search results exactly, and the
+    loaded probe must prune partitions (nprobe directories, not a full
+    scan)."""
+    import contextlib
+    import io
+
+    assigned, centroids = sim.build_ivf_index(embs, n_clusters=8, n_assign=2)
+    out = str(tmp_path / "ivf_idx")
+    sim.save_ivf_index(assigned, centroids, out)
+    l_assigned, l_centroids = sim.load_ivf_index(spark, out)
+    assert l_centroids == sorted((c, [float(x) for x in v]) for c, v in centroids)
+
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    mem = sim.ivf_search(assigned, centroids, q, k=10, nprobe=4, multi_assigned=True)
+    disk_df = sim.ivf_search(
+        l_assigned, l_centroids, q, k=10, nprobe=4, multi_assigned=True
+    )
+    mem_rows = [(r["neighbor_id"], r["cos_dist"]) for r in mem.collect()]
+    disk_rows = [(r["neighbor_id"], r["cos_dist"]) for r in disk_df.collect()]
+    assert mem_rows == disk_rows and len(mem_rows) == 10
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        disk_df.explain("formatted")
+    pf = [l for l in buf.getvalue().splitlines() if "PartitionFilters" in l]
+    assert pf and "cluster" in pf[0], f"probe not partition-pruned: {pf}"
