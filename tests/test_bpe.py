@@ -153,3 +153,17 @@ def test_pack_sequences_with_bpe_budget(spark):
             assert r["start_tok"] == offset
             assert r["n_tokens"] == bpe.count_tokens(texts[r["doc_id"]])
             offset += r["n_tokens"]
+
+
+def test_bpe_roundtrip_property():
+    """Property: byte-level BPE round-trips ANY unicode text exactly
+    (tokens partition the utf-8 byte stream; decode re-concatenates)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200))
+    def check(s):
+        assert bpe.decode(bpe.encode(s)) == s
+        assert bpe.count_tokens(s) == len(bpe.encode(s))
+
+    check()
