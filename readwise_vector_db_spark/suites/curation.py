@@ -17,7 +17,7 @@ from readwise_vector_db_spark.functions.text import fingerprint_md5
 from readwise_vector_db_spark.operators import curation as cu
 from readwise_vector_db_spark.operators import dedup as dd
 from readwise_vector_db_spark.operators.graph import resolve_clusters
-from readwise_vector_db_spark.registry import register
+from readwise_vector_db_spark.registry import register, register_extra
 from readwise_vector_db_spark.sources.tables import load_table
 from readwise_vector_db_spark.suites import text_analysis as ta
 from readwise_vector_db_spark.suites.dedup import (
@@ -331,3 +331,69 @@ def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+# --- cross-document duplicated passages -------------------------------------
+#
+# Document-level dedup misses the boilerplate case: distinct documents
+# sharing large verbatim SPANS (licence headers, navigation chrome,
+# quoted passages) — the duplication "Deduplicating Training Data Makes
+# Language Models Better" (Lee et al., 2022) removes at the substring
+# level with suffix arrays.  The Spark-native decomposition reuses the
+# chunking layout: slide 64-token windows (stride 48, so a duplicated
+# span ≥ 111 tokens MUST contain a shared aligned window regardless of
+# offset), fingerprint each window, and group fingerprints across
+# doc_ids — one shuffle on the chunk hash, no suffix array.  Planted
+# topology: the augmented corpus's byte-copies guarantee every chunk of
+# a copied doc appears in ≥2 documents.
+
+_CHUNK_DUP_ORACLE = f"""
+    WITH aug AS ({_AUG_DOCS_SQL}),
+    t AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS toks,
+               len(string_split_regex(text, '\\s+')) AS n
+        FROM aug
+    ),
+    st AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, greatest(n - 1, 0) + 1, {_CHUNK_S})) AS start
+        FROM t WHERE n > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, start + 1, least(start + {_CHUNK_W}, n)), ' '))
+                   AS chunk_md5
+        FROM st
+    )
+    SELECT chunk_md5,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS first_doc_id
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING COUNT(DISTINCT doc_id) > 1
+"""
+
+
+@register_extra("chunk_dup_spans", _CHUNK_DUP_ORACLE)
+def chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim passages shared across documents: 64-token windows
+    (stride 48) fingerprinted and grouped across doc_ids — (chunk_md5,
+    n_docs, n_occurrences, first_doc_id) for every window seen in ≥2
+    documents.  At 100 TB: one map-only chunking pass and one shuffle on
+    the chunk hash with map-side combine — the substring-dedup signal
+    without a suffix array."""
+    docs = _augmented_docs(spark, sf_dir)
+    chunks = cu.chunk_overlap(docs, window=_CHUNK_W, stride=_CHUNK_S).select(
+        "doc_id", "chunk_md5"
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
