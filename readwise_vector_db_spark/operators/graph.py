@@ -136,29 +136,39 @@ def connected_components(
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # 1) neighbour propagation: label(v) -> u for every edge (u,v)
         nbr = sym.join(labels, sym["v"] == labels["id"]).select(
             sym["u"].alias("id"), labels["label"]
         )
         prop = labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
-        # 2) pointer jumping: label(id) := min(label(id), label(label(id))).
-        # prop is NOT checkpointed although it feeds both join sides: its
-        # lineage is one shallow agg over checkpointed inputs, and
-        # recomputing that beats a full materialize+rescan per round.
-        # The right side renames its columns instead of using .alias():
-        # self-joining a checkpointed frame through alias() leaves both
-        # sides sharing attribute ids, and the NEXT localCheckpoint dies
-        # in attribute resolution ("key not found: id#N").
-        right = prop.select(
-            F.col("id").alias("r_id"), F.col("label").alias("r_label")
-        )
-        hop = prop.join(right, prop["label"] == right["r_id"], "left").select(
-            prop["id"],
-            F.least(
-                prop["label"], F.coalesce(right["r_label"], prop["label"])
-            ).alias("label"),
-        )
+        if it == 0:
+            # The first loop pass is usually the CONFIRMATION round —
+            # the fused init already fixpoints star/clique topologies
+            # (the overwhelming dedup case) — so the pointer-jumping
+            # self-join would compare a frame against itself for
+            # nothing.  Skipping it here saves a join per run; on deep
+            # chains it delays the doubling by at most one round.
+            hop = prop
+        else:
+            # 2) pointer jumping: label(id) := min(label, label(label)).
+            # prop is NOT checkpointed although it feeds both join
+            # sides: its lineage is one shallow agg over checkpointed
+            # inputs, and recomputing that beats a full
+            # materialize+rescan per round.  The right side renames its
+            # columns instead of using .alias(): self-joining a
+            # checkpointed frame through alias() leaves both sides
+            # sharing attribute ids, and the NEXT localCheckpoint dies
+            # in attribute resolution ("key not found: id#N").
+            right = prop.select(
+                F.col("id").alias("r_id"), F.col("label").alias("r_label")
+            )
+            hop = prop.join(right, prop["label"] == right["r_id"], "left").select(
+                prop["id"],
+                F.least(
+                    prop["label"], F.coalesce(right["r_label"], prop["label"])
+                ).alias("label"),
+            )
         labels = cut(hop)
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
