@@ -181,3 +181,27 @@ def test_simhash_grouped_matches_ungrouped(spark, docs):
     assert grouped == plain
     planted = [p for p in grouped if p[1] == p[0] + 1000000]
     assert planted and all(grouped[p] == 0 for p in planted)
+
+
+def test_grouped_detectors_handle_null_and_empty_text(spark):
+    """Null/empty texts must neither pair nor crash in grouped mode —
+    null md5 keys don't equi-join (each null-text doc is its own
+    group), and the <k-token eligibility filter drops them from intra
+    fan-out, matching the ungrouped detectors where an empty shingle
+    set pairs with nothing."""
+    docs_n = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "a b c d e"), (6, "a b c d e")],
+        "doc_id long, text string",
+    )
+    # shingle detectors (k=3) cannot pair empty texts; simhash tokenizes
+    # "" to the single empty token, so (3,4) is a LEGITIMATE hamming-0
+    # pair there — in both modes, which is the point
+    cases = [
+        (lambda d, g: dd.ngram_jaccard_pairs(d, threshold=0.6, group_exact=g), {(5, 6)}),
+        (lambda d, g: dd.minhash_lsh_pairs(d, threshold=0.6, group_exact=g), {(5, 6)}),
+        (lambda d, g: dd.simhash_pairs(d, max_hamming=3, group_exact=g), {(3, 4), (5, 6)}),
+    ]
+    for fn, expected in cases:
+        grouped = {(r[0], r[1]) for r in fn(docs_n, True).collect()}
+        plain = {(r[0], r[1]) for r in fn(docs_n, False).collect()}
+        assert grouped == plain == expected
