@@ -79,11 +79,15 @@ def curate_corpus(
 
     # near-dup: drop the HIGHER id of every candidate pair (deterministic
     # survivor).
+    # dedupe_pairs=False and no distinct on losers: the anti-join is
+    # idempotent under duplicate right-side rows, so both dedup shuffles
+    # would only re-sort data the join ignores
     pairs = minhash_lsh_pairs(
         exact, threshold=near_dup_threshold, id_col="doc_id", text_col="text",
         group_exact=False,  # exact dedup above already removed byte copies
+        dedupe_pairs=False,
     )
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    losers = pairs.select(F.col("id_b").alias("doc_id"))
     survivors = exact.join(losers, "doc_id", "left_anti").persist()
     stats["after_near_dup"] = survivors.count()
 

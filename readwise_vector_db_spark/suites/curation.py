@@ -325,11 +325,15 @@ def curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final anti-join — without it the quality/lang scan and the
     # fingerprint dedup (the two corpus passes) execute twice
     exact = dd.exact_dedup(flagged, id_col="doc_id", text_col="text").persist()
+    # dedupe_pairs=False and no distinct on losers: the anti-join is
+    # idempotent under duplicate right-side rows, so both dedup shuffles
+    # would only re-sort data the join ignores
     pairs = dd.minhash_lsh_pairs(
         exact, threshold=0.6, id_col="doc_id", text_col="text", base_hash="md5",
         group_exact=False,  # exact dedup above already removed byte copies
+        dedupe_pairs=False,
     )
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    losers = pairs.select(F.col("id_b").alias("doc_id"))
     return exact.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
