@@ -179,7 +179,8 @@ def main() -> None:
     # n_assign=2 multi-assignment and probing 8/16 cells; on a real
     # clustered corpus the same recall comes at a fraction of the probes.
     # Sweep on record (20 queries, sf0.1): single-assign nprobe 4/6/8 →
-    # 0.58/0.68/0.83; n_assign=2 nprobe 6/8 → 0.88/0.94.
+    # 0.58/0.68/0.83; n_assign=2 nprobe 6/8 → 0.88/0.94 (0.935 after the
+    # capped coarse-quantizer training — see build_ivf_index).
     from pyspark.sql import functions as F
 
     from readwise_vector_db_spark.operators import similarity as sim
