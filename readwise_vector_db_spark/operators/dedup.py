@@ -401,6 +401,30 @@ def minhash_signatures(
     return sigs.select("id", F.array(*[f"mh{i}" for i in range(N_HASHES)]).alias("sig"))
 
 
+def band_keys(sig_col: Column | str) -> Column:
+    """Array of the 16 banded-LSH keys of a 64-component signature —
+    each band's 4 components rendered as a string grouping key.  Keys
+    are unrolled in Python (flat ``element_at`` exprs, no nested
+    higher-order lambdas) — nested transform-in-transform codegen was
+    the dominant COLD cost of this plan (compile time, not runtime).
+    Shared by the in-corpus pair detector and the incremental
+    batch-vs-store dedup (jobs/incremental_dedup.py), which band two
+    DIFFERENT frames and join across them."""
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(c, j * ROWS_PER_BAND + r + 1).cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -450,23 +474,8 @@ def minhash_lsh_pairs(
     # aggregation (the expensive stage) runs twice.  At 100 TB this is a
     # materialized parquet intermediate, not executor cache.
     sigs = minhash_signatures(docs, k, id_col, text_col, base_hash).persist()
-    # band keys unrolled in Python (flat element_at exprs, no nested
-    # higher-order lambdas) — nested transform-in-transform codegen was the
-    # dominant COLD cost of this plan (compile time, not runtime)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    F.element_at("sig", j * ROWS_PER_BAND + r + 1).cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-            for j in range(N_BANDS)
-        ]
-    )
-    bands = (
-        sigs.select("id", "sig", F.posexplode(band_keys).alias("band", "bh"))
+    bands = sigs.select(
+        "id", "sig", F.posexplode(band_keys("sig")).alias("band", "bh")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cands = (

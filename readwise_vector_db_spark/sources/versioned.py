@@ -26,6 +26,7 @@ Layout:
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from readwise_vector_db_spark.operators.upsert import merge_upsert
 
 _MANIFEST = "_LATEST"
+_SEGMENTS = "_SEGMENTS"
 
 
 class VersionedTable:
@@ -60,6 +62,15 @@ class VersionedTable:
 
     # --- table ops -----------------------------------------------------------
 
+    def _segments(self, version: int) -> list[str]:
+        """Directory names composing ``version``: a plain commit is one
+        self-named segment; an append commit lists shared segments."""
+        try:
+            with open(os.path.join(self.root, f"{_SEGMENTS}_{version:08d}")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return [f"v={version:08d}"]
+
     def exists(self) -> bool:
         return self.latest_version() is not None
 
@@ -68,12 +79,34 @@ class VersionedTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
-        return spark.read.parquet(self._version_dir(v))
+        return spark.read.parquet(
+            *[os.path.join(self.root, s) for s in self._segments(v)]
+        )
 
     def commit(self, df: DataFrame) -> int:
         """Write ``df`` as the next immutable snapshot and flip the pointer."""
         v = (self.latest_version() or 0) + 1
         df.write.mode("errorifexists").parquet(self._version_dir(v))
+        self._flip_manifest(v)
+        return v
+
+    def commit_append(self, df: DataFrame) -> int:
+        """Append-only commit: write ONLY ``df`` as a new immutable
+        segment and publish snapshot N+1 = snapshot N's segments + the
+        new one (a segment-sharing manifest — how Delta/Iceberg make
+        appends O(increment), not O(table)).  The segment list lands
+        before the ``_LATEST`` pointer flips, so a crash in between
+        leaves the old snapshot intact and the stray segment unreferenced.
+        Incremental ingest (jobs/incremental_dedup.py) commits every
+        batch this way; ``compact`` later folds segments into one."""
+        prev = self.latest_version()
+        v = (prev or 0) + 1
+        df.write.mode("errorifexists").parquet(self._version_dir(v))
+        segs = (self._segments(prev) if prev is not None else []) + [f"v={v:08d}"]
+        tmp = os.path.join(self.root, f"{_SEGMENTS}_{v:08d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(segs, f)
+        os.replace(tmp, os.path.join(self.root, f"{_SEGMENTS}_{v:08d}"))
         self._flip_manifest(v)
         return v
 
@@ -105,12 +138,21 @@ class VersionedTable:
         latest = self.latest_version()
         if latest is None:
             return []
+        # segment dirs referenced by any KEPT version must survive even
+        # if their own version number is old — append commits share
+        # segments across snapshots
+        live: set[str] = set()
+        for v in range(max(1, latest - keep + 1), latest + 1):
+            live.update(self._segments(v))
         removed = []
         for name in sorted(os.listdir(self.root)):
-            if not name.startswith("v="):
+            if not name.startswith("v=") or name in live:
                 continue
             v = int(name.split("=")[1])
             if v <= latest - keep:
                 shutil.rmtree(os.path.join(self.root, name))
                 removed.append(v)
+                seg_manifest = os.path.join(self.root, f"{_SEGMENTS}_{v:08d}")
+                if os.path.exists(seg_manifest):
+                    os.remove(seg_manifest)
         return removed

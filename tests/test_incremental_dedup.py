@@ -1,0 +1,110 @@
+"""Incremental dedup: new batches against the accumulated store."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.jobs.incremental_dedup import (
+    dedup_batch_against_store,
+    run_incremental_dedup,
+)
+from readwise_vector_db_spark.sources.tables import load_table
+from readwise_vector_db_spark.sources.versioned import VersionedTable
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    df.cache().count()
+    return df
+
+
+def test_incremental_batches_drop_historical_dups(spark, docs, tmp_path):
+    table = VersionedTable(str(tmp_path / "store"))
+    b1 = docs.filter(F.col("doc_id") < 30)
+    s1 = dedup_batch_against_store(spark, b1, table)
+    assert s1["accepted"] == s1["after_batch_exact"] > 0  # empty store accepts all
+
+    # batch 2: fresh docs + an exact copy of a batch-1 doc (new id) + a
+    # near-dup of a batch-1 doc (one word changed => high Jaccard)
+    fresh = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    exact_copy = b1.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    near = b1.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 900001).alias("doc_id"),
+        F.concat(F.lit("zqx "), F.col("text")).alias("text"),
+    )
+    b2 = fresh.unionByName(exact_copy).unionByName(near)
+    s2 = dedup_batch_against_store(spark, b2, table)
+    assert s2["batch_raw"] == fresh.count() + 2
+    assert s2["accepted"] == fresh.count()  # both planted dups dropped
+    assert s2["store_version"] == 2
+
+    store = table.read(spark)
+    assert store.count() == s1["accepted"] + s2["accepted"]
+    assert store.filter(F.col("doc_id") >= 900000).count() == 0
+    # time travel still sees only batch 1
+    assert table.read(spark, version=1).count() == s1["accepted"]
+
+
+def test_incremental_in_batch_exact_dedup(spark, docs, tmp_path):
+    table = VersionedTable(str(tmp_path / "store2"))
+    b = docs.filter(F.col("doc_id") < 10)
+    dup = b.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    s = dedup_batch_against_store(spark, b.unionByName(dup), table)
+    assert s["after_batch_exact"] == s["batch_raw"] - 1
+    assert s["accepted"] == s["after_batch_exact"]
+
+
+def test_streaming_face_drains_and_dedups(spark, docs, tmp_path):
+    """foreachBatch wiring: a file-source stream of two increments ends
+    with the same store a sequential batch run produces."""
+    src = str(tmp_path / "incoming")
+    b1 = docs.filter(F.col("doc_id") < 20)
+    b1.write.mode("overwrite").parquet(src)
+    store_root = str(tmp_path / "store3")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = run_incremental_dedup(spark, stream, store_root)
+    q.awaitTermination(120)
+
+    table = VersionedTable(store_root)
+    got = table.read(spark).count()
+    expected = b1.dropDuplicates(["text"]).count()
+    # exact_dedup normalizes whitespace/case; fixture texts are distinct
+    assert got == expected
+
+
+def test_append_commit_is_segment_shared(spark, tmp_path):
+    """commit_append must not rewrite history: version N+1 reuses
+    version N's segment files, and vacuum keeps shared segments alive."""
+    import os
+
+    table = VersionedTable(str(tmp_path / "seg"))
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    df3 = spark.createDataFrame([(3, "c")], "id long, v string")
+    table.commit_append(df1)
+    table.commit_append(df2)
+    table.commit_append(df3)
+    assert table.read(spark).count() == 3
+    assert table.read(spark, version=2).count() == 2
+    # vacuum(keep=1): v1/v2 segments are still referenced by v3's
+    # manifest, so nothing may be deleted
+    assert table.vacuum(keep=1) == []
+    assert table.read(spark).count() == 3
+    # a compact rewrites into one self-contained snapshot; then the old
+    # segments become unreferenced and vacuum may drop them
+    table.compact(spark)
+    removed = table.vacuum(keep=1)
+    assert removed and table.read(spark).count() == 3
+    assert not any(
+        os.path.basename(d) == "v=00000001" for d in os.listdir(table.root)
+    ) or 1 not in removed
