@@ -11,15 +11,20 @@ O(batch + matching-candidates):
    the store's fingerprint column (one narrow join — the store's TEXT
    is never read),
 3. historical near-dup: band the batch's MinHash signatures and join
-   them against the store's PRE-BANDED signatures; candidates verify by
-   signature agreement ≥ threshold, matches are dropped,
+   them against the bands of the store's STORED signatures (signatures
+   are computed once at accept time; banding a stored signature is a
+   cheap projection).  The batch side is broadcast — the store scans
+   but never shuffles.  Candidates verify by signature agreement ≥
+   threshold; matches are dropped,
 4. survivors append to a :class:`VersionedTable` carrying
    (id, fp, sig) — the store IS the index: each increment's signatures
    are computed once, at accept time, never recomputed.
 
-At 100 TB the store-side join is bandwidth-bound on (band, key) — the
-same linear-shuffle shape as ``minhash_lsh_pairs`` — and the store
-bands can be bucketed by key so daily increments co-locate.  The
+At 100 TB the store-side near-dup join is a broadcast-probe scan of
+the store (an increment's band table is small by construction); if
+increments ever outgrow broadcast, the store layout's next step is
+``bucketBy`` on the band key so both sides co-locate without a
+store-side shuffle.  The
 streaming face (``run_incremental_dedup``) runs the same batch
 processor under ``foreachBatch``, exactly how jobs/sync.py wires
 incremental ingest; snapshot isolation comes from the VersionedTable
@@ -97,8 +102,10 @@ def dedup_batch_against_store(
         agree = F.size(
             F.filter(F.zip_with("sig_n", "sig_s", lambda x, y: x == y), lambda t: t)
         )
+        # broadcast the BATCH bands: the store side — the ever-growing
+        # one — is probed map-side and never shuffles
         near_ids = (
-            nb.join(sb, "bh")
+            sb.join(F.broadcast(nb), "bh")
             .filter((agree.cast("double") / F.lit(N_HASHES)) >= threshold)
             .select(id_col)
             .distinct()
