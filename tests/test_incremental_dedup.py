@@ -108,3 +108,34 @@ def test_append_commit_is_segment_shared(spark, tmp_path):
     assert not any(
         os.path.basename(d) == "v=00000001" for d in os.listdir(table.root)
     ) or 1 not in removed
+
+
+def test_near_dup_store_join_broadcasts_batch(spark, docs, tmp_path):
+    """Plan shape at scale: the store side of the historical near-dup
+    join must be probed via a broadcast of the (small) batch bands —
+    a store-side shuffle would be O(corpus) per increment."""
+    import contextlib
+    import io
+
+    from readwise_vector_db_spark.jobs import incremental_dedup as inc
+    from readwise_vector_db_spark.operators.dedup import N_HASHES, band_keys
+
+    table = VersionedTable(str(tmp_path / "store_p"))
+    dedup_batch_against_store(spark, docs.filter(F.col("doc_id") < 30), table)
+    store = table.read(spark)
+    batch = inc._with_fp_sig(
+        docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 35)),
+        "doc_id", "text", 3, "xxhash64",
+    )
+    nb = batch.filter(F.col("sig").isNotNull()).select(
+        "doc_id", F.col("sig").alias("sig_n"), F.explode(band_keys("sig")).alias("bh")
+    )
+    sb = store.filter(F.col("sig").isNotNull()).select(
+        F.col("sig").alias("sig_s"), F.explode(band_keys("sig")).alias("bh")
+    )
+    joined = sb.join(F.broadcast(nb), "bh")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
