@@ -40,6 +40,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+# Degraded stdlib fallback: no \p classes / possessive quantifiers.
+# MUST be compiled with re.ASCII so \w and \d are ASCII-only — without
+# it Python's Unicode-aware \w keeps non-ASCII letters out of the
+# [^\s\w] symbol branch AND out of [A-Za-z]+, silently dropping them
+# from the pre-token stream (decode(encode(x)) != x).  Under re.ASCII
+# non-ASCII letters match the symbol branch: counts differ from real
+# cl100k but no bytes are lost (tests/test_bpe.py proves round-trip).
+FALLBACK_SPLIT_PATTERN = (
+    r"""'(?i:[sdmt]|ll|ve|re)|[^\r\n\w]?[A-Za-z]+|\d{1,3}"""
+    r"""| ?[^\s\w]+[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+"""
+)
+
 try:  # the third-party ``regex`` module supports \p{L} and possessive
     import regex as _re
 
@@ -53,14 +65,8 @@ try:  # the third-party ``regex`` module supports \p{L} and possessive
 except ImportError:  # pragma: no cover - regex is present in this env
     import re as _re
 
-    # Degraded stdlib fallback: no \p classes / possessive quantifiers.
-    # ASCII-equivalent behavior; non-ASCII letters fall into the
-    # "other symbol" branch.  Counts remain deterministic.
-    CL100K_SPLIT_PATTERN = (
-        r"""'(?i:[sdmt]|ll|ve|re)|[^\r\n\w]?[A-Za-z]+|\d{1,3}"""
-        r"""| ?[^\s\w]+[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+"""
-    )
-    _SPLIT = _re.compile(CL100K_SPLIT_PATTERN)
+    CL100K_SPLIT_PATTERN = FALLBACK_SPLIT_PATTERN
+    _SPLIT = _re.compile(CL100K_SPLIT_PATTERN, _re.ASCII)
 
 
 def pretokenize(text: str) -> list[str]:
@@ -219,20 +225,22 @@ def count_tokens(text: str, ranks: dict[bytes, int] | None = None) -> int:
     return n
 
 
-# id(ranks) → inverse table.  Rank tables live for the process lifetime
-# (default_ranks is cached; caller-supplied tables are long-lived by
-# construction), so keying the memo on object identity is safe and
-# avoids rebuilding a vocab-sized dict per decoded row.
-_INVERSES: dict[int, dict[int, bytes]] = {}
+# id(ranks) → (ranks, inverse).  The memo holds a STRONG reference to
+# the ranks dict it was built from, so a memoized id can never be
+# recycled by the allocator while its entry lives — decode() cannot
+# alias a dead table's inverse onto a new dict.  Eviction (cap 8)
+# drops both together; an evicted table just rebuilds on next use.
+_INVERSES: dict[int, tuple[dict[bytes, int], dict[int, bytes]]] = {}
 
 
 def _inverse(ranks: dict[bytes, int]) -> dict[int, bytes]:
-    inv = _INVERSES.get(id(ranks))
-    if inv is None:
-        inv = {v: k for k, v in ranks.items()}
-        if len(_INVERSES) > 8:
-            _INVERSES.clear()
-        _INVERSES[id(ranks)] = inv
+    entry = _INVERSES.get(id(ranks))
+    if entry is not None and entry[0] is ranks:
+        return entry[1]
+    inv = {v: k for k, v in ranks.items()}
+    if len(_INVERSES) > 8:
+        _INVERSES.clear()
+    _INVERSES[id(ranks)] = (ranks, inv)
     return inv
 
 

@@ -20,12 +20,24 @@ O(batch + matching-candidates):
    (id, fp, sig) — the store IS the index: each increment's signatures
    are computed once, at accept time, never recomputed.
 
-At 100 TB the store-side near-dup join is a broadcast-probe scan of
-the store (an increment's band table is small by construction); if
-increments ever outgrow broadcast, the store layout's next step is
-``bucketBy`` on the band key so both sides co-locate without a
-store-side shuffle.  The
-streaming face (``run_incremental_dedup``) runs the same batch
+At 100 TB the store-side near-dup join must never shuffle the store.
+Two layouts, chosen by ``batch_join``:
+
+- ``"broadcast"`` (default): the increment's band table is broadcast
+  and the store is probed map-side — right while increments fit the
+  broadcast threshold.
+- ``"bucketed"``: the store maintains a band INDEX — an external
+  parquet table ``{root}/_bands`` bucketed on the band hash
+  (``ensure_band_index``/``append_band_index``) — so the join reads
+  store buckets in place and shuffles ONLY the batch side
+  (O(increment), proven Exchange-free on the store side in
+  tests/test_incremental_dedup.py).  The band index is derived state:
+  it appends after each versioned commit, and a crash between the two
+  leaves it lagging, never wrong the other way (missed store rows can
+  only under-drop); ``rebuild_band_index`` is the idempotent repair
+  that regenerates it from the store snapshot.
+
+The streaming face (``run_incremental_dedup``) runs the same batch
 processor under ``foreachBatch``, exactly how jobs/sync.py wires
 incremental ingest; snapshot isolation comes from the VersionedTable
 pointer flip.
@@ -36,6 +48,8 @@ No reference counterpart (its only dedup is upsert-by-id,
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,26 +57,89 @@ from readwise_vector_db_spark.functions.text import fingerprint_md5
 from readwise_vector_db_spark.operators.dedup import (
     N_HASHES,
     band_keys,
-    exact_dedup,
     minhash_signatures,
 )
 from readwise_vector_db_spark.sources.versioned import VersionedTable
 
 STORE_SCHEMA = "doc_id LONG, fp STRING, sig ARRAY<BIGINT>"
 
+BAND_BUCKETS = 32
+
+
+# --- bucketed band index (the beyond-broadcast store layout) ----------------
+
+
+def _band_table_name(store_root: str) -> str:
+    digest = hashlib.md5(store_root.encode()).hexdigest()[:12]
+    return f"rvdb_inc_bands_{digest}"
+
+
+def ensure_band_index(
+    spark: SparkSession, store_root: str, n_buckets: int = BAND_BUCKETS
+) -> str:
+    """Register (idempotently) the store's band index: an EXTERNAL
+    parquet table at ``{store_root}/_bands`` clustered on the band
+    hash.  External + path-addressed, so a fresh session re-attaches to
+    the on-disk layout with one DDL — the catalog entry is metadata,
+    the bucketed files are the index."""
+    name = _band_table_name(store_root)
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} (bh STRING, sig ARRAY<BIGINT>) USING parquet"
+            f" CLUSTERED BY (bh) SORTED BY (bh) INTO {n_buckets} BUCKETS"
+            f" LOCATION '{store_root}/_bands'"
+        )
+    return name
+
+
+def append_band_index(
+    spark: SparkSession,
+    rows: DataFrame,
+    store_root: str,
+    n_buckets: int = BAND_BUCKETS,
+) -> None:
+    """Append one increment's (band hash, signature) rows to the band
+    index.  O(increment) write into the bucketed layout; each append
+    adds ≤ n_buckets files (same small-file growth as the versioned
+    segments — compact on the same cadence)."""
+    name = ensure_band_index(spark, store_root, n_buckets)
+    bands = rows.filter(F.col("sig").isNotNull()).select(
+        F.explode(band_keys("sig")).alias("bh"), "sig"
+    )
+    (
+        bands.write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "bh")
+        .sortBy("bh")
+        .saveAsTable(name)
+    )
+
+
+def rebuild_band_index(
+    spark: SparkSession, table: VersionedTable, n_buckets: int = BAND_BUCKETS
+) -> None:
+    """Idempotent repair/compaction: regenerate the band index from the
+    current store snapshot (drops the catalog entry and rewrites the
+    bucketed files in one pass over the store)."""
+    name = _band_table_name(table.root)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import shutil
+
+    shutil.rmtree(f"{table.root}/_bands", ignore_errors=True)
+    append_band_index(spark, table.read(spark), table.root, n_buckets)
+
 
 def _with_fp_sig(
-    docs: DataFrame, id_col: str, text_col: str, k: int, base_hash: str
+    fpd: DataFrame, id_col: str, text_col: str, k: int, base_hash: str
 ) -> DataFrame:
     """(id_col, fp, sig) for every doc — the store row shape.  Docs too
-    short to shingle carry a NULL sig (they can exact-match only)."""
-    fps = docs.select(
-        F.col(id_col), fingerprint_md5(text_col).alias("fp")
-    )
+    short to shingle carry a NULL sig (they can exact-match only).
+    ``fpd`` already carries the fingerprint column — computed exactly
+    once per batch row, upstream."""
     sigs = minhash_signatures(
-        docs, k=k, id_col=id_col, text_col=text_col, base_hash=base_hash
+        fpd, k=k, id_col=id_col, text_col=text_col, base_hash=base_hash
     ).select(F.col("id").alias(id_col), "sig")
-    return fps.join(sigs, id_col, "left")
+    return fpd.select(id_col, "fp").join(sigs, id_col, "left")
 
 
 def dedup_batch_against_store(
@@ -74,14 +151,28 @@ def dedup_batch_against_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     base_hash: str = "xxhash64",
+    batch_join: str = "broadcast",
 ) -> dict[str, int]:
     """Process one increment: drop in-batch exact dups, historical exact
     dups, and historical near-dups (est-Jaccard ≥ ``threshold`` against
     any stored signature); append survivors' (id, fp, sig) to the store.
-    Returns per-stage row accounting."""
+    ``batch_join`` picks the store-side layout (module docstring):
+    ``"broadcast"`` probes the store with broadcast batch bands;
+    ``"bucketed"`` joins against the bucketed band index so a
+    larger-than-broadcast increment shuffles only itself.  Returns
+    per-stage row accounting."""
+    if batch_join not in ("broadcast", "bucketed"):
+        raise ValueError(f"batch_join must be broadcast|bucketed, got {batch_join!r}")
     stats: dict[str, int] = {"batch_raw": batch.count()}
 
-    deduped = exact_dedup(batch, id_col=id_col, text_col=text_col)
+    # ONE fingerprint pass per batch row: fp drives the in-batch exact
+    # dedup, the store row shape, and the historical anti-join.
+    # Persisted because winners/dedup/signature lineages all read it.
+    fpd = batch.select(
+        F.col(id_col), F.col(text_col), fingerprint_md5(text_col).alias("fp")
+    ).persist()
+    winners = fpd.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    deduped = fpd.join(winners, id_col, "left_semi")
     rows = _with_fp_sig(deduped, id_col, text_col, k, base_hash).persist()
     stats["after_batch_exact"] = rows.count()
 
@@ -96,17 +187,27 @@ def dedup_batch_against_store(
             F.col(id_col), F.col("sig").alias("sig_n"),
             F.explode(band_keys("sig")).alias("bh"),
         )
-        sb = store.filter(F.col("sig").isNotNull()).select(
-            F.col("sig").alias("sig_s"), F.explode(band_keys("sig")).alias("bh")
-        )
+        if batch_join == "bucketed":
+            # store side = the pre-bucketed band index: scanned in
+            # place, zero store-side Exchange; only the batch bands
+            # shuffle (into the index's bucketing) — O(increment)
+            sb = spark.table(ensure_band_index(spark, table.root)).select(
+                "bh", F.col("sig").alias("sig_s")
+            )
+            joined = sb.join(nb, "bh")
+        else:
+            # broadcast the BATCH bands: the store — the ever-growing
+            # side — is probed map-side and never shuffles
+            sb = store.filter(F.col("sig").isNotNull()).select(
+                F.col("sig").alias("sig_s"),
+                F.explode(band_keys("sig")).alias("bh"),
+            )
+            joined = sb.join(F.broadcast(nb), "bh")
         agree = F.size(
             F.filter(F.zip_with("sig_n", "sig_s", lambda x, y: x == y), lambda t: t)
         )
-        # broadcast the BATCH bands: the store side — the ever-growing
-        # one — is probed map-side and never shuffles
         near_ids = (
-            sb.join(F.broadcast(nb), "bh")
-            .filter((agree.cast("double") / F.lit(N_HASHES)) >= threshold)
+            joined.filter((agree.cast("double") / F.lit(N_HASHES)) >= threshold)
             .select(id_col)
             .distinct()
         )
@@ -121,9 +222,15 @@ def dedup_batch_against_store(
         # publishes a segment-sharing snapshot — O(batch) I/O per
         # increment, never a store rewrite
         table.commit_append(survivors)
+        if batch_join == "bucketed":
+            # derived index appends AFTER the commit: a crash between
+            # leaves the index lagging (repairable via
+            # rebuild_band_index), never referencing uncommitted rows
+            append_band_index(spark, survivors, table.root)
     stats["store_version"] = table.latest_version() or 0
     survivors.unpersist()
     rows.unpersist()
+    fpd.unpersist()
     return stats
 
 

@@ -29,6 +29,7 @@ everything here is north-star scope (SURVEY §2.7).
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -40,6 +41,31 @@ from readwise_vector_db_spark.functions.text import (
     ws_tokens,
 )
 from readwise_vector_db_spark.functions.vector import cosine_similarity
+
+# Detector-internal persisted frames (fan-out id maps, LSH vector
+# bases).  The detectors return LAZY plans, so the function that calls
+# .persist() cannot know when its caller has materialized the result —
+# instead every internal persist is registered here and drained
+# (unpersisted) at the start of the NEXT detector call, bounding cached
+# storage to the most recent call's frames instead of growing without
+# bound across a long-lived session.  Call
+# :func:`release_detector_cache` to drop them immediately (e.g. after a
+# bench loop materializes a detector's output).
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def _register_cached(*frames: DataFrame) -> None:
+    _CACHED_FRAMES.extend(frames)
+
+
+def release_detector_cache() -> None:
+    """Unpersist internal frames cached by earlier detector calls."""
+    while _CACHED_FRAMES:
+        try:
+            _CACHED_FRAMES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
 
 # --- exact ------------------------------------------------------------------
 
@@ -113,6 +139,7 @@ def _exact_group_fanout(
     instead of being rediscovered through an inverted index or banded
     signatures.
     """
+    release_detector_cache()
     ids = docs.select(
         F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_gfp")
     ).persist()
@@ -126,11 +153,17 @@ def _exact_group_fanout(
     # ~0.5 s of pure stage overhead.  At 100 TB the probe is one
     # map-side-combined count over (id, md5) — noise next to shingling.
     if groups.filter(F.col("gn") > 1).isEmpty():
+        # fully dead on this path — release now, not at the next call
+        ids.unpersist()
+        groups.unpersist()
         return inner(docs)
     # (member id → group rep id, group size): narrow — two longs and a
     # hash — persisted because it feeds rep selection, the intra
-    # self-join, and both sides of the cross fan-out
+    # self-join, and both sides of the cross fan-out.  ids/groups stay
+    # persisted (members' lineage reads them lazily); all three are
+    # drained at the next detector call.
     members = ids.join(groups, "_gfp").select("id", "gid", "gn").persist()
+    _register_cached(ids, groups, members)
     reps = docs.join(
         members.filter(F.col("id") == F.col("gid")).select(F.col("id").alias(id_col)),
         id_col,
@@ -614,15 +647,79 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     )
 
 
+def _e2lsh_collision_prob(r: float, w: float) -> float:
+    """P[two points at euclidean distance ``r`` land in the same
+    quantized bucket of ONE random projection] for the E2LSH family
+    with bucket width ``w`` (Datar et al., SCG 2004, p(r) closed form:
+    1 − 2Φ(−w/r) − (2 / (√(2π)·(w/r)))·(1 − e^{−(w/r)²/2}))."""
+    if r <= 0.0:
+        return 1.0
+    c = w / r
+    phi_neg_c = 0.5 * (1.0 + math.erf(-c / math.sqrt(2.0)))
+    return (
+        1.0
+        - 2.0 * phi_neg_c
+        - (2.0 / (math.sqrt(2.0 * math.pi) * c)) * (1.0 - math.exp(-(c * c) / 2.0))
+    )
+
+
+def _e2lsh_tables_for(
+    threshold: float,
+    bucket_length: float,
+    n_projections: int,
+    target_recall: float = 0.9,
+    max_tables: int = 64,
+) -> int:
+    """OR-tables needed so a pair AT the cosine threshold is found with
+    ``target_recall``: recall = 1 − (1 − p1^k)^L ⇒
+    L = ⌈ln(1−R) / ln(1−p1^k)⌉, capped at ``max_tables``."""
+    r = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    pk = _e2lsh_collision_prob(r, bucket_length) ** n_projections
+    if pk >= 1.0:
+        return 1
+    if pk <= 0.0:
+        return max_tables
+    need = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pk))
+    return max(1, min(max_tables, need))
+
+
+def e2lsh_plan(
+    threshold: float,
+    bucket_length: float = 0.5,
+    target_recall: float = 0.9,
+    max_tables: int = 16,
+    max_projections: int = 6,
+) -> tuple[int, int]:
+    """Derive ``(n_projections, num_hash_tables)`` for a cosine
+    threshold.  AND-composing k projections keeps buckets ~singleton on
+    structureless data (per-table collision p1^k), but recall at the
+    threshold boundary collapses unless L = ln(1−R)/ln(1−p1^k) OR-ed
+    tables restore it — the two must be derived TOGETHER.  Strategy:
+    use the sharpest k whose required L fits the table budget, so
+    bucket-join cost stays linear while boundary recall is ≥ R by
+    construction.  E.g. (w=0.5, R=0.9): t=0.999 → (6, 3) — the ultra-
+    close operating point the call sites use; t=0.95 → (3, 15);
+    t=0.9 → (2, 13).  Exact duplicates have recall 1.0 at ANY plan
+    (identical vectors agree on every projection)."""
+    for k in range(max_projections, 0, -1):
+        need = _e2lsh_tables_for(
+            threshold, bucket_length, k, target_recall, max_tables + 1
+        )
+        if need <= max_tables:
+            return k, need
+    return 1, max_tables
+
+
 def lsh_embedding_pairs(
     embs: DataFrame,
     threshold: float = 0.999,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_hash_tables: int = 3,
-    n_projections: int = 6,
+    num_hash_tables: int | None = None,
+    n_projections: int | None = None,
     bucket_length: float = 0.5,
     seed: int = 42,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Embedding near-dup via bucketed random projections — the scale
     path for ``embedding_cosine_pairs`` (SURVEY §2.7 "Similarity join:
@@ -661,6 +758,22 @@ def lsh_embedding_pairs(
         l2_normalize,
     )
 
+    # (k, L) must compose: callers fixing only one side get the other
+    # derived for the SAME operating threshold, so near-dup recall at
+    # the boundary is ≥ target_recall instead of silently collapsing
+    # (p1^6 with L=3 is fine at t=0.999 and ~5-15 % recall at t=0.9).
+    if n_projections is None and num_hash_tables is None:
+        n_projections, num_hash_tables = e2lsh_plan(
+            threshold, bucket_length, target_recall
+        )
+    elif num_hash_tables is None:
+        num_hash_tables = _e2lsh_tables_for(
+            threshold, bucket_length, n_projections, target_recall, max_tables=16
+        )
+    elif n_projections is None:
+        n_projections, _ = e2lsh_plan(threshold, bucket_length, target_recall)
+
+    release_detector_cache()
     rng = random.Random(seed)
     dim_row = embs.select(F.size(F.col(vec_col)).alias("d")).filter(
         F.col("d") > 0
@@ -686,6 +799,7 @@ def lsh_embedding_pairs(
         .filter(F.col("nv").isNotNull())
         .persist()
     )
+    _register_cached(base)
 
     def quantized(t: int, j: int) -> Column:
         proj = F.aggregate(

@@ -60,6 +60,27 @@ class VersionedTable:
             f.write(str(version))
         os.replace(tmp, os.path.join(self.root, _MANIFEST))  # atomic pointer swap
 
+    def _prepare_version(self, version: int) -> str:
+        """Reserve the directory for ``version``, clearing debris from a
+        crashed writer.  A failure between the segment write and the
+        pointer flip leaves a stray ``v=N+1`` directory that is
+        unreferenced BY CONSTRUCTION (the manifest never advanced), but
+        parquet's ``errorifexists`` would otherwise refuse v=N+1 forever
+        — every retry (including foreachBatch re-delivery of the same
+        micro-batch) would wedge.  Single-writer protocol, same as Delta
+        without a commit service: anything at or above latest+1 is a
+        dead writer's garbage, so removing it is safe."""
+        import shutil
+
+        d = self._version_dir(version)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        seg = os.path.join(self.root, f"{_SEGMENTS}_{version:08d}")
+        for stray in (seg, seg + ".tmp"):
+            if os.path.exists(stray):
+                os.remove(stray)
+        return d
+
     # --- table ops -----------------------------------------------------------
 
     def _segments(self, version: int) -> list[str]:
@@ -86,7 +107,7 @@ class VersionedTable:
     def commit(self, df: DataFrame) -> int:
         """Write ``df`` as the next immutable snapshot and flip the pointer."""
         v = (self.latest_version() or 0) + 1
-        df.write.mode("errorifexists").parquet(self._version_dir(v))
+        df.write.mode("errorifexists").parquet(self._prepare_version(v))
         self._flip_manifest(v)
         return v
 
@@ -101,7 +122,7 @@ class VersionedTable:
         batch this way; ``compact`` later folds segments into one."""
         prev = self.latest_version()
         v = (prev or 0) + 1
-        df.write.mode("errorifexists").parquet(self._version_dir(v))
+        df.write.mode("errorifexists").parquet(self._prepare_version(v))
         segs = (self._segments(prev) if prev is not None else []) + [f"v={v:08d}"]
         tmp = os.path.join(self.root, f"{_SEGMENTS}_{v:08d}.tmp")
         with open(tmp, "w") as f:

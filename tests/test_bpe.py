@@ -167,3 +167,40 @@ def test_bpe_roundtrip_property():
         assert bpe.count_tokens(s) == len(bpe.encode(s))
 
     check()
+
+
+def test_fallback_split_pattern_preserves_non_ascii():
+    """The stdlib fallback must be compiled with re.ASCII: under plain
+    re, \\w is Unicode-aware, so non-ASCII letters match NO branch and
+    are silently dropped from the pre-token stream (lost bytes, broken
+    round-trip).  re.ASCII routes them into the symbol branch, so the
+    pre-tokens partition the text exactly."""
+    import re
+
+    pat = re.compile(bpe.FALLBACK_SPLIT_PATTERN, re.ASCII)
+    for text in ("wir müssen straße", "façade niño œuvre", "学而时习之 🙂"):
+        assert "".join(pat.findall(text)) == text
+    # the unicode-unaware compile really does lose characters — the bug
+    # the ASCII flag exists to prevent
+    bad = re.compile(bpe.FALLBACK_SPLIT_PATTERN)
+    assert "".join(bad.findall("wir müssen straße")) != "wir müssen straße"
+
+
+def test_inverse_memo_keyed_by_object_not_address():
+    """The decode memo must hold a strong reference to the ranks table
+    it was built from: a freed dict's id() can be recycled by a new
+    allocation, and an address-keyed memo would then serve the WRONG
+    vocabulary silently."""
+    import gc
+
+    r1 = bpe.train_bpe("aaab aab ab", 258)
+    bpe._inverse(r1)
+    del r1
+    gc.collect()
+    # allocate fresh tables until one is memoized; whatever address it
+    # lands on, the entry's stored reference must be THIS object
+    r2 = bpe.train_bpe("xxxy xxy xy", 258)
+    inv2 = bpe._inverse(r2)
+    assert inv2 == {v: k for k, v in r2.items()}
+    entry = bpe._INVERSES[id(r2)]
+    assert entry[0] is r2

@@ -205,3 +205,59 @@ def test_grouped_detectors_handle_null_and_empty_text(spark):
         grouped = {(r[0], r[1]) for r in fn(docs_n, True).collect()}
         plain = {(r[0], r[1]) for r in fn(docs_n, False).collect()}
         assert grouped == plain == expected
+
+
+def test_e2lsh_plan_composes_tables_with_projections():
+    """(k, L) must be derived together: sharp 6-AND keys are only valid
+    where few OR-tables restore boundary recall; at genuine near-dup
+    thresholds the plan must trade sharpness for feasible table counts."""
+    from readwise_vector_db_spark.operators.dedup import (
+        _e2lsh_collision_prob,
+        e2lsh_plan,
+    )
+
+    # ultra-close operating point (the benched dedup_lsh_embedding path):
+    # derivation reproduces the hand-tuned (6 projections, 3 tables)
+    assert e2lsh_plan(0.999) == (6, 3)
+    # a real near-dup threshold: 6-AND would need hundreds of tables
+    k9, l9 = e2lsh_plan(0.9)
+    assert k9 < 6
+    # whatever it picks must hit the target recall at the boundary
+    p1 = _e2lsh_collision_prob((2 - 2 * 0.9) ** 0.5, 0.5)
+    assert 1 - (1 - p1**k9) ** l9 >= 0.9
+
+
+def test_lsh_embedding_near_dup_recall(spark):
+    """Planted NEAR-dups (perturbed, not copied, vectors) at threshold
+    0.95: with (k, L) derived for that threshold, recall vs the exact
+    all-pairs operator must meet the design target; precision is exact
+    by construction (candidates re-verify with the exact cosine)."""
+    import numpy as np
+
+    from readwise_vector_db_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        lsh_embedding_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # orthogonal-ish noise of norm ~0.28 → cosine ~0.96, straddling 0.95
+    noise = rng.normal(size=(200, 32)) * 0.05
+    near = base + noise
+    near /= np.linalg.norm(near, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)] + [
+        (100000 + i, [float(x) for x in near[i]]) for i in range(200)
+    ]
+    aug = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(aug, 0.95).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]) for r in lsh_embedding_pairs(aug, 0.95).collect()
+    }
+    assert exact, "fixture must plant pairs above the threshold"
+    assert approx <= exact  # exact verification ⇒ no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.85, f"near-dup recall {recall:.2f} below target"

@@ -123,8 +123,12 @@ def test_near_dup_store_join_broadcasts_batch(spark, docs, tmp_path):
     table = VersionedTable(str(tmp_path / "store_p"))
     dedup_batch_against_store(spark, docs.filter(F.col("doc_id") < 30), table)
     store = table.read(spark)
+    from readwise_vector_db_spark.functions.text import fingerprint_md5
+
     batch = inc._with_fp_sig(
-        docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 35)),
+        docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 35)).withColumn(
+            "fp", fingerprint_md5("text")
+        ),
         "doc_id", "text", 3, "xxhash64",
     )
     nb = batch.filter(F.col("sig").isNotNull()).select(
@@ -139,3 +143,90 @@ def test_near_dup_store_join_broadcasts_batch(spark, docs, tmp_path):
         joined.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_store_layout_matches_broadcast(spark, docs, tmp_path):
+    """The beyond-broadcast layout must make the same accept/drop
+    decisions as the broadcast path (same bands, same agreement
+    verification — only the join strategy differs)."""
+    results = {}
+    for mode in ("broadcast", "bucketed"):
+        table = VersionedTable(str(tmp_path / f"store_{mode}"))
+        b1 = docs.filter(F.col("doc_id") < 30)
+        dedup_batch_against_store(spark, b1, table, batch_join=mode)
+        fresh = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+        exact_copy = b1.filter(F.col("doc_id") == 3).select(
+            (F.col("doc_id") + 900000).alias("doc_id"), "text"
+        )
+        near = b1.filter(F.col("doc_id") == 5).select(
+            (F.col("doc_id") + 900001).alias("doc_id"),
+            F.concat(F.lit("zqx "), F.col("text")).alias("text"),
+        )
+        b2 = fresh.unionByName(exact_copy).unionByName(near)
+        s2 = dedup_batch_against_store(spark, b2, table, batch_join=mode)
+        results[mode] = (
+            s2["accepted"],
+            sorted(r["doc_id"] for r in table.read(spark).collect()),
+        )
+    assert results["broadcast"] == results["bucketed"]
+    assert results["bucketed"][0] > 0
+
+
+def test_bucketed_band_join_never_shuffles_store(spark, docs, tmp_path):
+    """Plan shape of the bucketed layout: the store's band index is
+    scanned in place (Bucketed: true) and the join plans exactly ONE
+    Exchange — the batch side shuffling into the index's bucketing.
+    A store-side Exchange would be O(corpus) per increment."""
+    import contextlib
+    import io
+    import re
+
+    from readwise_vector_db_spark.jobs import incremental_dedup as inc
+    from readwise_vector_db_spark.operators.dedup import band_keys
+
+    table = VersionedTable(str(tmp_path / "store_bk"))
+    dedup_batch_against_store(
+        spark, docs.filter(F.col("doc_id") < 30), table, batch_join="bucketed"
+    )
+    name = inc.ensure_band_index(spark, table.root)
+    sb = spark.table(name).select("bh", F.col("sig").alias("sig_s"))
+    # a shuffle-free batch band frame, so the ONLY possible Exchange in
+    # the joined plan is the one the join itself requires
+    nb = spark.createDataFrame(
+        [(1, list(range(64)))], "doc_id long, sig array<bigint>"
+    ).select(
+        "doc_id",
+        F.col("sig").alias("sig_n"),
+        F.explode(band_keys("sig")).alias("bh"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = sb.join(nb, "bh")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    assert "Bucketed: true" in plan, plan
+    exchange_nodes = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(exchange_nodes) == 1, plan
+
+
+def test_band_index_rebuild_is_idempotent_repair(spark, docs, tmp_path):
+    """A crash between commit_append and the index append leaves the
+    index lagging; rebuild_band_index regenerates it from the store."""
+    from readwise_vector_db_spark.jobs import incremental_dedup as inc
+
+    table = VersionedTable(str(tmp_path / "store_rb"))
+    dedup_batch_against_store(
+        spark, docs.filter(F.col("doc_id") < 20), table, batch_join="bucketed"
+    )
+    name = inc._band_table_name(table.root)
+    n_before = spark.table(name).count()
+    # simulate the lag: drop half the index rows out from under it
+    inc.rebuild_band_index(spark, table)
+    assert spark.table(name).count() == n_before
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

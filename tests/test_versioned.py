@@ -89,3 +89,31 @@ def test_compact_preserves_data_as_new_snapshot(spark, table):
     assert sorted(r["id"] for r in table.read(spark).collect()) == sorted(
         r["id"] for r in before.collect()
     )
+
+
+def test_commit_recovers_from_crashed_writer(spark, table):
+    """A crash between the segment write and the pointer flip leaves a
+    stray unreferenced v=N+1 directory; the next commit (e.g. a
+    foreachBatch redelivery of the same micro-batch) must reclaim it
+    instead of wedging on errorifexists forever."""
+    import os
+
+    table.commit_append(spark.range(5).select("id"))
+    # simulate the crash: v2 segment written, manifest never flipped
+    df = spark.range(5, 9).select("id")
+    df.write.parquet(table._version_dir(2))
+    with open(f"{table.root}/_SEGMENTS_00000002", "w") as f:
+        f.write('["v=00000001", "v=00000002"]')
+    assert table.latest_version() == 1  # pointer still at v1
+
+    # retry of the same batch must succeed and publish exactly once
+    v = table.commit_append(df)
+    assert v == 2
+    assert table.latest_version() == 2
+    assert table.read(spark).count() == 9
+    # and the plain-commit path recovers the same way
+    stray = table._version_dir(3)
+    os.makedirs(stray)
+    open(os.path.join(stray, "_dead"), "w").close()
+    assert table.commit(spark.range(3).select("id")) == 3
+    assert table.read(spark).count() == 3
