@@ -2,17 +2,22 @@
 
 Prints ONE JSON line:
   {"metric": "total_wall_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: sec, ...}, "queries_min": {name: sec, ...},
+   "sf": 0.1}
 
 Each query runs through a full action — ``noop`` format write forces
 complete execution of every partition without driver collection, so the
 timing covers scan → shuffle → sink, not just the driver-side head.
-Per-query value = median of ``SPARK_GRAFT_BENCH_REPS`` runs (default 5:
-the first pays plan codegen, and the host shows multi-second
-hypervisor-level stalls — round-4 measurements caught 3→20 s outliers
-on identical warm reps with zero guest-side CPU/IO/memory pressure — so
-a median of five tolerates two corrupted reps where three tolerated
-one).
+Per-query statistics over ``SPARK_GRAFT_BENCH_REPS`` runs (default 5):
+``queries`` carries the median (the first rep pays plan codegen),
+``queries_min`` the minimum.  **Trend on the min**: this host shows
+multi-second hypervisor-level stalls — round-4 measurements caught
+3→20 s outliers on identical warm reps with zero guest-side
+CPU/IO/memory pressure, and the r4 artifact's medians came out a
+uniform 1.2–1.6× slower than r3 on queries no commit touched.  A stall
+can only ADD time, so min-of-N is the stall-robust statistic (the
+SCALING.md methodology, promoted into the per-round artifact);
+the median stays for cross-checking variance.
 """
 
 from __future__ import annotations
@@ -49,7 +54,8 @@ HEADLINE = [
     "search_text_query",
     "search_sq8",
     "knn_join_blocked",
-    "ann_ivf_planted",
+    "ann_ivf_planted",  # index BUILD trend (retired extra; probe is the serving row)
+    "ann_ivf_probe",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_lsh_embedding",
@@ -79,8 +85,14 @@ def main() -> None:
     qs = all_queries()
     from readwise_vector_db_spark.registry import queries as main_queries
 
-    missing = [n for n in HEADLINE if n not in main_queries()]
-    assert not missing, f"bench names not on the driver surface: {missing}"
+    # every benched name must exist; everything except the explicitly
+    # kept-for-trend build row must be on the driver-checked surface
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, f"bench names not registered: {missing}"
+    off_surface = [
+        n for n in HEADLINE if n not in main_queries() and n != "ann_ivf_planted"
+    ]
+    assert not off_surface, f"bench names not on the driver surface: {off_surface}"
 
     # Warm the one-time machinery every query shares — codegen infra, the
     # parquet reader, shuffle service, noop committer — with a query that
@@ -101,9 +113,24 @@ def main() -> None:
     from readwise_vector_db_spark.sources.search_index import build_search_index
 
     build_search_index(spark, SF_DIR)
+    # offline IVF artifact build — ann_ivf_probe measures SERVING (probe
+    # over the persisted index), so the one-time build must not leak
+    # into its first rep
+    from readwise_vector_db_spark.suites.similarity import planted_ivf_artifact
+
+    planted_ivf_artifact(spark, SF_DIR)
+
+    def median(sorted_samples: list[float]) -> float:
+        n = len(sorted_samples)
+        return (
+            sorted_samples[n // 2]
+            if n % 2
+            else (sorted_samples[n // 2 - 1] + sorted_samples[n // 2]) / 2
+        )
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         samples = []
@@ -113,11 +140,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         samples.sort()
-        # median: robust to one-off GC/compile hiccups on a noisy box
-        mid = samples[len(samples) // 2] if reps % 2 else (
-            (samples[reps // 2 - 1] + samples[reps // 2]) / 2
-        )
-        timings[name] = round(mid, 3)
+        timings[name] = round(median(samples), 3)
+        timings_min[name] = round(samples[0], 3)
         # queries persist intermediates internally; drop them once this
         # query's reps are done so 20+ queries of accumulated cache don't
         # squeeze later queries into GC/eviction (isolated reruns showed
@@ -138,25 +162,38 @@ def main() -> None:
     from readwise_vector_db_spark.jobs.curate import curate_corpus
 
     samples = []
+    stage_walls: list[dict[str, float]] = []
     for _ in range(reps):
         out_root = tempfile.mkdtemp(prefix="bench_curate_")
         t0 = time.perf_counter()
-        curate_corpus(spark, SF_DIR, out_root)
+        stats = curate_corpus(spark, SF_DIR, out_root)
         samples.append(time.perf_counter() - t0)
+        stage_walls.append(
+            {k[5:]: v for k, v in stats.items() if k.startswith("wall_")}
+        )
         shutil.rmtree(out_root, ignore_errors=True)
-    samples.sort()
-    mid = samples[len(samples) // 2] if reps % 2 else (
-        (samples[reps // 2 - 1] + samples[reps // 2]) / 2
-    )
-    timings["curate_pipeline"] = round(mid, 3)
+    order = sorted(range(len(samples)), key=lambda i: samples[i])
+    timings["curate_pipeline"] = round(median(sorted(samples)), 3)
+    timings_min["curate_pipeline"] = round(samples[order[0]], 3)
+    # per-stage wall of the FASTEST rep — decomposes the composite so a
+    # regression names its stage instead of hiding in the total
+    curate_stages = {k: round(v, 3) for k, v in stage_walls[order[0]].items()}
     spark.catalog.clearCache()
     spark._jvm.System.gc()
 
-    # --- warm-path serving P95 ------------------------------------------
-    # The reference's latency gate is a P95 over repeated warm searches
-    # (locustfile.py:33, 500 ms).  Median-of-3 can't speak to tails, so
-    # rerun the warm k=10 search enough times for a real 95th percentile.
-    p95_reps = int(os.environ.get("SPARK_GRAFT_P95_REPS", "20"))
+    # --- warm-path serving tails ----------------------------------------
+    # The reference's latency gate is a P95 over warm searches from 20
+    # CONCURRENT users (locustfile.py:37-48, 500 ms).  Two measurements:
+    # (a) a sequential loop — ≥100 reps, because a P99 needs enough
+    # samples that one hypervisor stall doesn't define the tail; (b) a
+    # concurrent-client loop (default 6 threads × 20 requests against
+    # the same warm session — Spark schedules concurrent jobs from
+    # independent threads), the shape the reference's gate is measured
+    # under.
+    def pct(sorted_lat: list[float], q: float) -> float:
+        return sorted_lat[min(len(sorted_lat) - 1, int(round(q * len(sorted_lat))) - 1)]
+
+    p95_reps = int(os.environ.get("SPARK_GRAFT_P95_REPS", "100"))
     warm_fn = qs["search_topk_warm"]
     lat = []
     for _ in range(p95_reps):
@@ -164,8 +201,28 @@ def main() -> None:
         warm_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         lat.append(time.perf_counter() - t0)
     lat.sort()
-    p95 = lat[min(len(lat) - 1, int(round(0.95 * len(lat))) - 1)]
-    p99 = lat[min(len(lat) - 1, int(round(0.99 * len(lat))) - 1)]
+    p95, p99 = pct(lat, 0.95), pct(lat, 0.99)
+
+    import concurrent.futures
+
+    conc_users = int(os.environ.get("SPARK_GRAFT_CONC_USERS", "6"))
+    conc_reps = int(os.environ.get("SPARK_GRAFT_CONC_REPS", "20"))
+
+    def _user_loop(_uid: int) -> list[float]:
+        out = []
+        for _ in range(conc_reps):
+            t0 = time.perf_counter()
+            warm_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            out.append(time.perf_counter() - t0)
+        return out
+
+    t_conc0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=conc_users) as ex:
+        conc_lat = sorted(
+            x for res in ex.map(_user_loop, range(conc_users)) for x in res
+        )
+    conc_wall = time.perf_counter() - t_conc0
+    conc_qps = len(conc_lat) / conc_wall if conc_wall > 0 else 0.0
 
     # --- ANN quality: IVF recall@10 vs exact ----------------------------
     # Latency without recall is half a number for the one operator whose
@@ -284,11 +341,19 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "value_min": round(sum(timings_min.values()), 3),
+        "curate_stages_sec": curate_stages,
         "sf": sf,
         "search_warm_p95": round(p95, 3),
         "search_warm_p99": round(p99, 3),
         "search_warm_p50": round(lat[len(lat) // 2], 3),
         "search_warm_reps": p95_reps,
+        "search_warm_conc_users": conc_users,
+        "search_warm_conc_p50": round(conc_lat[len(conc_lat) // 2], 3),
+        "search_warm_conc_p95": round(pct(conc_lat, 0.95), 3),
+        "search_warm_conc_p99": round(pct(conc_lat, 0.99), 3),
+        "search_warm_conc_qps": round(conc_qps, 1),
         "ann_recall_at_10": round(ann_recall, 3),
         "streaming_events_per_sec": int(n_events / stream_wall),
         "embed_docs_per_sec": int(n_docs / emb_wall),

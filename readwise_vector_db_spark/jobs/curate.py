@@ -21,6 +21,8 @@ dedup group-bys; everything else is a narrow map.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,11 +42,16 @@ def curate_corpus(
     min_quality: float = 0.4,
     lang: str = "en",
     near_dup_threshold: float = 0.6,
-) -> dict[str, int]:
+) -> dict[str, float]:
     """Run the curation funnel over ``documents``; commit survivors to a
     VersionedTable at ``out_root``.  Returns per-stage surviving counts —
-    the row-accounting every curation run must report.
+    the row-accounting every curation run must report — plus per-stage
+    wall seconds (``wall_score``/``wall_exact``/``wall_near_dup``/
+    ``wall_commit``) measured at the funnel's action boundaries, so a
+    composite-level regression can be attributed to its stage instead
+    of hiding in the total (the r4 verdict's unexplained +45 %).
     """
+    t_start = time.perf_counter()
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
 
     # Stage flags computed once, first three funnel counts from ONE
@@ -63,11 +70,13 @@ def curate_corpus(
         F.sum(F.col("_q_ok").cast("long")).alias("after_quality"),
         F.sum((F.col("_q_ok") & F.col("_l_ok")).cast("long")).alias("after_lang"),
     ).collect()[0]
-    stats: dict[str, int] = {
+    stats: dict[str, float] = {
         "raw": int(head["raw"]),
         "after_quality": int(head["after_quality"] or 0),
         "after_lang": int(head["after_lang"] or 0),
     }
+    t_score = time.perf_counter()
+    stats["wall_score"] = t_score - t_start  # scan + score + persist fill
 
     in_lang = flagged.filter(F.col("_q_ok") & F.col("_l_ok")).drop("_q_ok", "_l_ok")
 
@@ -76,6 +85,8 @@ def curate_corpus(
     # anti-join — three traversals of one shuffle's output.
     exact = exact_dedup(in_lang, id_col="doc_id", text_col="text").persist()
     stats["after_exact_dedup"] = exact.count()
+    t_exact = time.perf_counter()
+    stats["wall_exact"] = t_exact - t_score
 
     # near-dup: drop the HIGHER id of every candidate pair (deterministic
     # survivor).
@@ -90,10 +101,14 @@ def curate_corpus(
     losers = pairs.select(F.col("id_b").alias("doc_id"))
     survivors = exact.join(losers, "doc_id", "left_anti").persist()
     stats["after_near_dup"] = survivors.count()
+    t_near = time.perf_counter()
+    stats["wall_near_dup"] = t_near - t_exact
 
     table = VersionedTable(out_root)
     table.commit(survivors)
     stats["committed_version"] = table.latest_version()
+    stats["wall_commit"] = time.perf_counter() - t_near
+    stats["wall_total"] = time.perf_counter() - t_start
     survivors.unpersist()
     exact.unpersist()
     flagged.unpersist()

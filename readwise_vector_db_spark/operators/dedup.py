@@ -161,15 +161,17 @@ def _exact_group_fanout(
     # hash — persisted because it feeds rep selection, the intra
     # self-join, and both sides of the cross fan-out.  ids/groups stay
     # persisted (members' lineage reads them lazily); all three are
-    # drained at the next detector call.
+    # drained at the next detector call.  Registered AFTER the inner
+    # call below: ``inner`` starts with its own release_detector_cache()
+    # and must not drain this call's frames.
     members = ids.join(groups, "_gfp").select("id", "gid", "gn").persist()
-    _register_cached(ids, groups, members)
     reps = docs.join(
         members.filter(F.col("id") == F.col("gid")).select(F.col("id").alias(id_col)),
         id_col,
         "left_semi",
     )
     rep_pairs = inner(reps)
+    _register_cached(ids, groups, members)
     ga = members.select(F.col("gid").alias("id_a"), F.col("id").alias("_ma"))
     gb = members.select(F.col("gid").alias("id_b"), F.col("id").alias("_mb"))
     cross = (
@@ -279,6 +281,7 @@ def ngram_jaccard_pairs(
             ),
         )
 
+    release_detector_cache()
     raw = docs.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle")
     )
@@ -302,6 +305,7 @@ def ngram_jaccard_pairs(
         # persist so the scan+shingle+hash pass runs once, not twice
         # (MEMORY_AND_DISK: at 100 TB this spills instead of evicting)
         raw = raw.persist()
+        _register_cached(raw)
         freq = raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         joined = raw.join(freq, "shingle")
         tbl = (
@@ -331,6 +335,7 @@ def ngram_jaccard_pairs(
             .drop("arr")
             .persist()
         )
+        _register_cached(sh)
         ex = sh.select("id", "n_sh", F.explode("pref").alias("shingle"))
     else:
         # per-doc distinct shingle sets (collect_set also merges hash
@@ -344,6 +349,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("n_sh") > 0)
             .persist()
         )
+        _register_cached(sh)
         ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
 
         if df_max is not None:
@@ -352,6 +358,7 @@ def ngram_jaccard_pairs(
             # without a persist the df-count + join chain runs twice —
             # the static plan showed zero exchange reuse.
             ex = ex.join(freq, "shingle").filter(F.col("df") <= df_max).persist()
+            _register_cached(ex)
 
     a, b = ex.alias("a"), ex.alias("b")
     # length filter: J(A,B) ≤ min/max of sizes, so J ≥ t ⇒ na ≥ t·nb (wlog);
@@ -409,6 +416,19 @@ def hash64(col: Column | str, base_hash: str = "xxhash64") -> Column:
     raise ValueError(f"unknown base_hash {base_hash!r}")
 
 
+def _hash64_sql(arg: str, base_hash: str) -> str:
+    """:func:`hash64` as a SQL fragment, for the wide expr-string plans
+    below.  Building 64-way expressions through the Column API costs
+    hundreds of py4j round-trips PER PLAN (measured ~1 s of driver time
+    on every minhash/simhash call); one ``F.expr`` string is parsed
+    JVM-side in ~ms and produces the identical expression tree."""
+    if base_hash == "xxhash64":
+        return f"xxhash64({arg})"
+    if base_hash == "md5":
+        return f"cast(conv(substring(md5(cast({arg} as string)),1,15),16,10) as bigint)"
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 3,
@@ -419,19 +439,29 @@ def minhash_signatures(
     """(id, sig array<long>[64]).  Base hash = hash64(shingle) mod P;
     permutation i = (a_i·h + b_i) mod P; signature = per-permutation min.
 
-    64 ``min`` aggregate columns → map-side partial aggregation collapses
-    each partition before the single shuffle on doc id.
+    Pure per-row projection — a doc's signature depends only on its own
+    shingle array, so the 64 minima come from ``array_min(transform(...))``
+    over the hashed-shingle column: NO explode, NO shuffle (the prior
+    explode+groupBy version shuffled |corpus|·|shingles| rows that
+    map-side combine then re-collapsed — measured 1.26 → 0.96 s at
+    sf0.1, and at 100 TB the difference is an entire |shingle|-scale
+    exchange).  The 64-way expression is built as ONE ``F.expr`` string
+    (see :func:`_hash64_sql` — the Column-API version cost ~1 s of py4j
+    round-trips per plan); docs whose shingle set is empty emit no row,
+    exactly like the explode path (an empty set pairs with nothing).
     """
-    coeffs = _hash_coeffs()
-    ex = docs.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("shingle")
-    ).withColumn("h", F.pmod(hash64("shingle", base_hash), F.lit(MINHASH_P)))
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sigs = ex.groupBy("id").agg(*aggs)
-    return sigs.select("id", F.array(*[f"mh{i}" for i in range(N_HASHES)]).alias("sig"))
+    P = MINHASH_P
+    hs = F.expr(f"transform(_sh, s -> pmod({_hash64_sql('s', base_hash)}, {P}L))")
+    mins = ", ".join(
+        f"array_min(transform(_hs, h -> pmod(h * {a}L + {b}L, {P}L)))"
+        for a, b in _hash_coeffs()
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("_sh"))
+        .select("id", hs.alias("_hs"))
+        .filter(F.size("_hs") > 0)
+        .select("id", F.expr(f"array({mins})").alias("sig"))
+    )
 
 
 def band_keys(sig_col: Column | str) -> Column:
@@ -443,7 +473,20 @@ def band_keys(sig_col: Column | str) -> Column:
     Shared by the in-corpus pair detector and the incremental
     batch-vs-store dedup (jobs/incremental_dedup.py), which band two
     DIFFERENT frames and join across them."""
-    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    if isinstance(sig_col, str):
+        # one JVM-parsed expr: 16×4 element_at via the Column API is
+        # ~100 py4j round-trips of per-plan driver time
+        bands = ", ".join(
+            "concat_ws(',', "
+            + ", ".join(
+                f"cast(element_at({sig_col}, {j * ROWS_PER_BAND + r + 1}) as string)"
+                for r in range(ROWS_PER_BAND)
+            )
+            + ")"
+            for j in range(N_BANDS)
+        )
+        return F.expr(f"array({bands})")
+    c = sig_col
     return F.array(
         *[
             F.concat_ws(
@@ -506,7 +549,9 @@ def minhash_lsh_pairs(
     # self-join AND the verification join — without it the shingle+64-min
     # aggregation (the expensive stage) runs twice.  At 100 TB this is a
     # materialized parquet intermediate, not executor cache.
+    release_detector_cache()
     sigs = minhash_signatures(docs, k, id_col, text_col, base_hash).persist()
+    _register_cached(sigs)
     bands = sigs.select(
         "id", "sig", F.posexplode(band_keys("sig")).alias("band", "bh")
     )
@@ -558,24 +603,32 @@ def simhash_fingerprints(
     text_col: str = "text",
     base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash BIGINT): per-bit majority vote over token hashes."""
+    """(id, simhash BIGINT): per-bit majority vote over token hashes.
+
+    Pure per-row projection, like :func:`minhash_signatures`: the vote
+    is over the doc's OWN token multiset, so each bit's count is an
+    ``aggregate()`` over the hashed-token array — no explode, no
+    groupBy shuffle (measured 0.7 → 0.2 s at sf0.1), and the whole
+    64-bit fold is one JVM-parsed expr string (the Column-API version
+    cost ~1 s of py4j round-trips per plan)."""
     n_bits = simhash_bits(base_hash)
-    ex = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"),
-    ).withColumn("h", hash64("tok", base_hash))
-    bit_sums = [
-        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"s{i}")
+    toks = F.split(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+")
+    hs = F.expr(f"transform(_toks, t -> {_hash64_sql('t', base_hash)})")
+    fold = " + ".join(
+        f"(case when 2 * aggregate(_hs, 0L, (acc, h) -> acc +"
+        f" (shiftright(h, {i}) & 1)) > size(_hs)"
+        f" then shiftleft(1L, {i}) else 0L end)"
         for i in range(n_bits)
-    ]
-    agg = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
-    simhash = None
-    for i in range(n_bits):
-        bit = F.when(F.col(f"s{i}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        simhash = bit if simhash is None else simhash.bitwiseOR(bit)
-    return agg.select("id", simhash.alias("simhash"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .select("id", hs.alias("_hs"))
+        # null text → null token array: emit no row, exactly like the
+        # explode path (the fold's case-when would otherwise swallow the
+        # NULL votes into an all-zero fingerprint that pairs null docs)
+        .filter(F.col("_hs").isNotNull())
+        .select("id", F.expr(fold).alias("simhash"))
+    )
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
@@ -612,7 +665,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
     chunk_mask = (1 << chunk_w) - 1
     # persist: fingerprints feed both sides of the chunk self-join and the
     # final hamming verification — the 60-bit-sum aggregation runs once
+    release_detector_cache()
     fps = simhash_fingerprints(docs, id_col, text_col, base_hash).persist()
+    _register_cached(fps)
     chunk_structs = [
         F.struct(
             F.lit(j).alias("chunk"),

@@ -35,7 +35,13 @@ def test_curate_corpus_funnel(spark, tmp_path):
 def test_curate_corpus_is_deterministic(spark, tmp_path):
     a = curate_corpus(spark, SF_SMOKE, str(tmp_path / "a"))
     b = curate_corpus(spark, SF_SMOKE, str(tmp_path / "b"))
-    assert a == b
+    # row accounting is deterministic; wall_* keys are timings, and the
+    # stage set reported must be identical across runs
+    strip = lambda s: {k: v for k, v in s.items() if not k.startswith("wall_")}
+    assert strip(a) == strip(b)
+    assert {k for k in a if k.startswith("wall_")} == {
+        "wall_score", "wall_exact", "wall_near_dup", "wall_commit", "wall_total",
+    }
     ids_a = {r["doc_id"] for r in VersionedTable(str(tmp_path / "a")).read(spark).collect()}
     ids_b = {r["doc_id"] for r in VersionedTable(str(tmp_path / "b")).read(spark).collect()}
     assert ids_a == ids_b
