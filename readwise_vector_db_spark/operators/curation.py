@@ -19,6 +19,9 @@ data pipelines):
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,17 +107,30 @@ def chunk_overlap(
     stride: int = 48,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Sliding-window chunks: (doc_id, chunk_idx, n_chunk_tokens,
-    chunk_md5), one row per window of ``window`` whitespace tokens
-    starting every ``stride`` tokens (last chunk may be short; a doc
-    shorter than one window yields a single chunk).
+    chunk_md5), one row per window of ``window`` tokens starting every
+    ``stride`` tokens (last chunk may be short; a doc shorter than one
+    window yields a single chunk).
 
-    Map-only — sequence/slice/explode inside one projection; the chunk
-    text itself is emitted as an md5 so the output stays narrow.
+    ``tokenizer="ws"`` (default) budgets in whitespace tokens — map-only
+    sequence/slice/explode inside one codegen projection; the chunk text
+    is emitted as an md5 so the output stays narrow.  ``tokenizer="bpe"``
+    budgets in BPE tokens (functions/bpe.py — real cl100k budgets when
+    ``$RWVDB_BPE_RANKS`` points at the artifact, matching the
+    reference's tiktoken cap semantics, core/embedding.py:9-14):
+    Arrow-batched pandas UDF by necessity, same window/stride/short-doc
+    semantics, chunk text = the decoded BPE window (byte-exact
+    re-concatenation), still map-only — the tokenizer changes the
+    budget, never the shuffle story.
     """
     if not 0 < stride <= window:
         raise ValueError("need 0 < stride <= window")
+    if tokenizer == "bpe":
+        return _chunk_overlap_bpe(docs, window, stride, id_col, text_col)
+    if tokenizer != "ws":
+        raise ValueError(f"tokenizer must be ws|bpe, got {tokenizer!r}")
     toks = ws_tokens(text_col)
     starts = F.sequence(
         F.lit(0), F.greatest(F.col("n_toks") - 1, F.lit(0)), F.lit(stride)
@@ -129,5 +145,58 @@ def chunk_overlap(
             (F.col("start") / stride).cast("int").alias("chunk_idx"),
             F.size(chunk).alias("n_chunk_tokens"),
             F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+def _chunk_overlap_bpe(
+    docs: DataFrame, window: int, stride: int, id_col: str, text_col: str
+) -> DataFrame:
+    """BPE-budget chunking: one Arrow batch in, an exploded chunk list
+    out.  Encode once per doc, slice the id stream (ids, not re-encoded
+    text, so every chunk is exactly ``window`` tokens by construction),
+    md5 the decoded window.  Parallelism is per-row — no cross-row
+    state, so this scales exactly like the ws path."""
+    import hashlib as _hl
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<chunk_idx:int,n_chunk_tokens:int,chunk_md5:string>>")
+    def _chunks(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from readwise_vector_db_spark.functions import bpe
+
+        ranks = bpe.default_ranks()  # resolved once per executor
+
+        def per_doc(text):
+            if text is None:
+                return None
+            ids = bpe.encode(text, ranks)
+            n = len(ids)
+            if n == 0:
+                return None
+            out = []
+            for start in range(0, max(n - 1, 0) + 1, stride):
+                piece = ids[start : start + window]
+                out.append(
+                    (
+                        start // stride,
+                        len(piece),
+                        _hl.md5(bpe.decode(piece, ranks).encode()).hexdigest(),
+                    )
+                )
+            return out
+
+        for s in it:
+            yield s.map(per_doc)
+
+    return (
+        docs.select(F.col(id_col), _chunks(F.col(text_col)).alias("_ch"))
+        .filter(F.col("_ch").isNotNull())
+        .select(F.col(id_col), F.explode("_ch").alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("c.chunk_md5").alias("chunk_md5"),
         )
     )

@@ -204,3 +204,70 @@ def test_inverse_memo_keyed_by_object_not_address():
     assert inv2 == {v: k for k, v in r2.items()}
     entry = bpe._INVERSES[id(r2)]
     assert entry[0] is r2
+
+
+def test_chunk_overlap_bpe_budget(spark):
+    """tokenizer="bpe" chunking: same window/stride/short-doc contract
+    as the ws path, but budgeted in BPE tokens — chunk boundaries and
+    counts must match a direct Python re-derivation from bpe.encode."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from readwise_vector_db_spark.operators.curation import chunk_overlap
+
+    texts = [t for t, _ in RECORDED if t] + ["one-token", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_md5"])
+        for r in chunk_overlap(docs, window=8, stride=6, tokenizer="bpe").collect()
+    }
+    expected = {}
+    for i, t in enumerate(texts):
+        ids = bpe.encode(t)
+        if not ids:
+            continue  # empty docs emit nothing, like the ws path
+        for start in range(0, max(len(ids) - 1, 0) + 1, 6):
+            piece = ids[start : start + 8]
+            expected[(i, start // 6)] = (
+                len(piece),
+                hashlib.md5(bpe.decode(piece).encode()).hexdigest(),
+            )
+    assert got == expected
+    # chunks are capped at `window` BPE tokens, long docs do produce
+    # full windows, and chunk counts follow the BPE stream length —
+    # the budget really is a BPE budget
+    assert any(n == 8 for n, _ in got.values())
+    assert all(n <= 8 for n, _ in got.values())
+    for i, t in enumerate(texts):
+        n_ids = len(bpe.encode(t))
+        n_chunks = sum(1 for (doc, _) in got if doc == i)
+        assert n_chunks == (0 if n_ids == 0 else len(range(0, max(n_ids - 1, 0) + 1, 6)))
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        __import__("os").environ.get(bpe.RANKS_ENV, "")
+    ),
+    reason="real cl100k_base artifact not present ($RWVDB_BPE_RANKS unset)",
+)
+def test_real_cl100k_parity_when_artifact_present():
+    """Artifact-gated bit-for-bit tiktoken parity: when $RWVDB_BPE_RANKS
+    points at the public cl100k_base.tiktoken file, encodings must match
+    tiktoken's own published cl100k examples exactly (README example and
+    the canonical 'hello world'), and the reference's 8191-token
+    embedding cap (core/embedding.py:9-14) must hold post-truncation."""
+    import os
+
+    ranks = bpe.load_tiktoken_ranks(os.environ[bpe.RANKS_ENV])
+    # tiktoken README, cl100k_base
+    assert bpe.encode("tiktoken is great!", ranks) == [83, 1609, 5963, 374, 2294, 0]
+    assert bpe.encode("hello world", ranks) == [15339, 1917]
+    assert bpe.count_tokens("hello world", ranks) == 2
+    long_text = "word " * 9000
+    assert bpe.count_tokens(long_text, ranks) > 8191
+    truncated = bpe.truncate_to_tokens(long_text, 8191, ranks)
+    assert bpe.count_tokens(truncated, ranks) <= 8191
+    assert long_text.startswith(truncated[: len(truncated) - 1])
