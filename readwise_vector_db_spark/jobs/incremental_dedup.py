@@ -247,10 +247,26 @@ def run_incremental_dedup(
     semantics a daily-increment pipeline has."""
     table = VersionedTable(store_root)
 
+    compact_every = kwargs.pop("compact_every", 64)
+
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         dedup_batch_against_store(
             spark, batch_df, table, threshold=threshold, **kwargs
         )
+        # Compaction cadence: every append adds a segment (and, in
+        # bucketed mode, ≤ BAND_BUCKETS index files), so read fan-in
+        # grows linearly with commits — measured in SCALING.md.  Folding
+        # every `compact_every` commits keeps per-read file counts
+        # bounded at O(compact_every) while staying O(table)-rare;
+        # compaction is itself just a commit, so readers keep snapshot
+        # isolation throughout and the band index is rebuilt from the
+        # compacted snapshot (idempotent repair path doubling as
+        # index compaction).
+        v = table.latest_version() or 0
+        if compact_every and v % compact_every == 0 and v > 0:
+            table.compact(spark, target_files=spark.sparkContext.defaultParallelism)
+            if kwargs.get("batch_join") == "bucketed":
+                rebuild_band_index(spark, table)
 
     return (
         stream_docs.writeStream.foreachBatch(process)
