@@ -856,33 +856,30 @@ def lsh_embedding_pairs(
     )
     _register_cached(base)
 
-    def quantized(t: int, j: int) -> Column:
-        proj = F.aggregate(
-            F.zip_with(
-                "nv",
-                F.array(*[F.lit(w) for w in projs[t][j]]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.floor((proj + F.lit(offsets[t][j])) / F.lit(bucket_length)).cast(
-            "long"
+    # All tables×projections built as ONE JVM-parsed expr — the Column
+    # API inlined tables·k·dim F.lit weights (1 152 py4j round-trips at
+    # the default plan over 64-d vectors), ~1 s of driver time per call.
+    def quantized_sql(t: int, j: int) -> str:
+        w = ", ".join(f"cast('{float(x)!r}' as double)" for x in projs[t][j])
+        off = f"cast('{float(offsets[t][j])!r}' as double)"
+        bl = f"cast('{float(bucket_length)!r}' as double)"
+        return (
+            f"floor((aggregate(zip_with(nv, array({w}), (x, w) -> x * w),"
+            f" cast(0.0 as double), (acc, x) -> acc + x) + {off}) / {bl})"
         )
 
-    def bucket(t: int) -> Column:
-        # compound key: one 64-bit hash over the table's k quantized
-        # projections (xxhash64 is variadic and JVM-side)
-        return F.xxhash64(*[quantized(t, j) for j in range(n_projections)])
-
+    # compound key per table: one 64-bit hash over the table's k
+    # quantized projections (xxhash64 is variadic and JVM-side)
+    tables_sql = ", ".join(
+        "xxhash64(" + ", ".join(quantized_sql(t, j) for j in range(n_projections)) + ")"
+        for t in range(num_hash_tables)
+    )
     # the bucket self-join shuffles ONLY (table, bucket, id) — vectors
     # never ride the LSH shuffle (at 100 TB the tables×n bucket rows are
     # ~24 bytes each; the vector fetch below is candidates-bound)
     hashed = base.select(
         "id",
-        F.posexplode(F.array(*[bucket(t) for t in range(num_hash_tables)])).alias(
-            "table", "bucket"
-        ),
+        F.posexplode(F.expr(f"array({tables_sql})")).alias("table", "bucket"),
     )
     a = hashed.select("table", "bucket", F.col("id").alias("id_a"))
     b = hashed.select("table", "bucket", F.col("id").alias("id_b"))

@@ -62,8 +62,14 @@ class SearchParams:
 
 
 def vector_literal(vec: Sequence[float]) -> Column:
-    """Inline a query vector as an array<double> literal (no broadcast needed)."""
-    return F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
+    """Inline a query vector as an array<double> literal (no broadcast
+    needed).  Built as ONE JVM-parsed expr: per-element ``F.lit`` costs
+    a py4j round-trip per component — ~100 ms of pure driver latency at
+    64-d, and 3072 round-trips for a real embedding — which dominated
+    the measured warm-request latency.  ``repr`` round-trips each double
+    exactly, so the literal is bit-identical to the F.lit version."""
+    elems = ", ".join(f"cast('{float(x)!r}' as double)" for x in vec)
+    return F.expr(f"array({elems})")
 
 
 def apply_filters(df: DataFrame, params: SearchParams) -> DataFrame:
@@ -290,11 +296,23 @@ def semantic_search_served(
             .withColumn("score", F.lit(None).cast("double"))
             .limit(0)
         )
-    score_map = F.create_map(
-        *[F.lit(v) for r in winners for v in (r["id"], r["score"])]
+    # both winner-list expressions as single JVM-parsed exprs (k ≤ 100,
+    # so the SQL strings are small; per-element F.lit would cost 2k+k
+    # py4j round-trips per request on the serving hot path)
+    def esc(s: str) -> str:
+        return str(s).replace("'", "''")
+
+    score_map = F.expr(
+        "map("
+        + ", ".join(
+            f"'{esc(r['id'])}', cast('{float(r['score'])!r}' as double)"
+            for r in winners
+        )
+        + ")"
     )
+    in_list = ", ".join(f"'{esc(r['id'])}'" for r in winners)
     return (
-        metadata.filter(F.col("id").isin([r["id"] for r in winners]))
+        metadata.filter(F.expr(f"id IN ({in_list})"))
         .withColumn("score", score_map[F.col("id")])
         .select(*out_cols, "score")
         .coalesce(1)

@@ -308,7 +308,9 @@ def ivf_search(
     probe = sorted(centroids, key=lambda t: (cos_dist(t[1]), t[0]))[:nprobe]
     probe_ids = [cid for cid, _ in probe]
 
-    q_lit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    from readwise_vector_db_spark.operators.search import vector_literal
+
+    q_lit = vector_literal(query_vec)  # one JVM-parsed expr, not d py4j lits
     # sequential fold (not np.linalg.norm) so the literal is bit-identical
     # with what the in-engine aggregate() would produce
     acc = 0.0
