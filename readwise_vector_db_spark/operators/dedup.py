@@ -108,6 +108,12 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # looks like every other document.
 DF_MAX_DEFAULT = 1000
 
+# Fan-out cost-probe threshold: fraction of rows that must be byte-dup
+# replicas before the exact-group indirection pays for its fixed joins
+# (see the probe comment in _exact_group_fanout; measured crossover is
+# between 9 % — indirection 2× slower — and 90 % — 6× faster).
+_FANOUT_MIN_DUP_RATIO = 0.25
+
 
 def _exact_group_fanout(
     docs: DataFrame,
@@ -146,13 +152,24 @@ def _exact_group_fanout(
     groups = ids.groupBy("_gfp").agg(
         F.min("id").alias("gid"), F.count(F.lit(1)).alias("gn")
     ).persist()
-    # Data-adaptive short-circuit (the AQE spirit, one narrow
-    # aggregation job): a duplicate-free corpus gains nothing from the
-    # rep indirection, so skip the semi-join + fan-out machinery
-    # entirely — on the clean sf0.1 fixture this wrapper otherwise costs
-    # ~0.5 s of pure stage overhead.  At 100 TB the probe is one
-    # map-side-combined count over (id, md5) — noise next to shingling.
-    if groups.filter(F.col("gn") > 1).isEmpty():
+    # Data-adaptive COST probe (the AQE spirit, one narrow aggregation
+    # job): the fan-out saves shingle-stage work proportional to the
+    # duplicate RATIO, but costs fixed machinery (member map, rep
+    # semi-join, two fan-out joins, intra self-join).  Presence of a few
+    # dups is not enough — measured at sf0.1 (9 % byte-dup texts) the
+    # grouped path ran 5.4 s vs 2.0-2.9 s ungrouped, while the ×10
+    # replica corpus (90 % dups) is 6× FASTER grouped.  So: take the
+    # indirection only when ≥ ``_FANOUT_MIN_DUP_RATIO`` of rows are
+    # byte-duplicates; below that the detector is output-identical run
+    # directly (that is the wrapper's contract).  At 100 TB the probe
+    # is one map-side-combined count over (id, md5) — noise next to
+    # shingling.
+    head = groups.agg(
+        F.count(F.lit(1)).alias("g"), F.coalesce(F.sum("gn"), F.lit(0)).alias("n")
+    ).first()
+    n_rows, n_groups = int(head["n"]), int(head["g"])
+    dup_ratio = 0.0 if n_rows == 0 else 1.0 - n_groups / n_rows
+    if dup_ratio < _FANOUT_MIN_DUP_RATIO:
         # fully dead on this path — release now, not at the next call
         ids.unpersist()
         groups.unpersist()
