@@ -181,6 +181,43 @@ def main() -> None:
     spark.catalog.clearCache()
     spark._jvm.System.gc()
 
+    # --- incremental dedup, batch-vs-store composite ----------------------
+    # The ingest-side story (seed a store, then dedup an increment against
+    # it) benched as one unit per layout half: "seed" = first commit into
+    # an empty store, "increment" = a same-sized batch deduped against the
+    # seeded store (historical exact anti-join + broadcast near-dup probe
+    # + append commit).  Gives the incremental pipeline a trend line the
+    # per-query rows can't (it is stateful — writes a versioned store).
+    from pyspark.sql import functions as _Fi
+
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        dedup_batch_against_store,
+    )
+    from readwise_vector_db_spark.sources.tables import load_table as _lt
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    docs_inc = _lt(spark, SF_DIR, "documents").select("doc_id", "text")
+    seed_s, inc_s = [], []
+    for _ in range(reps):
+        root = tempfile.mkdtemp(prefix="bench_incdedup_")
+        table = VersionedTable(root)
+        t0 = time.perf_counter()
+        dedup_batch_against_store(
+            spark, docs_inc.filter(_Fi.col("doc_id") % 2 == 0), table
+        )
+        t1 = time.perf_counter()
+        dedup_batch_against_store(
+            spark, docs_inc.filter(_Fi.col("doc_id") % 2 == 1), table
+        )
+        t2 = time.perf_counter()
+        seed_s.append(t1 - t0)
+        inc_s.append(t2 - t1)
+        shutil.rmtree(root, ignore_errors=True)
+    seed_s.sort()
+    inc_s.sort()
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+
     # --- warm-path serving tails ----------------------------------------
     # The reference's latency gate is a P95 over warm searches from 20
     # CONCURRENT users (locustfile.py:37-48, 500 ms).  Two measurements:
@@ -344,6 +381,14 @@ def main() -> None:
         "queries_min": timings_min,
         "value_min": round(sum(timings_min.values()), 3),
         "curate_stages_sec": curate_stages,
+        "incremental_dedup_seed_sec": {
+            "median": round(median(seed_s), 3),
+            "min": round(seed_s[0], 3),
+        },
+        "incremental_dedup_increment_sec": {
+            "median": round(median(inc_s), 3),
+            "min": round(inc_s[0], 3),
+        },
         "sf": sf,
         "search_warm_p95": round(p95, 3),
         "search_warm_p99": round(p99, 3),
