@@ -128,6 +128,55 @@ def main() -> None:
             else (sorted_samples[n // 2 - 1] + sorted_samples[n // 2]) / 2
         )
 
+    # --- warm-path serving tails ----------------------------------------
+    # The reference's latency gate is a P95 over warm searches from 20
+    # CONCURRENT users (locustfile.py:37-48, 500 ms).  Two measurements:
+    # (a) a sequential loop — ≥100 reps, because a P99 needs enough
+    # samples that one hypervisor stall doesn't define the tail; (b) a
+    # concurrent-client loop (default 6 threads × 20 requests against
+    # the same warm session — Spark schedules concurrent jobs from
+    # independent threads), the shape the reference's gate is measured
+    # under.  Measured FIRST, before the batch query loop: a serving
+    # process does not run 30 analytics queries concurrently, and the
+    # GC/heap pressure those accumulate was measurably inflating the
+    # tail percentiles of a loop run after them.
+    def pct(sorted_lat: list[float], q: float) -> float:
+        return sorted_lat[min(len(sorted_lat) - 1, int(round(q * len(sorted_lat))) - 1)]
+
+    spark._jvm.System.gc()
+    p95_reps = int(os.environ.get("SPARK_GRAFT_P95_REPS", "100"))
+    warm_fn = qs["search_topk_warm"]
+    for _ in range(5):  # unmeasured: codegen + first-touch of the layout
+        warm_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    lat = []
+    for _ in range(p95_reps):
+        t0 = time.perf_counter()
+        warm_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p95, p99 = pct(lat, 0.95), pct(lat, 0.99)
+
+    import concurrent.futures
+
+    conc_users = int(os.environ.get("SPARK_GRAFT_CONC_USERS", "6"))
+    conc_reps = int(os.environ.get("SPARK_GRAFT_CONC_REPS", "20"))
+
+    def _user_loop(_uid: int) -> list[float]:
+        out = []
+        for _ in range(conc_reps):
+            t0 = time.perf_counter()
+            warm_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            out.append(time.perf_counter() - t0)
+        return out
+
+    t_conc0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=conc_users) as ex:
+        conc_lat = sorted(
+            x for res in ex.map(_user_loop, range(conc_users)) for x in res
+        )
+    conc_wall = time.perf_counter() - t_conc0
+    conc_qps = len(conc_lat) / conc_wall if conc_wall > 0 else 0.0
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
@@ -217,49 +266,6 @@ def main() -> None:
     inc_s.sort()
     spark.catalog.clearCache()
     spark._jvm.System.gc()
-
-    # --- warm-path serving tails ----------------------------------------
-    # The reference's latency gate is a P95 over warm searches from 20
-    # CONCURRENT users (locustfile.py:37-48, 500 ms).  Two measurements:
-    # (a) a sequential loop — ≥100 reps, because a P99 needs enough
-    # samples that one hypervisor stall doesn't define the tail; (b) a
-    # concurrent-client loop (default 6 threads × 20 requests against
-    # the same warm session — Spark schedules concurrent jobs from
-    # independent threads), the shape the reference's gate is measured
-    # under.
-    def pct(sorted_lat: list[float], q: float) -> float:
-        return sorted_lat[min(len(sorted_lat) - 1, int(round(q * len(sorted_lat))) - 1)]
-
-    p95_reps = int(os.environ.get("SPARK_GRAFT_P95_REPS", "100"))
-    warm_fn = qs["search_topk_warm"]
-    lat = []
-    for _ in range(p95_reps):
-        t0 = time.perf_counter()
-        warm_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        lat.append(time.perf_counter() - t0)
-    lat.sort()
-    p95, p99 = pct(lat, 0.95), pct(lat, 0.99)
-
-    import concurrent.futures
-
-    conc_users = int(os.environ.get("SPARK_GRAFT_CONC_USERS", "6"))
-    conc_reps = int(os.environ.get("SPARK_GRAFT_CONC_REPS", "20"))
-
-    def _user_loop(_uid: int) -> list[float]:
-        out = []
-        for _ in range(conc_reps):
-            t0 = time.perf_counter()
-            warm_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            out.append(time.perf_counter() - t0)
-        return out
-
-    t_conc0 = time.perf_counter()
-    with concurrent.futures.ThreadPoolExecutor(max_workers=conc_users) as ex:
-        conc_lat = sorted(
-            x for res in ex.map(_user_loop, range(conc_users)) for x in res
-        )
-    conc_wall = time.perf_counter() - t_conc0
-    conc_qps = len(conc_lat) / conc_wall if conc_wall > 0 else 0.0
 
     # --- ANN quality: IVF recall@10 vs exact ----------------------------
     # Latency without recall is half a number for the one operator whose

@@ -182,8 +182,13 @@ def planted_ivf_artifact(spark: SparkSession, sf_dir: str) -> str:
     centroid table.  Deterministic (seeded KMeans over a fixed corpus),
     so concurrent or repeated builds converge to the same artifact; the
     ``_BUILT`` marker lands only after a complete save."""
+    # source fingerprint in the key: a regenerated fixture (new
+    # size/mtime) must never be served by a stale artifact — the planted
+    # expectations would silently diverge from the corpus
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|planted16|v{_IVF_ARTIFACT_VERSION}".encode()
+        f"{os.path.abspath(sf_dir)}|{st.st_size}:{int(st.st_mtime)}"
+        f"|planted16|v{_IVF_ARTIFACT_VERSION}".encode()
     ).hexdigest()[:16]
     path = f"{_IVF_ARTIFACT_ROOT}/{key}"
     marker = f"{path}/_BUILT"
