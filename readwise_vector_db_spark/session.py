@@ -41,6 +41,12 @@ def get_spark(app_name: str = "readwise_vector_db_spark", cores: int | None = No
         # timestamp type, so read the raw int64 and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # FAIR job scheduling: concurrent serving clients (api servers,
+        # the bench's concurrent warm loop) interleave instead of
+        # queueing behind each other's jobs — measured 6-user warm P95
+        # 0.49 → 0.44 s, QPS 13.9 → 15.4; sequential batch work is
+        # unaffected (one job at a time either way).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -192,3 +192,27 @@ def test_warm_handles_memoized_and_fingerprint_invalidated(spark, tmp_path):
     # (storageLevel can't distinguish old from new here: both handles
     # resolve the same catalog table name, and Spark's cache registry is
     # plan-keyed — the eviction itself is what the count above pins.)
+
+
+def test_vector_literal_bitwise_matches_per_element_lits(spark):
+    """The expr-string vector literal must be bit-identical to the
+    per-element F.lit construction for adversarial doubles (subnormals,
+    huge/tiny magnitudes, negative zero, long mantissas) — repr() must
+    round-trip every IEEE-754 double through the SQL parser."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from readwise_vector_db_spark.operators.search import vector_literal
+
+    vals = [
+        0.0, -0.0, 1.0, -1.0, math.pi, -math.e, 1e-308, 5e-324, 1.7976931348623157e308,
+        0.1, 1 / 3, -2.2250738585072014e-308, 123456789.123456789, 6.02e23,
+    ]
+    df = spark.range(1)
+    got = df.select(vector_literal(vals).alias("v")).first()["v"]
+    ref = df.select(
+        F.array(*[F.lit(float(x)) for x in vals]).cast("array<double>").alias("v")
+    ).first()["v"]
+    assert [struct.pack("d", x) for x in got] == [struct.pack("d", x) for x in ref]
