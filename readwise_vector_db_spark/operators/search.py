@@ -300,14 +300,16 @@ def semantic_search_served(
     # so the SQL strings are small; per-element F.lit would cost 2k+k
     # py4j round-trips per request on the serving hot path)
     def esc(s: str) -> str:
-        return str(s).replace("'", "''")
+        return str(s).replace("\\", "\\\\").replace("'", "''")
+
+    def sql_double(v) -> str:
+        # a zero-norm corpus vector scores NULL (cosine has no direction)
+        # — must stay a NULL literal, exactly like F.lit(None) did
+        return "cast(null as double)" if v is None else f"cast('{float(v)!r}' as double)"
 
     score_map = F.expr(
         "map("
-        + ", ".join(
-            f"'{esc(r['id'])}', cast('{float(r['score'])!r}' as double)"
-            for r in winners
-        )
+        + ", ".join(f"'{esc(r['id'])}', {sql_double(r['score'])}" for r in winners)
         + ")"
     )
     in_list = ", ".join(f"'{esc(r['id'])}'" for r in winners)

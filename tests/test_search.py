@@ -216,3 +216,29 @@ def test_vector_literal_bitwise_matches_per_element_lits(spark):
         F.array(*[F.lit(float(x)) for x in vals]).cast("array<double>").alias("v")
     ).first()["v"]
     assert [struct.pack("d", x) for x in got] == [struct.pack("d", x) for x in ref]
+
+
+def test_served_search_survives_zero_norm_vectors(spark):
+    """A zero-norm corpus vector has no direction: its cosine score is
+    NULL, it may enter the winner list (Spark sorts NULLs first under
+    asc), and the serving path must emit it with a NULL score — exactly
+    what the per-element F.lit(None) construction did — rather than
+    crash building the literal score map."""
+    from pyspark.sql import functions as F
+
+    from readwise_vector_db_spark.operators.search import (
+        SearchParams,
+        semantic_search_served,
+    )
+
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0], 1.0), ("z", [0.0, 0.0], 0.0), ("b", [0.0, 1.0], 1.0)],
+        "id string, embedding array<float>, emb_norm double",
+    )
+    meta = spark.createDataFrame(
+        [("a", "ta"), ("z", "tz"), ("b", "tb")], "id string, text string"
+    )
+    rows = semantic_search_served(meta, vecs, [1.0, 0.0], SearchParams(k=3)).collect()
+    by_id = {r["id"]: r["score"] for r in rows}
+    assert by_id["z"] is None
+    assert by_id["a"] == 0.0 and abs(by_id["b"] - 1.0) < 1e-9
