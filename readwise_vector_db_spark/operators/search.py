@@ -61,15 +61,21 @@ class SearchParams:
         return max(K_MIN, min(K_MAX, self.k))
 
 
+def vector_literal_sql(vec: Sequence[float]) -> str:
+    """SQL text of a query vector as an array<double> literal.  ``repr``
+    round-trips each double exactly, so the parsed literal is
+    bit-identical to the per-element ``F.lit`` construction."""
+    elems = ", ".join(f"cast('{float(x)!r}' as double)" for x in vec)
+    return f"array({elems})"
+
+
 def vector_literal(vec: Sequence[float]) -> Column:
     """Inline a query vector as an array<double> literal (no broadcast
     needed).  Built as ONE JVM-parsed expr: per-element ``F.lit`` costs
     a py4j round-trip per component — ~100 ms of pure driver latency at
     64-d, and 3072 round-trips for a real embedding — which dominated
-    the measured warm-request latency.  ``repr`` round-trips each double
-    exactly, so the literal is bit-identical to the F.lit version."""
-    elems = ", ".join(f"cast('{float(x)!r}' as double)" for x in vec)
-    return F.expr(f"array({elems})")
+    the measured warm-request latency."""
+    return F.expr(vector_literal_sql(vec))
 
 
 def apply_filters(df: DataFrame, params: SearchParams) -> DataFrame:
@@ -109,6 +115,74 @@ def apply_meta_filters(df: DataFrame, params: SearchParams) -> DataFrame:
     return df
 
 
+def query_norm(query_vec: Sequence[float]) -> float:
+    """Driver-side L2 norm of the query vector.  Plain sequential fold,
+    NOT ``math.fsum``: must reproduce the same IEEE-754 accumulation
+    order as the in-engine ``aggregate()`` / DuckDB ``list_dot_product``."""
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def sql_quote(s: str) -> str:
+    """Escape a string for a single-quoted Spark SQL literal."""
+    return str(s).replace("\\", "\\\\").replace("'", "''")
+
+
+def score_sql(query_vec: Sequence[float], norm_col: str = "emb_norm") -> str:
+    """SQL text of ``score_column`` for a plain query vector — the same
+    rounded cosine distance as one parser-bound string, for serving paths
+    that build per-request plans with a single ``spark.sql`` round-trip
+    instead of ~a dozen py4j expression-tree calls (measured ~90 ms of
+    driver latency per warm request at 64-d; see sources/search_index.py).
+
+    Expression-for-expression the DataFrame twin: ``1.0D - CASE WHEN
+    denom > 0 THEN dot/denom END`` with the query norm folded driver-side
+    (Catalyst does not constant-fold ``aggregate`` over array literals).
+    Bitwise parity with ``score_column`` is pinned in
+    tests/test_search_serving.py."""
+    qn = f"cast('{query_norm(query_vec)!r}' as double)"
+    denom = f"({norm_col} * {qn})"
+    dot = (
+        f"aggregate(zip_with(cast(embedding as array<double>), "
+        f"{vector_literal_sql(query_vec)}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        f"round(1.0D - (CASE WHEN {denom} > 0.0D THEN {dot} / {denom} END), "
+        f"{SCORE_DECIMALS})"
+    )
+
+
+def meta_filter_sql(params: SearchParams, columns: Sequence[str]) -> str | None:
+    """WHERE-fragment twin of ``apply_meta_filters`` (F2-F7), with the
+    same column gating.  Returns None when no metadata filter applies.
+    ``extra_filters`` are arbitrary Columns — not renderable to SQL text;
+    callers with extras must use the DataFrame path."""
+    if params.extra_filters:
+        raise ValueError("extra_filters are not SQL-renderable")
+    conj: list[str] = []
+    if params.source_type is not None:  # F2
+        conj.append(f"source_type = '{sql_quote(params.source_type)}'")
+    if params.source_author is not None and "source_author" in columns:  # F3
+        conj.append(f"source_author = '{sql_quote(params.source_author)}'")
+    if params.lang is not None and "lang" in columns:
+        conj.append(f"lang = '{sql_quote(params.lang)}'")
+    if params.tags:  # F4
+        tag_arr = ", ".join(f"'{sql_quote(t)}'" for t in params.tags)
+        conj.append(f"arrays_overlap(tags, array({tag_arr}))")
+    if params.highlighted_at_range is not None and "highlighted_at" in columns:  # F5
+        lo, hi = params.highlighted_at_range
+        lit = lambda v: (  # noqa: E731 — typed literal, matching F.lit(date)
+            f"DATE '{v.isoformat()}'"
+            if isinstance(v, date)
+            else f"'{sql_quote(str(v))}'"
+        )
+        conj.append(f"highlighted_at BETWEEN {lit(lo)} AND {lit(hi)}")
+    return " AND ".join(conj) if conj else None
+
+
 def score_column(query_vec: Sequence[float] | Column, use_norm: bool = True) -> Column:
     """Cosine distance to the query as a rounded double column.
 
@@ -124,12 +198,7 @@ def score_column(query_vec: Sequence[float] | Column, use_norm: bool = True) -> 
             cosine_distance(F.col("embedding"), query_vec, a_norm=norm), SCORE_DECIMALS
         )
     q = vector_literal(query_vec)
-    # plain sequential fold, NOT math.fsum: must reproduce the same IEEE-754
-    # accumulation order as the in-engine aggregate() / list_dot_product
-    acc = 0.0
-    for x in query_vec:
-        acc += float(x) * float(x)
-    q_norm = F.lit(math.sqrt(acc))
+    q_norm = F.lit(query_norm(query_vec))
     return F.round(
         cosine_distance(F.col("embedding"), q, a_norm=norm, b_norm=q_norm),
         SCORE_DECIMALS,
@@ -251,6 +320,27 @@ def semantic_search_stored(
     )
 
 
+def winner_score_map_sql(winners) -> str:
+    """``map('id', score, ...)`` SQL text for a collected winner list.
+    A zero-norm corpus vector scores NULL (cosine has no direction) —
+    it must stay a NULL literal, exactly like ``F.lit(None)`` would."""
+
+    def sql_double(v) -> str:
+        return "cast(null as double)" if v is None else f"cast('{float(v)!r}' as double)"
+
+    return (
+        "map("
+        + ", ".join(
+            f"'{sql_quote(r['id'])}', {sql_double(r['score'])}" for r in winners
+        )
+        + ")"
+    )
+
+
+def winner_in_list_sql(winners) -> str:
+    return ", ".join(f"'{sql_quote(r['id'])}'" for r in winners)
+
+
 def semantic_search_served(
     metadata: DataFrame,
     vectors: DataFrame,
@@ -299,20 +389,8 @@ def semantic_search_served(
     # both winner-list expressions as single JVM-parsed exprs (k ≤ 100,
     # so the SQL strings are small; per-element F.lit would cost 2k+k
     # py4j round-trips per request on the serving hot path)
-    def esc(s: str) -> str:
-        return str(s).replace("\\", "\\\\").replace("'", "''")
-
-    def sql_double(v) -> str:
-        # a zero-norm corpus vector scores NULL (cosine has no direction)
-        # — must stay a NULL literal, exactly like F.lit(None) did
-        return "cast(null as double)" if v is None else f"cast('{float(v)!r}' as double)"
-
-    score_map = F.expr(
-        "map("
-        + ", ".join(f"'{esc(r['id'])}', {sql_double(r['score'])}" for r in winners)
-        + ")"
-    )
-    in_list = ", ".join(f"'{esc(r['id'])}'" for r in winners)
+    score_map = F.expr(winner_score_map_sql(winners))
+    in_list = winner_in_list_sql(winners)
     return (
         metadata.filter(F.expr(f"id IN ({in_list})"))
         .withColumn("score", score_map[F.col("id")])

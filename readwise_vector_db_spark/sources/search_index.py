@@ -216,3 +216,108 @@ def warm_tables(
         meta_df, vec_df = meta_df.cache(), vec_df.cache()
     _HANDLES[key] = (meta_df, vec_df)
     return meta_df, vec_df
+
+
+# --- single-SQL serving fast path --------------------------------------------
+#
+# A warm request through the DataFrame API costs ~12 py4j round-trips of
+# plan construction before Spark sees anything — measured ~145 ms of the
+# ~310 ms request at sf0.1 (the rest is two jobs' scheduling overhead).
+# The fast path renders the same two plans (score→top-k, winner fetch) as
+# two parser-bound SQL strings — one driver round-trip each — and scans a
+# scoring relation whose partition count is sized to the layout's bytes
+# instead of inheriting the bucket count (8 tasks over 2 000 cached rows
+# is pure scheduling overhead; one right-sized partition scores the same
+# rows in one task).  Measured: 313 ms → 144 ms median per request.
+#
+# The bucketed tables stay the join-side handles — the scoring relation
+# is only the scan target of scan→score→top-k, where partitioning is a
+# throughput knob, not a co-location contract.  At real scale the size
+# heuristic keeps the bucketed table itself (est. partitions ≥ buckets),
+# so nothing is coalesced on a cluster; results are proven identical to
+# ``semantic_search_served`` in tests/test_search_serving.py.
+
+_SCORING_RELS: dict[tuple[str, str, str], str] = {}
+
+_TARGET_PARTITION_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
+
+
+def _dir_bytes(path: Path) -> int:
+    return sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
+
+
+def scoring_relation(spark: SparkSession, sf_dir: str) -> str:
+    """Name of the relation serving scan→score→top-k requests: the
+    bucketed vectors table when its data justifies ≥ N_BUCKETS
+    partitions, else a cached coalesced view right-sized to the bytes."""
+    fp = _source_fingerprint(sf_dir)
+    tag = _tag(sf_dir)
+    key = (spark.sparkContext.applicationId, tag, fp)
+    hit = _SCORING_RELS.get(key)
+    if hit is not None:
+        return hit
+    # evict superseded generations (fixture regenerated under same tag)
+    for stale in [k for k in _SCORING_RELS if k[:2] == key[:2] and k[2] != fp]:
+        name = _SCORING_RELS.pop(stale)
+        if name.startswith("rw_warm_scoring_"):
+            try:
+                spark.table(name).unpersist()
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+    warm_tables(spark, sf_dir)  # ensure layout + cached handles exist
+    vname = f"rw_warm_vectors_{tag}"
+    n_parts = max(1, -(-_dir_bytes(_INDEX_ROOT / tag / "vectors") // _TARGET_PARTITION_BYTES))
+    if n_parts >= N_BUCKETS:
+        _SCORING_RELS[key] = vname
+        return vname
+    view = f"rw_warm_scoring_{tag}"
+    rel = spark.table(vname).coalesce(n_parts).cache()
+    rel.createOrReplaceTempView(view)
+    rel.count()  # materialize once at index-open, not on the first request
+    _SCORING_RELS[key] = view
+    return view
+
+
+def served_search_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec,
+    params=None,
+) -> DataFrame:
+    """``semantic_search_served`` over the warm layout, with each request's
+    plans built as single JVM-parsed SQL statements (see module note).
+    Falls back to the DataFrame path for non-renderable extra_filters."""
+    from readwise_vector_db_spark.operators import search as search_ops
+
+    params = params or search_ops.SearchParams()
+    meta, vecs = warm_tables(spark, sf_dir)
+    if params.extra_filters:
+        return search_ops.semantic_search_served(meta, vecs, query_vec, params)
+    tag = _tag(sf_dir)
+    mname = f"rw_warm_meta_{tag}"
+    vrel = scoring_relation(spark, sf_dir)
+    where = ["embedding IS NOT NULL"]  # F1
+    mf = search_ops.meta_filter_sql(params, meta.columns)
+    if mf is not None:
+        # metadata filters reduce to an id set; the IN-subquery plans as a
+        # left-semi join, same as the DataFrame path
+        where.append(f"id IN (SELECT id FROM {mname} WHERE {mf})")
+    winners = spark.sql(
+        f"SELECT id, {search_ops.score_sql(query_vec)} AS score "
+        f"FROM {vrel} WHERE {' AND '.join(where)} "
+        f"ORDER BY score ASC, id ASC LIMIT {params.clamped_k()}"
+    ).collect()
+    out_cols = [c for c in meta.columns if c not in ("embedding", "emb_norm")]
+    if not winners:
+        return (
+            meta.select(*out_cols)
+            .withColumn("score", F.lit(None).cast("double"))
+            .limit(0)
+        )
+    fetched = spark.sql(
+        f"SELECT {', '.join(out_cols)}, "
+        f"{search_ops.winner_score_map_sql(winners)}[id] AS score "
+        f"FROM {mname} WHERE id IN ({search_ops.winner_in_list_sql(winners)})"
+    )
+    return fetched.coalesce(1).sortWithinPartitions(F.asc("score"), F.asc("id"))

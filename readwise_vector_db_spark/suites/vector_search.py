@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.operators import search as search_ops
 from readwise_vector_db_spark.registry import register, register_extra
-from readwise_vector_db_spark.sources.search_index import stored_query_vector, warm_tables
+from readwise_vector_db_spark.sources.search_index import (
+    served_search_sql,
+    stored_query_vector,
+    warm_tables,
+)
 from readwise_vector_db_spark.sources.tables import corpus_split, load_table
 from readwise_vector_db_spark.suites.sqlfrag import round_pos, seq_cos_dist
 
@@ -114,7 +118,7 @@ def search_topk_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta, vecs = warm_tables(spark, sf_dir)
     qv = _stored_query_vec(sf_dir, vecs, "3")
     return _stringify_tags(
-        search_ops.semantic_search_served(meta, vecs, qv, search_ops.SearchParams(k=10))
+        served_search_sql(spark, sf_dir, qv, search_ops.SearchParams(k=10))
     )
 
 
@@ -141,7 +145,7 @@ def search_filtered_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta, vecs = warm_tables(spark, sf_dir)
     qv = _stored_query_vec(sf_dir, vecs, "4")
     params = search_ops.SearchParams(k=20, lang="en", tags=["the", "spark", "fast"])
-    return _stringify_tags(search_ops.semantic_search_served(meta, vecs, qv, params))
+    return _stringify_tags(served_search_sql(spark, sf_dir, qv, params))
 
 
 @register(

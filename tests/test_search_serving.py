@@ -1,0 +1,130 @@
+"""Single-SQL serving fast path: parity with the DataFrame-built plans.
+
+``served_search_sql`` renders each warm request as two parser-bound SQL
+statements (sources/search_index.py) — these tests pin that the rendered
+plans are *semantically identical* to the DataFrame twins they replace:
+same rows, same bitwise scores, same edge-case behavior (zero-norm NULL
+scores, empty filters, k clamping).
+"""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.operators.search import (
+    SearchParams,
+    meta_filter_sql,
+    score_column,
+    score_sql,
+    semantic_search_served,
+)
+from readwise_vector_db_spark.sources import search_index as si
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def warm(spark):
+    meta, vecs = si.warm_tables(spark, SF_SMOKE)
+    qv = si.stored_query_vector(SF_SMOKE, "0")
+    assert qv is not None
+    return meta, vecs, qv
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_sql_path_matches_dataframe_path_unfiltered(spark, warm):
+    meta, vecs, qv = warm
+    params = SearchParams(k=10)
+    assert _rows(si.served_search_sql(spark, SF_SMOKE, qv, params)) == _rows(
+        semantic_search_served(meta, vecs, qv, params)
+    )
+
+
+def test_sql_path_matches_dataframe_path_filtered(spark, warm):
+    meta, vecs, qv = warm
+    params = SearchParams(k=20, lang="en", tags=["the", "spark", "fast"])
+    got = _rows(si.served_search_sql(spark, SF_SMOKE, qv, params))
+    want = _rows(semantic_search_served(meta, vecs, qv, params))
+    assert got == want and len(got) > 0
+
+
+def test_sql_path_source_type_and_k_clamp(spark, warm):
+    meta, vecs, qv = warm
+    # k clamps to 100 through the SQL renderer too
+    n = si.served_search_sql(spark, SF_SMOKE, qv, SearchParams(k=5000)).count()
+    assert n == min(100, vecs.filter(F.col("embedding").isNotNull()).count())
+    # no-match filter → empty frame that still carries the score column
+    out = si.served_search_sql(
+        spark, SF_SMOKE, qv, SearchParams(k=10, source_type="no-such-source")
+    )
+    assert out.count() == 0 and "score" in out.columns
+
+
+def test_extra_filters_fall_back_to_dataframe_path(spark, warm):
+    meta, vecs, qv = warm
+    params = SearchParams(k=10, extra_filters=[F.col("n_chars") > 0])
+    with pytest.raises(ValueError):
+        meta_filter_sql(params, meta.columns)
+    got = _rows(si.served_search_sql(spark, SF_SMOKE, qv, params))
+    want = _rows(semantic_search_served(meta, vecs, qv, params))
+    assert got == want and len(got) == 10
+
+
+def test_score_sql_bitwise_matches_score_column(spark):
+    """The rendered score expression must reproduce score_column bit for
+    bit — including NULL for zero-norm vectors — over adversarial doubles
+    (subnormals, extremes, negative zero, long mantissas)."""
+    import math
+
+    corpus = [
+        ("a", [math.pi, -1e-308], None),
+        ("b", [5e-324, 1.7976931348623157e308], None),
+        ("c", [0.1, 1 / 3], None),
+        ("z", [0.0, 0.0], None),  # zero norm → NULL score
+        ("d", [-0.0, 6.02e23], None),
+    ]
+    rows = [(i, v, math.sqrt(v[0] * v[0] + v[1] * v[1])) for i, v, _ in corpus]
+    df = spark.createDataFrame(
+        rows, "id string, embedding array<float>, emb_norm double"
+    )
+    # emb_norm must be the norm of the FLOAT-cast embedding (as the real
+    # layout precomputes it); recompute engine-side to stay faithful
+    df = df.withColumn(
+        "emb_norm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("embedding").cast("array<double>"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    qv = [0.1, -1 / 3]
+    got = df.select("id", F.expr(score_sql(qv)).alias("s")).collect()
+    want = df.select("id", score_column(qv, use_norm=True).alias("s")).collect()
+    as_bits = lambda r: {  # noqa: E731
+        x["id"]: (None if x["s"] is None else struct.pack("d", x["s"])) for x in r
+    }
+    gb, wb = as_bits(got), as_bits(want)
+    assert gb == wb
+    assert gb["z"] is None
+
+
+def test_scoring_relation_right_sized_and_memoized(spark):
+    """At fixture scale the scoring relation is a single-partition cached
+    view (bytes ≪ one partition target); resolving twice returns the same
+    relation without rebuilding; row counts match the bucketed table."""
+    rel = si.scoring_relation(spark, SF_SMOKE)
+    assert rel.startswith("rw_warm_scoring_")
+    assert si.scoring_relation(spark, SF_SMOKE) == rel
+    df = spark.table(rel)
+    assert df.rdd.getNumPartitions() == 1
+    _, vecs = si.warm_tables(spark, SF_SMOKE)
+    assert df.count() == vecs.count()
