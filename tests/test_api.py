@@ -186,6 +186,16 @@ def test_service_search_and_stream_agree(spark):
         assert isinstance(r["score"], float)
 
 
+def test_service_warm_and_cold_paths_agree(spark):
+    """The default warm service (single-SQL fast path over the bucketed
+    layout) must return exactly what the cold indexed plan returns."""
+    req = SearchRequest(q="table scan hash", k=7, lang="en")
+    warm = SearchService(spark, SF_DIR).search(req)
+    cold = SearchService(spark, SF_DIR, warm=False).search(req)
+    assert warm == cold
+    assert len(warm) == 7
+
+
 def test_cli_search_json(spark, capsys):
     import readwise_vector_db_spark.main as cli
 
