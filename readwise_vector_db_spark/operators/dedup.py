@@ -947,3 +947,101 @@ def embedding_cosine_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.999,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    pairs found by KMeans-clustering the embedding space and comparing
+    pairs only WITHIN a cluster.
+
+    The cluster-equality equi-join is the entire scale argument: the
+    shuffle key is the cluster id, so pair generation is O(Σ c_i²) over
+    cluster sizes instead of O(n²) over the corpus — with k chosen ~√n
+    (SemDeDup used 50 k clusters over LAION), the expected quadratic
+    term is n·(n/k).  The quantizer reuses the IVF coarse KMeans
+    (operators/similarity.py:build_ivf_index) — the same capped-Lloyd
+    economics apply, since near-identical vectors land in the same cell
+    under ANY stable centroid assignment.
+
+    Recall caveat (same as the paper's): a near-dup pair straddling a
+    cluster boundary is missed.  Identical vectors can never straddle
+    (same distances → same argmin cell), so exact-duplicate recall is
+    1.0 by construction — the planted oracle in suites/dedup.py
+    hash-checks exactly that; boundary-pair recall is measured in
+    tests/test_semantic_dedup.py.
+    """
+    from readwise_vector_db_spark.operators.similarity import build_ivf_index
+
+    assigned, _ = build_ivf_index(
+        embs.select(id_col, vec_col),
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+    )
+    base = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        "cluster",
+    ).filter(F.col("v").isNotNull())
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    threshold: float = 0.999,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic-dedup survivors: drop all but one row per near-dup group.
+
+    Groups are the connected components of the within-cluster pair graph
+    (transitive: a≈b and b≈c collapse to one survivor even when a-c
+    alone is under threshold); the kept representative is the group's
+    minimum id — the same winner rule as ``exact_dedup``.  The CC runs
+    on the pair list only (O(|pairs|), not O(n)); survivors come from a
+    left-anti join of the loser ids, so the corpus never reshuffles.
+    """
+    from readwise_vector_db_spark.operators.graph import connected_components
+
+    pairs = semantic_dedup_pairs(
+        embs,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+    )
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        distinct_edges=False,  # a<b pair list is already duplicate-free
+    )
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return embs.join(losers, id_col, "left_anti")

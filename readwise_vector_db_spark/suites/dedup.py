@@ -158,6 +158,20 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_cosine_pairs(embs.unionByName(dups), threshold=0.999)
 
 
+@register_extra("dedup_semantic", _EMB_PAIRS_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the augmented embeddings: KMeans cells bound the
+    pair comparisons (operators/dedup.py:semantic_dedup_pairs).  Shares
+    the exact all-pairs oracle: identical planted vectors always land in
+    the same cell (same distances → same argmin), so at threshold 0.999
+    on this corpus the within-cell pair set IS the global pair set."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    dups = embs.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return dd.semantic_dedup_pairs(embs.unionByName(dups), threshold=0.999)
+
+
 @register("dedup_lsh_embedding", _EMB_PAIRS_ORACLE)
 def dedup_lsh_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BRP-LSH approxSimilarityJoin over the augmented embeddings —

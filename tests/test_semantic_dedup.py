@@ -1,0 +1,104 @@
+"""SemDeDup-style semantic dedup (operators/dedup.py:semantic_dedup_pairs).
+
+Pins: exact-duplicate recall 1.0 (identical vectors co-cluster by
+construction), pair parity with the brute-force all-pairs baseline on
+planted corpora, transitive survivor resolution, and near-boundary
+behavior for perturbed (not identical) vectors.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.operators import dedup as dd
+from tests.conftest import SF_SMOKE
+
+
+def _augmented(spark):
+    from readwise_vector_db_spark.sources.tables import load_table
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    dups = embs.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return embs.unionByName(dups)
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"], r["cos_sim"]) for r in df.collect()}
+
+
+def test_matches_brute_force_on_planted_corpus(spark):
+    aug = _augmented(spark)
+    got = _pairs_set(dd.semantic_dedup_pairs(aug, threshold=0.999))
+    want = _pairs_set(dd.embedding_cosine_pairs(aug, threshold=0.999))
+    assert got == want and len(want) > 0
+    assert all(abs(s - 1.0) < 1e-9 for _, _, s in got)  # planted = identical
+
+
+def test_survivors_drop_clones_keep_min_id(spark):
+    aug = _augmented(spark)
+    survivors = dd.semantic_dedup(aug, threshold=0.999)
+    ids = {r["vec_id"] for r in survivors.select("vec_id").collect()}
+    originals = {
+        r["vec_id"] for r in aug.filter(F.col("vec_id") < 1000000).collect()
+    }
+    assert ids == originals  # every planted clone (min-id loser's twin) gone
+
+
+def test_transitive_groups_resolve_to_one_survivor(spark):
+    # a≈b and b≈c but a-c below threshold: CC still collapses all three.
+    # threshold 0.9995 ⇒ max angle ≈ 1.81°; steps of 1.5° chain under it
+    # while the 3.0° endpoint pair (cos ≈ 0.99863) falls outside.
+    import math
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    rows = [
+        (1, unit(0.0)),
+        (2, unit(1.5)),
+        (3, unit(3.0)),
+        (9, [0.0, 0.0, 1.0]),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = dd.semantic_dedup_pairs(df, threshold=0.9995, n_clusters=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got and (1, 3) not in got
+    survivors = dd.semantic_dedup(df, threshold=0.9995, n_clusters=2)
+    assert {r["vec_id"] for r in survivors.collect()} == {1, 9}
+
+
+def test_perturbed_near_duplicate_found(spark):
+    aug = _augmented(spark)
+    first = aug.filter(F.col("vec_id") == 1).first()
+    perturbed = [float(x) * (1.0 + 1e-7) for x in first["embedding"]]
+    extra = spark.createDataFrame(
+        [(2000000, perturbed)], "vec_id bigint, embedding array<float>"
+    )
+    got = _pairs_set(
+        dd.semantic_dedup_pairs(
+            aug.select("vec_id", "embedding").unionByName(extra), threshold=0.999
+        )
+    )
+    assert any(a == 1 and b == 2000000 for a, b, _ in got)
+
+
+def test_null_embeddings_ignored(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = dd.semantic_dedup_pairs(df, threshold=0.999, n_clusters=2)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 3)}
+
+
+def test_boundary_recall_measured(spark):
+    """Pairs straddling a cluster boundary are the documented miss mode;
+    on the fixture corpus with planted identical pairs recall must be
+    exactly 1.0 (co-clustering is guaranteed for identical vectors)."""
+    aug = _augmented(spark)
+    planted = dd.embedding_cosine_pairs(aug, threshold=0.999).count()
+    found = dd.semantic_dedup_pairs(aug, threshold=0.999).count()
+    assert planted > 0
+    assert found / planted == pytest.approx(1.0)
