@@ -949,6 +949,82 @@ def embedding_cosine_pairs(
     )
 
 
+def _vector_group_fanout(
+    base: DataFrame,
+    inner,
+) -> DataFrame:
+    """Byte-identical-vector fan-out for embedding pair detectors — the
+    vector-space twin of ``_exact_group_fanout``.  ``base`` is the
+    normalized (id, v) frame; ``inner`` maps such a frame to
+    (id_a, id_b, cos_sim) pairs.
+
+    Groups key on the VECTOR COLUMN ITSELF (array equality — exact, no
+    hash-collision risk; at 64-d the group-by key is 256 B, and at
+    3072-d you would md5 the packed bytes first).  Cross-group verdicts
+    transfer exactly — identical vectors have identical cosines to
+    everything — and intra-group pairs score round(cos(v, v), 6) = 1.0
+    (the two sqrt round-trips land within 1e-15 of 1, far inside the
+    6 dp rounding).  Zero-norm groups emit no intra pairs, matching the
+    direct path's NULL-score threshold drop.
+
+    Same cost probe as the text wrapper: the indirection only pays on
+    replica-heavy corpora (measured ×10: 25 M within-cell interpreted
+    cosine folds → ~276 k over distinct reps), so below
+    ``_FANOUT_MIN_DUP_RATIO`` the detector runs direct — that path is
+    output-identical by the transfer argument above.
+    """
+    groups = (
+        base.groupBy("v")
+        .agg(F.min("id").alias("gid"), F.count(F.lit(1)).alias("gn"))
+        .persist()
+    )
+    head = groups.agg(
+        F.count(F.lit(1)).alias("g"), F.coalesce(F.sum("gn"), F.lit(0)).alias("n")
+    ).first()
+    n_rows, n_groups = int(head["n"]), int(head["g"])
+    dup_ratio = 0.0 if n_rows == 0 else 1.0 - n_groups / n_rows
+    if dup_ratio < _FANOUT_MIN_DUP_RATIO:
+        groups.unpersist()
+        return inner(base, n_rows)
+    members = base.join(groups, "v").select("id", "gid", "gn").persist()
+    reps = base.join(
+        members.filter(F.col("id") == F.col("gid")).select("id"), "id", "left_semi"
+    )
+    rep_pairs = inner(reps, n_groups)
+    _register_cached(groups, members)
+    ga = members.select(F.col("gid").alias("id_a"), F.col("id").alias("_ma"))
+    gb = members.select(F.col("gid").alias("id_b"), F.col("id").alias("_mb"))
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    # intra pairs only for groups with >1 member and a scorable (non-
+    # zero-norm) vector; cos(v, v) rounds to exactly 1.0 at 6 dp
+    elig = groups.filter(
+        (F.col("gn") > 1)
+        & (
+            F.aggregate(
+                F.col("v").cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
+            )
+            > 0
+        )
+    ).select("gid")
+    dup_members = members.filter(F.col("gn") > 1).join(elig, "gid", "left_semi")
+    m1 = dup_members.select("gid", F.col("id").alias("id_a"))
+    m2 = dup_members.select("gid", F.col("id").alias("id_b"))
+    intra = (
+        m1.join(m2, "gid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("cos_sim"))
+    )
+    return cross.unionByName(intra)
+
+
 def semantic_dedup_pairs(
     embs: DataFrame,
     threshold: float = 0.999,
@@ -977,37 +1053,69 @@ def semantic_dedup_pairs(
     1.0 by construction — the planted oracle in suites/dedup.py
     hash-checks exactly that; boundary-pair recall is measured in
     tests/test_semantic_dedup.py.
+
+    Replica-heavy corpora route through ``_vector_group_fanout`` (same
+    cost probe as the shingle detectors): byte-identical vectors
+    collapse to one representative before KMeans AND pair generation,
+    then verdicts fan back out.  Measured at the ×10 replica corpus
+    (90 % dups): the direct within-cell join evaluates ~25 M interpreted
+    cosine folds (higher-order exprs don't enter codegen) — minutes of
+    CPU — vs ~276 k over distinct reps.  Per-row norms are precomputed
+    so each surviving pair costs one fold, not three.
     """
     from readwise_vector_db_spark.operators.similarity import build_ivf_index
 
-    assigned, _ = build_ivf_index(
-        embs.select(id_col, vec_col),
-        n_clusters=n_clusters,
-        id_col=id_col,
-        vec_col=vec_col,
-        seed=seed,
-        max_iter=max_iter,
-    )
-    base = assigned.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        "cluster",
+    release_detector_cache()
+    base0 = embs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).filter(F.col("v").isNotNull())
-    a, b = base.alias("a"), base.alias("b")
-    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
+
+    def inner(frame: DataFrame, n_hint: int) -> DataFrame:
+        # n_hint = exact row count of ``frame`` (the fan-out wrapper
+        # already aggregated it); degenerate frames can't pair, and
+        # KMeans requires 2 ≤ k ≤ n
+        if n_hint < 2:
+            return frame.select(
+                F.col("id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(0.0).alias("cos_sim"),
+            ).limit(0)
+        assigned, _ = build_ivf_index(
+            frame,
+            n_clusters=max(2, min(n_clusters, n_hint)),
+            id_col="id",
+            vec_col="v",
+            seed=seed,
+            max_iter=max_iter,
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cos.alias("cos_sim"),
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("v").cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
+            )
         )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+        scored = assigned.select("id", "v", "cluster", norm.alias("n"))
+        a, b = scored.alias("a"), scored.alias("b")
+        cos = F.round(
+            cosine_similarity(
+                F.col("a.v"), F.col("b.v"), a_norm=F.col("a.n"), b_norm=F.col("b.n")
+            ),
+            6,
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                cos.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
+    return _vector_group_fanout(base0, inner)
 
 
 def semantic_dedup(

@@ -93,6 +93,40 @@ def test_null_embeddings_ignored(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 3)}
 
 
+def test_replica_corpus_routes_through_fanout_and_matches_brute_force(spark):
+    """≥25 % byte-identical vectors trips the cost probe: detection runs
+    over distinct representatives and verdicts fan back out — output
+    must equal the brute-force all-pairs baseline on the full corpus."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    originals = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)
+    ]
+    rows = list(originals)
+    for copy in range(1, 10):  # 90 % replicas
+        rows += [(i + copy * 1000, v) for i, v in originals]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = _pairs_set(dd.semantic_dedup_pairs(df, threshold=0.999, n_clusters=4))
+    want = _pairs_set(dd.embedding_cosine_pairs(df, threshold=0.999))
+    assert got == want
+    # every original has 10 byte-identical members → C(10,2) intra pairs
+    assert len(want) >= 40 * math.comb(10, 2)
+
+
+def test_fanout_zero_norm_groups_emit_no_intra_pairs(spark):
+    rows = [(i, [0.0, 0.0]) for i in range(10)] + [
+        (100 + i, [1.0, float(i % 2)]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = _pairs_set(dd.semantic_dedup_pairs(df, threshold=0.999, n_clusters=2))
+    # zero-vectors pair with nothing (NULL cosine), even though they are
+    # byte-identical replicas of each other
+    assert all(a >= 100 and b >= 100 for a, b, _ in got)
+    assert len(got) > 0
+
+
 def test_boundary_recall_measured(spark):
     """Pairs straddling a cluster boundary are the documented miss mode;
     on the fixture corpus with planted identical pairs recall must be
