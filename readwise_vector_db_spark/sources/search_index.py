@@ -239,7 +239,16 @@ def warm_tables(
 
 _SCORING_RELS: dict[tuple[str, str, str], str] = {}
 
-_TARGET_PARTITION_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
+# The scoring scan is CPU-bound, not I/O-bound: the cosine fold is a
+# higher-order expression evaluated interpreted (outside whole-stage
+# codegen), costing tens of ns per vector element — so a partition is
+# sized to ~1M elements (~4 MB of float32 vector data ≈ 30-60 ms of
+# single-core scoring), NOT to the 128 MB I/O-oriented
+# maxPartitionBytes.  Measured at 3072-d × 2000 rows (24 MB): one
+# partition serialized ~0.4 s of fold CPU per request; 6 partitions
+# score in parallel.  At 64-d fixture scale (<1 MB) this still yields
+# the single right-sized partition.
+_TARGET_PARTITION_BYTES = 4 << 20
 
 
 def _dir_bytes(path: Path) -> int:
