@@ -21,6 +21,57 @@ _EVENTS = st.lists(
     st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=15
 )
 
+# adversarial SQL-literal content: quotes, backslashes, unicode, control chars
+_NASTY = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x00"
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(
+    source_type=st.one_of(st.none(), _NASTY),
+    lang=st.one_of(st.none(), _NASTY),
+    tags=st.one_of(st.none(), st.lists(_NASTY, min_size=1, max_size=3)),
+)
+@settings(**SETTINGS)
+def test_meta_filter_sql_matches_dataframe_filters(spark, source_type, lang, tags):
+    """The serving path renders F2-F7 as SQL text (operators/search.py:
+    meta_filter_sql); for ANY filter values — including quotes,
+    backslashes, and unicode — the rendered WHERE must select exactly
+    the rows the DataFrame twin (apply_meta_filters) selects.  This is
+    the injection-safety property of sql_quote: hostile content can only
+    ever be a literal, never syntax."""
+    from readwise_vector_db_spark.operators.search import (
+        SearchParams,
+        apply_meta_filters,
+        meta_filter_sql,
+    )
+
+    rows = [
+        ("a", "note", "en", ["x", "y"]),
+        ("b", source_type or "t'\\b", lang or "d\"e", tags or ["'", "\\"]),
+        ("c", "note", "fr", []),
+        ("d", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, source_type string, lang string, tags array<string>"
+    )
+    params = SearchParams(source_type=source_type, lang=lang, tags=tags)
+    want = sorted(r["id"] for r in apply_meta_filters(df, params).collect())
+    frag = meta_filter_sql(params, df.columns)
+    if frag is None:
+        got = sorted(r["id"] for r in df.collect())
+    else:
+        df.createOrReplaceTempView("meta_prop_t")
+        got = sorted(
+            r["id"]
+            for r in spark.sql(f"SELECT id FROM meta_prop_t WHERE {frag}").collect()
+        )
+    assert got == want
+
 
 @given(left=_EVENTS, right=_EVENTS)
 @settings(**SETTINGS)
