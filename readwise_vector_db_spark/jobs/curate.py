@@ -11,6 +11,9 @@ ONE lazy DataFrame plan plus one pair-join pass:
       → near-dup removal      (operators/dedup.py MinHash-LSH pairs;
                                higher id of each pair dropped — the
                                deterministic survivor rule)
+      → semantic dedup        (optional, SemDeDup over the embedding
+                               column — paraphrases the shingle stage
+                               can't see; same survivor rule)
       → snapshot commit       (sources/versioned.py)
 
 Per-stage row accounting runs as ONE aggregate over a stage-tag column
@@ -30,6 +33,7 @@ from readwise_vector_db_spark.functions import text as T
 from readwise_vector_db_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    semantic_dedup_pairs,
 )
 from readwise_vector_db_spark.sources.tables import load_table
 from readwise_vector_db_spark.sources.versioned import VersionedTable
@@ -42,6 +46,7 @@ def curate_corpus(
     min_quality: float = 0.4,
     lang: str = "en",
     near_dup_threshold: float = 0.6,
+    semantic_threshold: float | None = None,
 ) -> dict[str, float]:
     """Run the curation funnel over ``documents``; commit survivors to a
     VersionedTable at ``out_root``.  Returns per-stage surviving counts —
@@ -103,6 +108,30 @@ def curate_corpus(
     stats["after_near_dup"] = survivors.count()
     t_near = time.perf_counter()
     stats["wall_near_dup"] = t_near - t_exact
+
+    # optional SemDeDup stage (operators/dedup.py:semantic_dedup_pairs):
+    # textual near-dup above catches shared surface forms; the embedding
+    # stage catches paraphrases.  Survivor rule matches the near-dup
+    # stage (drop the higher id of each pair).  Docs without an
+    # embedding can't semantically duplicate — the inner join keeps the
+    # pair scan to embedded survivors only; the drop applies via
+    # anti-join, so the corpus frame itself never reshuffles.
+    if semantic_threshold is not None:
+        embs = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        vec = survivors.select("doc_id").join(embs, "doc_id")
+        sem_pairs = semantic_dedup_pairs(
+            vec, threshold=semantic_threshold, id_col="doc_id"
+        )
+        sem_losers = sem_pairs.select(F.col("id_b").alias("doc_id"))
+        sem_survivors = survivors.join(sem_losers, "doc_id", "left_anti").persist()
+        stats["after_semantic_dedup"] = sem_survivors.count()
+        survivors.unpersist()
+        survivors = sem_survivors
+        t_sem = time.perf_counter()
+        stats["wall_semantic"] = t_sem - t_near
+        t_near = t_sem
 
     table = VersionedTable(out_root)
     table.commit(survivors)

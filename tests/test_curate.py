@@ -32,6 +32,21 @@ def test_curate_corpus_funnel(spark, tmp_path):
     assert committed.select("doc_id").distinct().count() == committed.count()
 
 
+def test_curate_corpus_semantic_stage(spark, tmp_path):
+    """The optional SemDeDup stage narrows the funnel further (or holds
+    it, at an ultra-strict threshold), reports its own row count and
+    wall timing, and commits its survivors."""
+    base = curate_corpus(spark, SF_SMOKE, str(tmp_path / "base"))
+    sem = curate_corpus(
+        spark, SF_SMOKE, str(tmp_path / "sem"), semantic_threshold=0.9
+    )
+    assert sem["after_near_dup"] == base["after_near_dup"]
+    assert 0 < sem["after_semantic_dedup"] <= sem["after_near_dup"]
+    assert "wall_semantic" in sem and "after_semantic_dedup" not in base
+    committed = VersionedTable(str(tmp_path / "sem")).read(spark)
+    assert committed.count() == sem["after_semantic_dedup"]
+
+
 def test_curate_corpus_is_deterministic(spark, tmp_path):
     a = curate_corpus(spark, SF_SMOKE, str(tmp_path / "a"))
     b = curate_corpus(spark, SF_SMOKE, str(tmp_path / "b"))
