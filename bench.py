@@ -177,6 +177,59 @@ def main() -> None:
     conc_wall = time.perf_counter() - t_conc0
     conc_qps = len(conc_lat) / conc_wall if conc_wall > 0 else 0.0
 
+    # --- HTTP surface (the reference gate's actual protocol) ------------
+    # locustfile measures POST /search over HTTP with free-text queries;
+    # this loop does the same against the stdlib server + warm service
+    # (embed UDF → warm top-k → shape → JSON over the wire), with a
+    # distinct query string per request so nothing is memoized.
+    import json as _json
+    import threading
+    import urllib.request
+
+    from readwise_vector_db_spark.api.http_server import serve as _serve
+    from readwise_vector_db_spark.api.service import SearchService as _Svc
+
+    _server = _serve(_Svc(spark, SF_DIR))
+    threading.Thread(target=_server.serve_forever, daemon=True).start()
+    _url = f"http://{_server.server_address[0]}:{_server.server_address[1]}/search"
+
+    def _post(q: str) -> None:
+        req = urllib.request.Request(
+            _url,
+            data=_json.dumps({"q": q, "k": 10}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            resp.read()
+
+    try:
+        for i in range(3):
+            _post(f"warmup {i}")
+        http_reps = int(os.environ.get("SPARK_GRAFT_HTTP_REPS", "60"))
+        http_lat = []
+        for i in range(http_reps):
+            t0 = time.perf_counter()
+            _post(f"bench query {i % 11} spark vector merge join")
+            http_lat.append(time.perf_counter() - t0)
+        http_lat.sort()
+
+        def _http_user(uid: int) -> list[float]:
+            out = []
+            for i in range(12):
+                t0 = time.perf_counter()
+                _post(f"client {uid} request {i} semantic search")
+                out.append(time.perf_counter() - t0)
+            return out
+
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(max_workers=conc_users) as ex:
+            http_conc = sorted(
+                x for res in ex.map(_http_user, range(conc_users)) for x in res
+            )
+        http_conc_wall = time.perf_counter() - t0
+    finally:
+        _server.shutdown()
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
@@ -405,6 +458,10 @@ def main() -> None:
         "search_warm_conc_p95": round(pct(conc_lat, 0.95), 3),
         "search_warm_conc_p99": round(pct(conc_lat, 0.99), 3),
         "search_warm_conc_qps": round(conc_qps, 1),
+        "search_http_p50": round(http_lat[len(http_lat) // 2], 3),
+        "search_http_p95": round(pct(http_lat, 0.95), 3),
+        "search_http_conc_p95": round(pct(http_conc, 0.95), 3),
+        "search_http_conc_qps": round(len(http_conc) / http_conc_wall, 1),
         "ann_recall_at_10": round(ann_recall, 3),
         "streaming_events_per_sec": int(n_events / stream_wall),
         "embed_docs_per_sec": int(n_docs / emb_wall),
