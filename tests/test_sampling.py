@@ -78,6 +78,31 @@ def test_rate_cap_composes_exactly_with_quota_sample(docs):
     assert composed == exact
 
 
+def test_pack_sequences_budgets_in_bpe_tokens(docs, spark):
+    """Sequence packing composes with the BPE tokenizer: pass an Arrow-
+    batched ``bpe_count`` column as ``token_col`` and the shard streams
+    budget in real BPE tokens (reference cap semantics,
+    ``core/embedding.py:9-14``) — same contiguity contract."""
+    from pyspark.sql import functions as F
+
+    from readwise_vector_db_spark.functions.bpe import bpe_count
+
+    counted = docs.withColumn("bpe_tokens", bpe_count(F.col("text")))
+    out = sp.pack_sequences(
+        counted, capacity=256, n_shards=2, token_col="bpe_tokens"
+    ).collect()
+    assert out and all(r["bpe_tokens"] > 0 for r in out)
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in rows:
+            assert r["start_tok"] == offset
+            offset += r["bpe_tokens"]
+
+
 def test_pack_sequences_stream_is_contiguous(docs):
     capacity = 1000
     out = sp.pack_sequences(docs, capacity=capacity, n_shards=4,

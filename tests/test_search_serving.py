@@ -117,6 +117,18 @@ def test_score_sql_bitwise_matches_score_column(spark):
     assert gb["z"] is None
 
 
+def test_scoring_relation_keeps_bucketed_table_when_large(spark, monkeypatch):
+    """When the layout's bytes justify >= N_BUCKETS partitions the
+    relation must be the bucketed catalog table itself — nothing is
+    coalesced on a cluster-scale layout.  Simulated by shrinking the
+    per-partition byte target below the fixture layout's size."""
+    monkeypatch.setattr(si, "_TARGET_PARTITION_BYTES", 1)
+    # private memo key per fingerprint — clear so the patched target is used
+    monkeypatch.setattr(si, "_SCORING_RELS", {})
+    rel = si.scoring_relation(spark, SF_SMOKE)
+    assert rel == f"rw_warm_vectors_{si._tag(SF_SMOKE)}"
+
+
 def test_scoring_relation_right_sized_and_memoized(spark):
     """At fixture scale the scoring relation is a single-partition cached
     view (bytes ≪ one partition target); resolving twice returns the same
