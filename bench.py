@@ -229,6 +229,7 @@ def main() -> None:
         http_conc_wall = time.perf_counter() - t0
     finally:
         _server.shutdown()
+        _server.server_close()  # release the listening fd, not just the loop
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}

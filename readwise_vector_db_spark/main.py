@@ -23,7 +23,8 @@ def _cmd_search(args: argparse.Namespace) -> int:
     from readwise_vector_db_spark.api.service import SearchService
 
     spark = get_spark("rwv-search")
-    svc = SearchService(spark, args.sf_dir)
+    # one-shot query: cold path — no index build, no cache pinning
+    svc = SearchService(spark, args.sf_dir, warm=False)
     req = SearchRequest(q=args.query, k=args.k, lang=args.lang, source_type=args.source_type)
     results = svc.search(req)
     if args.json:

@@ -958,23 +958,38 @@ def _vector_group_fanout(
     normalized (id, v) frame; ``inner`` maps such a frame to
     (id_a, id_b, cos_sim) pairs.
 
-    Groups key on the VECTOR COLUMN ITSELF (array equality — exact, no
-    hash-collision risk; at 64-d the group-by key is 256 B, and at
-    3072-d you would md5 the packed bytes first).  Cross-group verdicts
-    transfer exactly — identical vectors have identical cosines to
-    everything — and intra-group pairs score round(cos(v, v), 6) = 1.0
-    (the two sqrt round-trips land within 1e-15 of 1, far inside the
-    6 dp rounding).  Zero-norm groups emit no intra pairs, matching the
-    direct path's NULL-score threshold drop.
+    Groups key on a fixed 12-byte fingerprint — ``(xxhash64(v),
+    murmur3(v))``, both JVM-native over the array with no string
+    materialization — instead of the raw array (which would push ~12 KB
+    per row through the probe's shuffle at 3072-d) or an md5-of-JSON
+    (whose rendering measurably slowed the ×10 corpus).  96 combined
+    bits put an accidental-merge (two DISTINCT vectors sharing both
+    hashes) at ~n²/2⁹⁷ — the same accepted-risk class as the text
+    twin's md5.
+
+    Identical-vector verdicts transfer exactly — identical vectors have
+    identical cosines to everything — and intra-group pairs score
+    round(cos(v, v), 6) = 1.0 (the two sqrt round-trips land within
+    1e-15 of 1, far inside the 6 dp rounding).  Zero-norm groups emit no
+    intra pairs, matching the direct path's NULL-score threshold drop.
 
     Same cost probe as the text wrapper: the indirection only pays on
     replica-heavy corpora (measured ×10: 25 M within-cell interpreted
     cosine folds → ~276 k over distinct reps), so below
-    ``_FANOUT_MIN_DUP_RATIO`` the detector runs direct — that path is
-    output-identical by the transfer argument above.
+    ``_FANOUT_MIN_DUP_RATIO`` the detector runs direct.  NOTE the two
+    paths agree exactly on the EXACT-duplicate pair set (the planted
+    oracle's subject), but boundary NEAR-dup pairs can differ: the
+    quantizer fits on distinct reps here vs the replica-weighted corpus
+    on the direct path, so cell boundaries shift — both are valid
+    SemDeDup approximations (the paper's documented miss mode), not an
+    output-identity contract.
     """
+    fp = F.struct(
+        F.xxhash64(F.col("v")).alias("h1"), F.hash(F.col("v")).alias("h2")
+    )
+    keyed = base.withColumn("_gfp", fp).persist()
     groups = (
-        base.groupBy("v")
+        keyed.groupBy("_gfp")
         .agg(F.min("id").alias("gid"), F.count(F.lit(1)).alias("gn"))
         .persist()
     )
@@ -984,14 +999,15 @@ def _vector_group_fanout(
     n_rows, n_groups = int(head["n"]), int(head["g"])
     dup_ratio = 0.0 if n_rows == 0 else 1.0 - n_groups / n_rows
     if dup_ratio < _FANOUT_MIN_DUP_RATIO:
+        keyed.unpersist()
         groups.unpersist()
         return inner(base, n_rows)
-    members = base.join(groups, "v").select("id", "gid", "gn").persist()
+    members = keyed.join(groups, "_gfp").select("id", "gid", "gn").persist()
     reps = base.join(
         members.filter(F.col("id") == F.col("gid")).select("id"), "id", "left_semi"
     )
     rep_pairs = inner(reps, n_groups)
-    _register_cached(groups, members)
+    _register_cached(keyed, groups, members)
     ga = members.select(F.col("gid").alias("id_a"), F.col("id").alias("_ma"))
     gb = members.select(F.col("gid").alias("id_b"), F.col("id").alias("_mb"))
     cross = (
@@ -1004,16 +1020,24 @@ def _vector_group_fanout(
         )
     )
     # intra pairs only for groups with >1 member and a scorable (non-
-    # zero-norm) vector; cos(v, v) rounds to exactly 1.0 at 6 dp
-    elig = groups.filter(
-        (F.col("gn") > 1)
-        & (
+    # zero-norm) vector; cos(v, v) rounds to exactly 1.0 at 6 dp.
+    # eligibility reads the rep row's vector (groups carry only the fp)
+    elig = (
+        base.join(
+            members.filter(F.col("gn") > 1)
+            .select(F.col("gid").alias("id"))
+            .distinct(),
+            "id",
+            "left_semi",
+        )
+        .filter(
             F.aggregate(
                 F.col("v").cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
             )
             > 0
         )
-    ).select("gid")
+        .select(F.col("id").alias("gid"))
+    )
     dup_members = members.filter(F.col("gn") > 1).join(elig, "gid", "left_semi")
     m1 = dup_members.select("gid", F.col("id").alias("id_a"))
     m2 = dup_members.select("gid", F.col("id").alias("id_b"))
@@ -1138,7 +1162,16 @@ def semantic_dedup(
     minimum id — the same winner rule as ``exact_dedup``.  The CC runs
     on the pair list only (O(|pairs|), not O(n)); survivors come from a
     left-anti join of the loser ids, so the corpus never reshuffles.
+
+    ``connected_components`` labels vertices as longs; non-numeric ids
+    are densified first — a row_number over the DISTINCT ids appearing
+    in pairs (the duplicate-involved subset, tiny next to the corpus),
+    mapped back after resolution.  Without this, string ids would cast
+    to NULL inside the CC and the dedup would silently keep everything.
     """
+    from pyspark.sql.types import NumericType
+    from pyspark.sql.window import Window
+
     from readwise_vector_db_spark.operators.graph import connected_components
 
     pairs = semantic_dedup_pairs(
@@ -1149,11 +1182,35 @@ def semantic_dedup(
         vec_col=vec_col,
         seed=seed,
     )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    numeric_ids = isinstance(embs.schema[id_col].dataType, NumericType)
+    if not numeric_ids:
+        verts = (
+            edges.select(F.col("src").alias("oid"))
+            .union(edges.select("dst"))
+            .distinct()
+        )
+        # global row_number: one single-partition pass over the
+        # duplicate-involved vertex set only — bounded by |pairs|·2
+        mapping = verts.withColumn(
+            "nid", F.row_number().over(Window.orderBy("oid"))
+        ).persist()
+        edges = (
+            edges.join(mapping.withColumnRenamed("oid", "src"), "src")
+            .select(F.col("nid").alias("src"), "dst")
+            .join(mapping.withColumnRenamed("oid", "dst"), "dst")
+            .select("src", F.col("nid").alias("dst"))
+        )
     comps = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        edges,
         distinct_edges=False,  # a<b pair list is already duplicate-free
     )
-    losers = comps.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
+    losers = comps.filter(F.col("id") != F.col("component")).select("id")
+    if not numeric_ids:
+        losers = losers.join(
+            mapping.withColumnRenamed("nid", "id"), "id"
+        ).select(F.col("oid").alias(id_col))
+        _register_cached(mapping)
+    else:
+        losers = losers.select(F.col("id").alias(id_col))
     return embs.join(losers, id_col, "left_anti")

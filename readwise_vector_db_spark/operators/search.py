@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from datetime import date
+from datetime import date, datetime
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -186,11 +186,17 @@ def meta_filter_sql(params: SearchParams, columns: Sequence[str]) -> str | None:
         conj.append(f"arrays_overlap(tags, array({tag_arr}))")
     if params.highlighted_at_range is not None and "highlighted_at" in columns:  # F5
         lo, hi = params.highlighted_at_range
-        lit = lambda v: (  # noqa: E731 — typed literal, matching F.lit(date)
-            f"DATE '{v.isoformat()}'"
-            if isinstance(v, date)
-            else f"'{sql_quote(str(v))}'"
-        )
+
+        def lit(v) -> str:
+            # typed literals matching F.lit(value); datetime FIRST —
+            # it subclasses date, and rendering it as DATE would
+            # silently truncate the time component
+            if isinstance(v, datetime):
+                return f"TIMESTAMP '{v}'"
+            if isinstance(v, date):
+                return f"DATE '{v.isoformat()}'"
+            return f"'{sql_quote(str(v))}'"
+
         conj.append(f"highlighted_at BETWEEN {lit(lo)} AND {lit(hi)}")
     return " AND ".join(conj) if conj else None
 

@@ -284,6 +284,17 @@ def scoring_relation(spark: SparkSession, sf_dir: str) -> str:
     rel = spark.table(vname).coalesce(n_parts).cache()
     rel.createOrReplaceTempView(view)
     rel.count()  # materialize once at index-open, not on the first request
+    # the view now holds the narrow table's rows — the bucketed handle's
+    # cache of the same rows (warm_tables) would be a duplicate copy in
+    # storage memory for the process lifetime; release it.  Plans over
+    # the bucketed table still work (they re-read the files, which are
+    # < one partition target by the branch above).
+    bucketed = _HANDLES.get((key[0], tag, fp, True))
+    if bucketed is not None:
+        try:
+            bucketed[1].unpersist()
+        except Exception:
+            pass
     _SCORING_RELS[key] = view
     return view
 

@@ -127,6 +127,20 @@ def test_fanout_zero_norm_groups_emit_no_intra_pairs(spark):
     assert len(got) > 0
 
 
+def test_survivors_with_string_ids(spark):
+    """Non-numeric ids must resolve through the densified CC mapping —
+    not silently cast to NULL and keep everything."""
+    rows = [
+        ("doc_c", [1.0, 0.0]),
+        ("doc_a", [1.0, 0.0]),
+        ("doc_b", [1.0, 0.0]),
+        ("doc_z", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    survivors = dd.semantic_dedup(df, threshold=0.999, n_clusters=2)
+    assert {r["vec_id"] for r in survivors.collect()} == {"doc_a", "doc_z"}
+
+
 def test_boundary_recall_measured(spark):
     """Pairs straddling a cluster boundary are the documented miss mode;
     on the fixture corpus with planted identical pairs recall must be
