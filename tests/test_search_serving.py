@@ -73,6 +73,37 @@ def test_extra_filters_fall_back_to_dataframe_path(spark, warm):
     assert got == want and len(got) == 10
 
 
+def test_meta_filter_sql_datetime_range_keeps_time_component(spark):
+    """datetime endpoints must render as TIMESTAMP literals — datetime
+    subclasses date, and a DATE rendering silently truncates the time
+    component, diverging from F.lit(datetime) in the DataFrame twin."""
+    from datetime import datetime
+
+    from readwise_vector_db_spark.operators.search import (
+        apply_meta_filters,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("early", datetime(2026, 1, 1, 6, 0)),
+            ("inside", datetime(2026, 1, 1, 15, 0)),
+            ("late", datetime(2026, 1, 2, 18, 0)),
+        ],
+        "id string, highlighted_at timestamp",
+    )
+    params = SearchParams(
+        highlighted_at_range=(datetime(2026, 1, 1, 12, 0), datetime(2026, 1, 2, 12, 0))
+    )
+    want = sorted(r["id"] for r in apply_meta_filters(df, params).collect())
+    assert want == ["inside"]
+    frag = meta_filter_sql(params, df.columns)
+    df.createOrReplaceTempView("dtrange_t")
+    got = sorted(
+        r["id"] for r in spark.sql(f"SELECT id FROM dtrange_t WHERE {frag}").collect()
+    )
+    assert got == want
+
+
 def test_score_sql_bitwise_matches_score_column(spark):
     """The rendered score expression must reproduce score_column bit for
     bit — including NULL for zero-norm vectors — over adversarial doubles
