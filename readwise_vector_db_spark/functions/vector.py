@@ -95,11 +95,28 @@ def sq8_quantize(vec: Column | str) -> Column:
     return F.struct(scale.alias("scale"), q.alias("q"))
 
 
-def int_cosine_distance(qa: Column, qb: Column) -> Column:
+def int_code_norm(q: Column) -> Column:
+    """sqrt of the exact integer self-dot of a code array — precompute
+    once per row/query so scoring reuses it instead of re-folding the
+    norm per comparison (same expression, so the value is identical)."""
+    to_d = F.transform(q, lambda x: x.cast("double"))
+    return F.sqrt(dot(to_d, to_d))
+
+
+def int_cosine_distance(
+    qa: Column,
+    qb: Column,
+    a_norm: Column | None = None,
+    b_norm: Column | None = None,
+) -> Column:
     """1 - cos over integer code arrays.  Dot/norms are exact integer sums
-    (< 2^53), so the result is bit-identical across engines."""
+    (< 2^53), so the result is bit-identical across engines.  Pass
+    precomputed ``int_code_norm`` columns to skip two of the three
+    interpreted folds per comparison."""
     to_d = lambda a: F.transform(a, lambda x: x.cast("double"))  # noqa: E731
-    return F.lit(1.0) - cosine_similarity(to_d(qa), to_d(qb))
+    return F.lit(1.0) - cosine_similarity(
+        to_d(qa), to_d(qb), a_norm=a_norm, b_norm=b_norm
+    )
 
 
 # --- fp16 storage codec ------------------------------------------------------

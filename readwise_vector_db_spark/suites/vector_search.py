@@ -215,22 +215,34 @@ def search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines, hence fully oracle-checked).  Recall vs
     the exact float scan is asserted in tests/test_similarity.py."""
     from readwise_vector_db_spark.functions.vector import (
+        int_code_norm,
         int_cosine_distance,
         sq8_quantize,
     )
 
     embs = load_table(spark, sf_dir, "embeddings")
+    # norms precomputed per row (and once for the broadcast query) so
+    # scoring folds once per row, not three times — the norm expression
+    # is identical, so qdist values are bit-unchanged (oracle-pinned)
     codes = embs.filter(F.col("embedding").isNotNull()).select(
-        "vec_id", sq8_quantize("embedding").alias("c")
-    )
+        "vec_id",
+        sq8_quantize("embedding").alias("c"),
+    ).withColumn("cn", int_code_norm(F.col("c.q")))
     qrow = F.broadcast(
-        codes.filter(F.col("vec_id") == 2).select(F.col("c.q").alias("qq"))
+        codes.filter(F.col("vec_id") == 2).select(
+            F.col("c.q").alias("qq"), F.col("cn").alias("qn")
+        )
     )
     return (
         codes.crossJoin(qrow)
         .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.round(int_cosine_distance(F.col("c.q"), F.col("qq")), 6).alias("qdist"),
+            F.round(
+                int_cosine_distance(
+                    F.col("c.q"), F.col("qq"), a_norm=F.col("cn"), b_norm=F.col("qn")
+                ),
+                6,
+            ).alias("qdist"),
         )
         .orderBy(F.asc("qdist"), F.asc("neighbor_id"))
         .limit(10)
