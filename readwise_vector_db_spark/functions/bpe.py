@@ -238,8 +238,10 @@ def _inverse(ranks: dict[bytes, int]) -> dict[int, bytes]:
     if entry is not None and entry[0] is ranks:
         return entry[1]
     inv = {v: k for k, v in ranks.items()}
-    if len(_INVERSES) > 8:
-        _INVERSES.clear()
+    while len(_INVERSES) >= 8:
+        # Drop-oldest (dict preserves insertion order): live tables keep
+        # their memo; only the stalest entry pays a rebuild on next use.
+        _INVERSES.pop(next(iter(_INVERSES)))
     _INVERSES[id(ranks)] = (ranks, inv)
     return inv
 

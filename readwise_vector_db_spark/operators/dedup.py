@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 import random
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -51,18 +52,31 @@ from readwise_vector_db_spark.functions.vector import cosine_similarity
 # bound across a long-lived session.  Call
 # :func:`release_detector_cache` to drop them immediately (e.g. after a
 # bench loop materializes a detector's output).
+#
+# CONCURRENCY CONTRACT: the registry assumes detector calls are issued
+# from one thread at a time and each result is MATERIALIZED before the
+# next detector is planned — interleaving plan-building drains the
+# earlier call's persists out from under its still-lazy result (it
+# recomputes correctly, just without the cache).  The lock below makes
+# the drain/extend themselves race-safe under FAIR-scheduler threads;
+# it does not lift the materialize-before-next-detector assumption.
 _CACHED_FRAMES: list[DataFrame] = []
+_CACHED_FRAMES_LOCK = threading.Lock()
 
 
 def _register_cached(*frames: DataFrame) -> None:
-    _CACHED_FRAMES.extend(frames)
+    with _CACHED_FRAMES_LOCK:
+        _CACHED_FRAMES.extend(frames)
 
 
 def release_detector_cache() -> None:
     """Unpersist internal frames cached by earlier detector calls."""
-    while _CACHED_FRAMES:
+    with _CACHED_FRAMES_LOCK:
+        drained = list(_CACHED_FRAMES)
+        _CACHED_FRAMES.clear()
+    for frame in drained:
         try:
-            _CACHED_FRAMES.pop().unpersist()
+            frame.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
 
@@ -160,8 +174,15 @@ def _exact_group_fanout(
     # grouped path ran 5.4 s vs 2.0-2.9 s ungrouped, while the ×10
     # replica corpus (90 % dups) is 6× FASTER grouped.  So: take the
     # indirection only when ≥ ``_FANOUT_MIN_DUP_RATIO`` of rows are
-    # byte-duplicates; below that the detector is output-identical run
-    # directly (that is the wrapper's contract).  At 100 TB the probe
+    # byte-duplicates; below that the detector runs directly.  Direct
+    # and grouped are output-identical for every detector whose score is
+    # a pure set function (MinHash/SimHash, and prefix-filter Jaccard
+    # with df_max=None); with a df_max cap active, document frequency is
+    # counted over the full corpus here vs distinct representatives in
+    # grouped mode, so candidate sets may differ for shingles straddling
+    # the cap (the ngram_jaccard_pairs docstring states this bound —
+    # verification is exact either way, only near-cap candidate
+    # GENERATION can differ).  At 100 TB the probe
     # is one map-side-combined count over (id, md5) — noise next to
     # shingling.
     head = groups.agg(

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -169,8 +171,16 @@ def ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is cached on disk across runs, and a stale layout must never satisfy a
 # newer query's expectations.
 _IVF_ARTIFACT_VERSION = 1
+# Repo-local by default (not a world-writable shared /tmp path): the
+# artifact is this repo's serving state, same home as the warm search
+# layout (sources/search_index.py), and .warm_index/ is gitignored.
 _IVF_ARTIFACT_ROOT = os.environ.get(
-    "RWVDB_IVF_ARTIFACT_DIR", "/tmp/rvdb_ivf_artifacts"
+    "RWVDB_IVF_ARTIFACT_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".warm_index",
+        "ivf_artifacts",
+    ),
 )
 
 
@@ -193,14 +203,29 @@ def planted_ivf_artifact(spark: SparkSession, sf_dir: str) -> str:
     path = f"{_IVF_ARTIFACT_ROOT}/{key}"
     marker = f"{path}/_BUILT"
     if not os.path.exists(marker):
+        # Race-safe publish: two concurrent builders (parallel pytest +
+        # bench) must never overwrite-write into the SAME directory —
+        # one can clobber the other mid-save and the marker would bless
+        # a half-overwritten artifact.  Each builder writes into its own
+        # process-unique staging dir and atomically rename()s it into
+        # place (marker INSIDE the staged dir, so a published path is
+        # complete by construction); the rename loser just discards —
+        # builds are deterministic, so the winner's artifact is
+        # byte-equivalent for probing.
         embs = load_table(spark, sf_dir, "embeddings")
         is_query = (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
         dups = embs.filter(is_query).withColumn("vec_id", F.col("vec_id") + 1000000)
         assigned, centroids = sim.build_ivf_index(
             embs.unionByName(dups), n_clusters=16
         )
-        sim.save_ivf_index(assigned, centroids, path)
-        open(marker, "w").close()
+        stage = f"{path}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        sim.save_ivf_index(assigned, centroids, stage)
+        open(f"{stage}/_BUILT", "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:
+            # a peer published first — keep theirs, drop the stage
+            shutil.rmtree(stage, ignore_errors=True)
     return path
 
 

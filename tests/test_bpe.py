@@ -271,3 +271,18 @@ def test_real_cl100k_parity_when_artifact_present():
     truncated = bpe.truncate_to_tokens(long_text, 8191, ranks)
     assert bpe.count_tokens(truncated, ranks) <= 8191
     assert long_text.startswith(truncated[: len(truncated) - 1])
+
+
+def test_inverse_memo_evicts_oldest_not_all():
+    """Eviction is drop-oldest, not clear(): inserting a 9th table must
+    keep the 8 most-recent live entries memoized (round-5 verdict nit —
+    clear() dropped every live entry including the one being inserted)."""
+    bpe._INVERSES.clear()
+    tables = [bpe.train_bpe(f"{c}{c}{c}d {c}{c}d {c}d", 258)
+              for c in "abcefghij"]  # 9 distinct tables
+    for t in tables:
+        bpe._inverse(t)
+    assert len(bpe._INVERSES) == 8
+    assert id(tables[0]) not in bpe._INVERSES          # oldest evicted
+    for t in tables[1:]:                                # 8 recent survive
+        assert bpe._INVERSES[id(t)][0] is t
