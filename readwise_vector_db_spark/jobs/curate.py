@@ -47,6 +47,7 @@ def curate_corpus(
     lang: str = "en",
     near_dup_threshold: float = 0.6,
     semantic_threshold: float | None = None,
+    semantic_quantizer: list[tuple[int, list[float]]] | None = None,
 ) -> dict[str, float]:
     """Run the curation funnel over ``documents``; commit survivors to a
     VersionedTable at ``out_root``.  Returns per-stage surviving counts —
@@ -121,8 +122,11 @@ def curate_corpus(
             F.col("vec_id").alias("doc_id"), "embedding"
         )
         vec = survivors.select("doc_id").join(embs, "doc_id")
+        # a persisted quantizer (similarity.load_quantizer) turns this
+        # stage's per-run KMeans into a map-only centroid assignment
         sem_pairs = semantic_dedup_pairs(
-            vec, threshold=semantic_threshold, id_col="doc_id"
+            vec, threshold=semantic_threshold, id_col="doc_id",
+            quantizer=semantic_quantizer,
         )
         sem_losers = sem_pairs.select(F.col("id_b").alias("doc_id"))
         sem_survivors = survivors.join(sem_losers, "doc_id", "left_anti").persist()

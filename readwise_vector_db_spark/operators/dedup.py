@@ -1070,6 +1070,32 @@ def _vector_group_fanout(
     return cross.unionByName(intra)
 
 
+def train_semantic_quantizer(
+    embs: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 4,
+) -> list[tuple[int, list[float]]]:
+    """BUILD half of SemDeDup's coarse quantizer: KMeans centroids over
+    the (deduplicated, non-null) embedding corpus.  Persist with
+    ``operators.similarity.save_quantizer`` and feed repeat runs /
+    the curate funnel via ``semantic_dedup_pairs(quantizer=...)`` so
+    they pay assignment cost only — KMeans dominated the r5
+    ``dedup_semantic`` wall (≈3.8–5 s of its sf0.1 minimum)."""
+    from readwise_vector_db_spark.operators.similarity import build_ivf_index
+
+    base = embs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    _, centroids = build_ivf_index(
+        base, n_clusters=n_clusters, id_col="id", vec_col="v",
+        seed=seed, max_iter=max_iter,
+    )
+    return centroids
+
+
 def semantic_dedup_pairs(
     embs: DataFrame,
     threshold: float = 0.999,
@@ -1082,6 +1108,7 @@ def semantic_dedup_pairs(
     # boundary is a property of cell count, not Lloyd convergence.
     # Measured: 4 iters = identical pair output at 27 % less wall than 8.
     max_iter: int = 4,
+    quantizer: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     pairs found by KMeans-clustering the embedding space and comparing
@@ -1111,8 +1138,21 @@ def semantic_dedup_pairs(
     cosine folds (higher-order exprs don't enter codegen) — minutes of
     CPU — vs ~276 k over distinct reps.  Per-row norms are precomputed
     so each surviving pair costs one fold, not three.
+
+    ``quantizer`` (a centroid list from :func:`train_semantic_quantizer`
+    / ``similarity.load_quantizer``) switches cell assignment from
+    per-call KMeans to a map-only nearest-centroid pass over FIXED
+    centroids (``similarity.assign_cells``) — the probe path: repeat
+    runs and the curate funnel pay O(k·d) per row, no Lloyd iterations,
+    no ML pipeline.  Exact-duplicate recall stays 1.0 by the same
+    argument (identical vectors co-assign under any fixed centroid
+    set); boundary near-dup pairs may differ from a fresh fit, which is
+    the SemDeDup approximation contract either way.
     """
-    from readwise_vector_db_spark.operators.similarity import build_ivf_index
+    from readwise_vector_db_spark.operators.similarity import (
+        assign_cells,
+        build_ivf_index,
+    )
 
     release_detector_cache()
     base0 = embs.select(
@@ -1129,14 +1169,17 @@ def semantic_dedup_pairs(
                 F.col("id").alias("id_b"),
                 F.lit(0.0).alias("cos_sim"),
             ).limit(0)
-        assigned, _ = build_ivf_index(
-            frame,
-            n_clusters=max(2, min(n_clusters, n_hint)),
-            id_col="id",
-            vec_col="v",
-            seed=seed,
-            max_iter=max_iter,
-        )
+        if quantizer is not None:
+            assigned = assign_cells(frame, quantizer, vec_col="v")
+        else:
+            assigned, _ = build_ivf_index(
+                frame,
+                n_clusters=max(2, min(n_clusters, n_hint)),
+                id_col="id",
+                vec_col="v",
+                seed=seed,
+                max_iter=max_iter,
+            )
         norm = F.sqrt(
             F.aggregate(
                 F.col("v").cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
@@ -1174,6 +1217,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    quantizer: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Semantic-dedup survivors: drop all but one row per near-dup group.
 
@@ -1202,6 +1246,7 @@ def semantic_dedup(
         id_col=id_col,
         vec_col=vec_col,
         seed=seed,
+        quantizer=quantizer,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     numeric_ids = isinstance(embs.schema[id_col].dataType, NumericType)

@@ -369,3 +369,65 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[tuple[int, list[fl
         (int(r["cluster"]), [float(x) for x in r["centroid"]]) for r in cent
     )
     return assigned, centroids
+
+
+def save_quantizer(
+    spark, centroids: list[tuple[int, list[float]]], path: str
+) -> None:
+    """Persist a trained coarse quantizer (the centroid table alone) as
+    a serving artifact.  The IVF artifact (:func:`save_ivf_index`)
+    couples centroids to an assigned CORPUS layout; a quantizer is the
+    corpus-independent half — SemDeDup and other cell-partitioned
+    operators re-assign each new batch against fixed centroids
+    (:func:`assign_cells`), paying probe cost instead of KMeans build
+    cost on every run (round-5 verdict item 3)."""
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_quantizer(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Centroid list from a :func:`save_quantizer` (or
+    :func:`save_ivf_index`) layout — driver-side index metadata,
+    n_clusters rows."""
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    return sorted(
+        (int(r["cluster"]), [float(x) for x in r["centroid"]]) for r in cent
+    )
+
+
+def assign_cells(
+    frame: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    cell_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid cell per row — the APPLY half of the coarse
+    quantizer, map-only (no shuffle, no ML pipeline): each centroid
+    inlines as one JVM-parsed literal (``vector_literal`` — the
+    string-split trick, not d py4j lits) and ``array_min`` over
+    (sq_dist, cell) structs picks the argmin with ties broken by cell
+    id.  Same assignment semantics as ``KMeans.transform`` (nearest
+    euclidean centroid) up to float-summation order on exact boundary
+    ties — irrelevant for a quantizer that only PARTITIONS comparisons,
+    since identical vectors always co-assign.
+
+    Cost: one pass, k folds of d each per row.  At k in the tens of
+    thousands (SemDeDup-at-LAION scale) route through the BLAS
+    mapInPandas scorer instead (same shape as ``knn_join_blocked``)."""
+    from readwise_vector_db_spark.operators.search import vector_literal
+
+    v = F.col(vec_col).cast("array<double>")
+    cand = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(v, vector_literal(c), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(int(cid)).alias("c"),
+        )
+        for cid, c in centroids
+    ]
+    return frame.withColumn(cell_col, F.array_min(F.array(*cand))["c"])

@@ -172,6 +172,65 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.semantic_dedup_pairs(embs.unionByName(dups), threshold=0.999)
 
 
+# Bump when the quantizer training recipe changes — a stale centroid
+# artifact must never serve a newer query's expectations.
+_SEMQ_ARTIFACT_VERSION = 1
+
+
+def semantic_quantizer_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the persisted SemDeDup quantizer for
+    ``sf_dir`` — the offline half (train_semantic_quantizer +
+    similarity.save_quantizer); probe runs only load.  Same race-safe
+    publish as ``suites.similarity.planted_ivf_artifact``: stage into a
+    process-unique dir, rename into place, marker inside."""
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from readwise_vector_db_spark.operators import similarity as sim
+    from readwise_vector_db_spark.suites.similarity import _IVF_ARTIFACT_ROOT
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}:{int(st.st_mtime)}"
+        f"|semq16|v{_SEMQ_ARTIFACT_VERSION}".encode()
+    ).hexdigest()[:16]
+    path = f"{_IVF_ARTIFACT_ROOT}/{key}"
+    if not os.path.exists(f"{path}/_BUILT"):
+        embs = load_table(spark, sf_dir, "embeddings")
+        dups = embs.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 1000000
+        )
+        centroids = dd.train_semantic_quantizer(embs.unionByName(dups))
+        stage = f"{path}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        sim.save_quantizer(spark, centroids, stage)
+        open(f"{stage}/_BUILT", "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+@register_extra("dedup_semantic_probe", _EMB_PAIRS_ORACLE)
+def dedup_semantic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING path of SemDeDup (round-5 verdict item 3): cell
+    assignment probes a PERSISTED quantizer (fixed centroids, map-only
+    argmin — no KMeans in the query path), mirroring how
+    ``ann_ivf_probe`` serves ``ann_ivf_planted``'s build.  Identical
+    planted vectors co-assign under ANY fixed centroid set, so the
+    same exact all-pairs oracle hash-checks this path end-to-end."""
+    from readwise_vector_db_spark.operators.similarity import load_quantizer
+
+    q = load_quantizer(spark, semantic_quantizer_artifact(spark, sf_dir))
+    embs = load_table(spark, sf_dir, "embeddings")
+    dups = embs.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return dd.semantic_dedup_pairs(embs.unionByName(dups), threshold=0.999, quantizer=q)
+
+
 @register("dedup_lsh_embedding", _EMB_PAIRS_ORACLE)
 def dedup_lsh_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BRP-LSH approxSimilarityJoin over the augmented embeddings —

@@ -150,3 +150,40 @@ def test_boundary_recall_measured(spark):
     found = dd.semantic_dedup_pairs(aug, threshold=0.999).count()
     assert planted > 0
     assert found / planted == pytest.approx(1.0)
+
+
+def test_persisted_quantizer_probe_matches_brute_force(spark, tmp_path):
+    """Round-6: the probe path (fixed persisted centroids, assign_cells
+    map-only argmin — no per-call KMeans) finds the same planted pair
+    set as the brute-force baseline, through a save/load round-trip."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    aug = _augmented(spark)
+    q = dd.train_semantic_quantizer(aug)
+    path = str(tmp_path / "semq")
+    sim.save_quantizer(spark, q, path)
+    loaded = sim.load_quantizer(spark, path)
+    assert loaded == [(int(c), [float(x) for x in v]) for c, v in q]
+    got = _pairs_set(dd.semantic_dedup_pairs(aug, threshold=0.999, quantizer=loaded))
+    want = _pairs_set(dd.embedding_cosine_pairs(aug, threshold=0.999))
+    assert got == want and len(want) > 0
+
+
+def test_assign_cells_matches_kmeans_partitioning(spark):
+    """assign_cells against the centroids build_ivf_index trained must
+    reproduce the KMeans transform's cells (nearest-euclidean argmin) —
+    and be a map-only plan (no Exchange)."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    base = _augmented(spark).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    ).filter(F.col("v").isNotNull())
+    assigned, centroids = sim.build_ivf_index(
+        base, id_col="id", vec_col="v", n_clusters=8
+    )
+    want = {r["id"]: r["cluster"] for r in assigned.select("id", "cluster").collect()}
+    probe = sim.assign_cells(base, centroids, vec_col="v")
+    got = {r["id"]: r["cluster"] for r in probe.select("id", "cluster").collect()}
+    assert got == want
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
