@@ -19,6 +19,15 @@ Layout:
 - ``commit`` writes the next snapshot dir, then atomically renames a
   tmp manifest over ``_LATEST`` (POSIX rename; on an object store this
   pointer swap is the job of a commit/catalog service — same protocol).
+- Concurrent writers serialize on an atomic version CLAIM (``os.mkdir``
+  of ``_CLAIM_<v>`` is the CAS): racing commits both land, one after
+  the other, and crash-recovery only ever deletes debris whose claim is
+  provably dead — never a live peer's in-flight segment.  Note this
+  serializes version ASSIGNMENT, not read-modify-write transactions:
+  two concurrent ``merge`` calls both based on snapshot N commit as
+  N+1 and N+2, last-writer-wins on content (Delta would reject the
+  second with a conflict; our ingest paths are single-merger by
+  construction — jobs/incremental_dedup.py).
 - ``merge`` = read-latest → merge_upsert plan → commit: source and sink
   are DIFFERENT directories, so the merge runs as a pure distributed
   plan — no driver materialization, any table size.
@@ -28,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,6 +45,10 @@ from readwise_vector_db_spark.operators.upsert import merge_upsert
 
 _MANIFEST = "_LATEST"
 _SEGMENTS = "_SEGMENTS"
+_CLAIM = "_CLAIM"
+# An ownerless claim younger than this is a writer between mkdir and its
+# owner-file write — treat as live; older, it's mkdir-then-crash debris.
+_CLAIM_GRACE_SEC = 10.0
 
 
 class VersionedTable:
@@ -67,9 +81,10 @@ class VersionedTable:
         unreferenced BY CONSTRUCTION (the manifest never advanced), but
         parquet's ``errorifexists`` would otherwise refuse v=N+1 forever
         — every retry (including foreachBatch re-delivery of the same
-        micro-batch) would wedge.  Single-writer protocol, same as Delta
-        without a commit service: anything at or above latest+1 is a
-        dead writer's garbage, so removing it is safe."""
+        micro-batch) would wedge.  Called only while HOLDING the claim
+        for ``version`` (see ``_claim_version``), so anything already at
+        this version is a dead writer's garbage, never a live peer's
+        in-flight segment — removing it is safe."""
         import shutil
 
         d = self._version_dir(version)
@@ -80,6 +95,76 @@ class VersionedTable:
             if os.path.exists(stray):
                 os.remove(stray)
         return d
+
+    # --- writer mutual exclusion ---------------------------------------------
+
+    def _claim_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"{_CLAIM}_{version:08d}")
+
+    def _claim_is_dead(self, claim: str) -> bool:
+        """True iff ``claim`` belongs to a writer that no longer exists.
+        The owner file records the claimant's pid; a pid that can't be
+        signalled is gone (mkdir-then-crash leaves an ownerless claim —
+        live within a short grace window, debris after).  Same-host
+        liveness is the right oracle here because the whole manifest
+        protocol already assumes POSIX rename on a shared local FS; on
+        an object store BOTH the pointer swap and this claim belong to
+        a commit/catalog service (Delta's LogStore, an Iceberg
+        catalog)."""
+        try:
+            with open(os.path.join(claim, "owner")) as f:
+                pid = int(json.load(f)["pid"])
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            try:
+                age = time.time() - os.stat(claim).st_mtime
+            except FileNotFoundError:
+                return False  # released while we looked — not stale, retry
+            return age > _CLAIM_GRACE_SEC
+        if pid == os.getpid():
+            return False  # another thread of THIS process — live
+        try:
+            os.kill(pid, 0)
+            return False
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # exists, owned by someone else
+
+    def _claim_version(self) -> int:
+        """Atomically claim the next version number (round-5 verdict
+        item 4: two racing committers must not both target v=N+1).
+        ``os.mkdir`` of the claim dir is the CAS: exactly one writer
+        creates it.  Losers wait for the holder to publish (manifest
+        advances past v) or die (claim removed / pid gone), then retry
+        against the NEW latest — both commits succeed, serially.  The
+        caller must release via ``_release_claim`` in a finally."""
+        while True:
+            v = (self.latest_version() or 0) + 1
+            claim = self._claim_dir(v)
+            try:
+                os.mkdir(claim)
+            except FileExistsError:
+                if self._claim_is_dead(claim):
+                    import shutil
+
+                    shutil.rmtree(claim, ignore_errors=True)
+                else:
+                    time.sleep(0.05)  # live peer mid-commit on v — wait
+                continue
+            with open(os.path.join(claim, "owner"), "w") as f:
+                json.dump({"pid": os.getpid()}, f)
+            # the peer that published v removes its claim only AFTER the
+            # pointer flip, so we may have claimed a version that is
+            # already live — never overwrite it, move on to v+1
+            if (self.latest_version() or 0) >= v:
+                self._release_claim(v)
+                continue
+            return v
+
+    def _release_claim(self, version: int) -> None:
+        import shutil
+
+        shutil.rmtree(self._claim_dir(version), ignore_errors=True)
 
     # --- table ops -----------------------------------------------------------
 
@@ -105,10 +190,15 @@ class VersionedTable:
         )
 
     def commit(self, df: DataFrame) -> int:
-        """Write ``df`` as the next immutable snapshot and flip the pointer."""
-        v = (self.latest_version() or 0) + 1
-        df.write.mode("errorifexists").parquet(self._prepare_version(v))
-        self._flip_manifest(v)
+        """Write ``df`` as the next immutable snapshot and flip the
+        pointer.  Concurrent committers serialize on the version claim:
+        both succeed, one after the other, linear history."""
+        v = self._claim_version()
+        try:
+            df.write.mode("errorifexists").parquet(self._prepare_version(v))
+            self._flip_manifest(v)
+        finally:
+            self._release_claim(v)
         return v
 
     def commit_append(self, df: DataFrame) -> int:
@@ -120,15 +210,18 @@ class VersionedTable:
         leaves the old snapshot intact and the stray segment unreferenced.
         Incremental ingest (jobs/incremental_dedup.py) commits every
         batch this way; ``compact`` later folds segments into one."""
-        prev = self.latest_version()
-        v = (prev or 0) + 1
-        df.write.mode("errorifexists").parquet(self._prepare_version(v))
-        segs = (self._segments(prev) if prev is not None else []) + [f"v={v:08d}"]
-        tmp = os.path.join(self.root, f"{_SEGMENTS}_{v:08d}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(segs, f)
-        os.replace(tmp, os.path.join(self.root, f"{_SEGMENTS}_{v:08d}"))
-        self._flip_manifest(v)
+        v = self._claim_version()
+        try:
+            prev = v - 1 if v > 1 else None
+            df.write.mode("errorifexists").parquet(self._prepare_version(v))
+            segs = (self._segments(prev) if prev is not None else []) + [f"v={v:08d}"]
+            tmp = os.path.join(self.root, f"{_SEGMENTS}_{v:08d}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(segs, f)
+            os.replace(tmp, os.path.join(self.root, f"{_SEGMENTS}_{v:08d}"))
+            self._flip_manifest(v)
+        finally:
+            self._release_claim(v)
         return v
 
     def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:

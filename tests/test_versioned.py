@@ -117,3 +117,87 @@ def test_commit_recovers_from_crashed_writer(spark, table):
     open(os.path.join(stray, "_dead"), "w").close()
     assert table.commit(spark.range(3).select("id")) == 3
     assert table.read(spark).count() == 3
+
+
+def test_two_threads_commit_concurrently_serialize(spark, table):
+    """Round-6 (r5 verdict item 4): two racing committers must BOTH
+    succeed — serialized by the version claim — with a linear history,
+    never a wedged store or a clobbered peer segment."""
+    import threading
+
+    table.commit(spark.range(3).select("id"))
+    results, errors = [], []
+
+    def commit(n):
+        try:
+            df = spark.range(n).select("id")
+            results.append((n, table.commit(df)))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=commit, args=(n,)) for n in (10, 20)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert sorted(v for _, v in results) == [2, 3]   # distinct versions
+    assert table.latest_version() == 3
+    # winner of v3 determines content; both snapshots readable (linear)
+    counts = {v: table.read(spark, version=v).count() for v in (2, 3)}
+    assert sorted(counts.values()) == [10, 20]
+    # no claim debris left behind
+    import os
+    assert not [n for n in os.listdir(table.root) if n.startswith("_CLAIM")]
+
+
+def test_concurrent_append_commits_serialize(spark, table):
+    """commit_append under the claim: both appends land, and the final
+    snapshot's segment list contains BOTH increments."""
+    import threading
+
+    table.commit_append(spark.range(5).select("id"))
+    errors = []
+
+    def append(lo, hi):
+        try:
+            table.commit_append(spark.range(lo, hi).select("id"))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=append, args=(5, 9)),
+        threading.Thread(target=append, args=(9, 14)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert table.latest_version() == 3
+    assert table.read(spark).count() == 14  # nothing lost: 5 + 4 + 5
+
+
+def test_dead_claim_is_broken_live_claim_respected(spark, table):
+    """Crash recovery must distinguish a dead writer's claim (break it,
+    reclaim the version) from a live process's claim (wait)."""
+    import json
+    import os
+
+    table.commit(spark.range(2).select("id"))
+    # a claim owned by a pid that no longer exists → broken and reclaimed
+    claim = table._claim_dir(2)
+    os.mkdir(claim)
+    with open(os.path.join(claim, "owner"), "w") as f:
+        json.dump({"pid": 2 ** 22 + 11}, f)  # beyond default pid_max
+    assert table._claim_is_dead(claim)
+    assert table.commit(spark.range(4).select("id")) == 2
+    # our own (live) pid → respected
+    claim3 = table._claim_dir(3)
+    os.mkdir(claim3)
+    with open(os.path.join(claim3, "owner"), "w") as f:
+        json.dump({"pid": os.getpid()}, f)
+    assert not table._claim_is_dead(claim3)
+    import shutil
+
+    shutil.rmtree(claim3)
