@@ -34,8 +34,12 @@ Two layouts, chosen by ``batch_join``:
   tests/test_incremental_dedup.py).  The band index is derived state:
   it appends after each versioned commit, and a crash between the two
   leaves it lagging, never wrong the other way (missed store rows can
-  only under-drop); ``rebuild_band_index`` is the idempotent repair
-  that regenerates it from the store snapshot.
+  only under-drop); a ``_SYNCED_VERSION`` marker makes that staleness
+  detectable, and the probe path auto-invokes ``rebuild_band_index``
+  (the idempotent repair that regenerates the index from the store
+  snapshot) whenever the marker trails the store — which also covers
+  the broadcast→bucketed migration, where the index starts empty
+  against a populated store.
 
 The streaming face (``run_incremental_dedup``) runs the same batch
 processor under ``foreachBatch``, exactly how jobs/sync.py wires
@@ -74,14 +78,49 @@ def _band_table_name(store_root: str) -> str:
     return f"rvdb_inc_bands_{digest}"
 
 
+def _synced_version(store_root: str) -> int:
+    """Store version whose rows the band index fully covers (0 = never
+    synced).  The marker makes index staleness DETECTABLE: without it,
+    a store migrated from ``batch_join="broadcast"`` — or one whose
+    writer crashed between ``commit_append`` and the index append —
+    probes an empty/lagging index and silently under-drops."""
+    try:
+        with open(f"{store_root}/_bands/_SYNCED_VERSION") as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def _write_synced_version(store_root: str, version: int) -> None:
+    import os
+
+    os.makedirs(f"{store_root}/_bands", exist_ok=True)
+    tmp = f"{store_root}/_bands/_SYNCED_VERSION.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, f"{store_root}/_bands/_SYNCED_VERSION")
+
+
 def ensure_band_index(
-    spark: SparkSession, store_root: str, n_buckets: int = BAND_BUCKETS
+    spark: SparkSession,
+    store_root: str,
+    n_buckets: int = BAND_BUCKETS,
+    repair: bool = True,
 ) -> str:
     """Register (idempotently) the store's band index: an EXTERNAL
     parquet table at ``{store_root}/_bands`` clustered on the band
     hash.  External + path-addressed, so a fresh session re-attaches to
     the on-disk layout with one DDL — the catalog entry is metadata,
-    the bucketed files are the index."""
+    the bucketed files are the index.
+
+    With ``repair=True`` (the read/probe path) a LAGGING index — synced
+    version behind the store's latest, which is exactly the state after
+    a broadcast→bucketed migration (index empty, store populated) or a
+    crash between the versioned commit and the index append — triggers
+    :func:`rebuild_band_index` automatically, so a probe can never
+    silently skip historical signatures.  Maintenance writers
+    (``append_band_index``/``rebuild_band_index``) pass ``repair=False``
+    — they are the ones ABOUT to advance the sync marker."""
     name = _band_table_name(store_root)
     if not spark.catalog.tableExists(name):
         spark.sql(
@@ -89,6 +128,11 @@ def ensure_band_index(
             f" CLUSTERED BY (bh) SORTED BY (bh) INTO {n_buckets} BUCKETS"
             f" LOCATION '{store_root}/_bands'"
         )
+    if repair:
+        store = VersionedTable(store_root)
+        latest = store.latest_version() or 0
+        if latest > _synced_version(store_root):
+            rebuild_band_index(spark, store, n_buckets)
     return name
 
 
@@ -99,10 +143,11 @@ def append_band_index(
     n_buckets: int = BAND_BUCKETS,
 ) -> None:
     """Append one increment's (band hash, signature) rows to the band
-    index.  O(increment) write into the bucketed layout; each append
-    adds ≤ n_buckets files (same small-file growth as the versioned
+    index, then advance the sync marker to the store's current version.
+    O(increment) write into the bucketed layout; each append adds
+    ≤ n_buckets files (same small-file growth as the versioned
     segments — compact on the same cadence)."""
-    name = ensure_band_index(spark, store_root, n_buckets)
+    name = ensure_band_index(spark, store_root, n_buckets, repair=False)
     bands = rows.filter(F.col("sig").isNotNull()).select(
         F.explode(band_keys("sig")).alias("bh"), "sig"
     )
@@ -113,6 +158,7 @@ def append_band_index(
         .sortBy("bh")
         .saveAsTable(name)
     )
+    _write_synced_version(store_root, VersionedTable(store_root).latest_version() or 0)
 
 
 def rebuild_band_index(
@@ -120,13 +166,19 @@ def rebuild_band_index(
 ) -> None:
     """Idempotent repair/compaction: regenerate the band index from the
     current store snapshot (drops the catalog entry and rewrites the
-    bucketed files in one pass over the store)."""
+    bucketed files in one pass over the store).  The snapshot version is
+    pinned BEFORE the scan so the marker never claims rows committed
+    mid-rebuild."""
     name = _band_table_name(table.root)
+    pinned = table.latest_version()
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     import shutil
 
     shutil.rmtree(f"{table.root}/_bands", ignore_errors=True)
-    append_band_index(spark, table.read(spark), table.root, n_buckets)
+    if pinned is None:
+        return
+    append_band_index(spark, table.read(spark, version=pinned), table.root, n_buckets)
+    _write_synced_version(table.root, pinned)
 
 
 def _with_fp_sig(

@@ -260,3 +260,59 @@ def test_streaming_compaction_cadence(spark, docs, tmp_path):
     v = table.latest_version()
     assert v > 2
     assert len(table._segments(v)) < v
+
+
+def test_broadcast_to_bucketed_migration_rebuilds_index(spark, docs, tmp_path):
+    """ADVICE r5: a store grown under batch_join='broadcast' has no band
+    index; switching to 'bucketed' must NOT probe an empty index (silent
+    under-drop of all historical near-dups).  ensure_band_index detects
+    the lagging _SYNCED_VERSION marker and auto-rebuilds from the store."""
+    from readwise_vector_db_spark.jobs import incremental_dedup as inc
+
+    table = VersionedTable(str(tmp_path / "store_mig"))
+    seed = docs.filter(F.col("doc_id") < 30)
+    dedup_batch_against_store(spark, seed, table, batch_join="broadcast")
+    assert inc._synced_version(table.root) == 0  # broadcast mode: no index
+
+    # second increment re-sends the SAME texts with shifted ids: every
+    # row is a historical near/exact dup and must be dropped
+    replay = seed.withColumn("doc_id", F.col("doc_id") + 10_000)
+    stats = dedup_batch_against_store(spark, replay, table, batch_join="bucketed")
+    assert stats["accepted"] == 0
+    assert inc._synced_version(table.root) == table.latest_version()
+    name = inc._band_table_name(table.root)
+    assert spark.table(name).count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_crash_lag_auto_repaired_on_next_probe(spark, docs, tmp_path):
+    """A commit that landed without its index append (crash window) is
+    detected via the marker on the next bucketed probe and repaired."""
+    from readwise_vector_db_spark.jobs import incremental_dedup as inc
+
+    table = VersionedTable(str(tmp_path / "store_lag"))
+    dedup_batch_against_store(
+        spark, docs.filter(F.col("doc_id") < 20), table, batch_join="bucketed"
+    )
+    # simulate the crash: a commit lands, the index append never runs
+    extra = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+    from readwise_vector_db_spark.jobs.incremental_dedup import _with_fp_sig
+    from readwise_vector_db_spark.functions.text import fingerprint_md5
+
+    rows = _with_fp_sig(
+        extra.select("doc_id", "text", fingerprint_md5("text").alias("fp")),
+        "doc_id", "text", 3, "xxhash64",
+    ).select("doc_id", "fp", "sig")
+    table.commit_append(rows)
+    assert inc._synced_version(table.root) < (table.latest_version() or 0)
+
+    name = inc.ensure_band_index(spark, table.root)  # probe path → repair
+    assert inc._synced_version(table.root) == table.latest_version()
+    # repaired index covers BOTH increments' signatures
+    from readwise_vector_db_spark.operators.dedup import band_keys
+    n_bands_per_sig = (
+        table.read(spark).filter(F.col("sig").isNotNull())
+        .select(F.size(band_keys("sig")).alias("nb")).agg(F.sum("nb")).collect()[0][0]
+    )
+    assert spark.table(name).count() == n_bands_per_sig
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
