@@ -5,11 +5,14 @@ training pipeline carries media as ``BinaryType`` columns with a typed
 metadata struct, and runs decode / feature-extraction / resize /
 frame-sampling as Arrow-batched ``mapInPandas`` stages.
 
-The decode step needs codec libraries (PIL/ffmpeg/...) that are NOT in
-this container, so the codec boundary is stubbed: ``decode_stub`` raises
-``NotImplementedError`` exactly where a real decoder would plug in, and
-``fake_decode`` is a deterministic stand-in so the Spark-side plumbing —
-schema, batch iteration, partition sizing — is real and tested.
+The codec boundary has three faces: ``real_decode`` runs an actual
+decoder — PNG via the pure-stdlib codec in functions/png.py (zlib
+inflate + unfilter; no PIL needed), proving the image leg end-to-end —
+``decode_stub`` raises ``NotImplementedError`` exactly where audio/video
+codecs (torchaudio/ffmpeg, absent from this container) would plug in,
+and ``fake_decode`` is a deterministic stand-in so the Spark-side
+plumbing — schema, batch iteration, partition sizing — is testable for
+every kind uniformly (and stays the driver-checked oracle path).
 
 Scale notes: media rows are fat (MBs); keep
 ``spark.sql.files.maxPartitionBytes`` small enough that one partition of
@@ -101,6 +104,28 @@ def decode_stub(payload: bytes, mime: str):
     )
 
 
+def real_decode(payload: bytes, mime: str) -> np.ndarray:
+    """Real-codec dispatch: ``image/png`` decodes with the pure-stdlib
+    codec (functions/png.py — zlib inflate + unfilter, no PIL needed);
+    every other mime stays the documented :func:`decode_stub` plug
+    point.  Returns the pixel array (h, w, ch) uint8."""
+    if mime == "image/png":
+        from readwise_vector_db_spark.functions.png import decode_png
+
+        return decode_png(payload)
+    return decode_stub(payload, mime)
+
+
+def pixel_features(pixels: np.ndarray) -> np.ndarray:
+    """Deterministic real feature vector from decoded pixels: a 16-bin
+    normalized intensity histogram over the per-pixel channel mean —
+    the toy-but-real stand-in for an embedding model at the same
+    (pixels → float[FEATURE_DIM]) boundary."""
+    intensity = np.asarray(pixels, dtype=np.float32).mean(axis=-1)
+    hist, _ = np.histogram(intensity, bins=FEATURE_DIM, range=(0.0, 256.0))
+    return (hist / max(1, intensity.size)).astype(np.float32)
+
+
 def fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in decoder: bytes → pseudo feature vector
     (sha256-seeded), so downstream plumbing is testable end-to-end."""
@@ -126,7 +151,9 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
                     nbytes.append(None)
                     continue
                 if use_real_codec:
-                    arr = decode_stub(bytes(payload), meta["mime"])  # pragma: no cover
+                    # PNG payloads run the REAL pure-stdlib decode →
+                    # histogram features; other mimes stay the stub
+                    arr = pixel_features(real_decode(bytes(payload), meta["mime"]))
                 else:
                     arr = fake_decode(bytes(payload))
                 feats.append([float(x) for x in arr])
@@ -178,7 +205,18 @@ def resize_images(
                 scale = max_side / max(w, h) if max(w, h) > max_side else 1.0
                 nw, nh = int(w * scale), int(h * scale)
                 if use_real_codec:
-                    blob = decode_stub(bytes(payload), meta["mime"])  # pragma: no cover
+                    # real path: decode → nearest-neighbor resample →
+                    # re-encode (pure stdlib for PNG; stub otherwise)
+                    px = real_decode(bytes(payload), meta["mime"])
+                    ys = (np.arange(nh) * px.shape[0] // max(1, nh)).clip(
+                        0, px.shape[0] - 1
+                    )
+                    xs = (np.arange(nw) * px.shape[1] // max(1, nw)).clip(
+                        0, px.shape[1] - 1
+                    )
+                    from readwise_vector_db_spark.functions.png import encode_png
+
+                    blob = encode_png(px[np.ix_(ys, xs)])
                 else:
                     blob = hashlib.sha256(
                         bytes(payload) + f"{nw}x{nh}".encode()
