@@ -1,0 +1,208 @@
+"""Measure serving scale-out with REAL second processes (r5 verdict #2).
+
+Round 5 left two tails resting on an unmeasured "add a JVM behind a
+balancer" argument: the reference-config 20-user HTTP P95 and the
+3072-d 6-user in-process P95 (fold-CPU contention).  This harness
+measures them:
+
+Part 1 — HTTP, sf0.1, 20 users x reps, POST /search (the locust gate's
+protocol), free-text queries so nothing memoizes:
+  A: 1 worker JVM, local[32]
+  B: 2 worker JVMs, local[16] each (same 32 cores split)
+  C: 2 worker JVMs, local[32] each (oversubscribed)
+Users are pinned round-robin to backends (an ideal sticky balancer —
+no proxy hop in the number; a real balancer adds its own cost).
+
+Part 2 — in-process served_search_sql at 3072-d, 6 users total:
+  A: 1 worker running 6 user threads
+  B: 2 workers running 3 user threads each, started simultaneously
+
+Workers start SEQUENTIALLY so the first builds/validates the shared
+warm layout and the rest attach (no build race).  Run nothing else
+while this runs (host-stall methodology: report P50/P95 + QPS; compare
+runs by band, not point).
+
+Usage: python tools/bench_scaleout.py [http|inproc|all]
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+SF3072 = os.environ.get("RWVDB_SF3072_DIR", "/tmp/sf3072")
+
+
+def pct(xs: list[float], p: float) -> float:
+    return xs[min(len(xs) - 1, int(p * len(xs)))]
+
+
+def _spawn_http(sf_dir: str, port: int, cores: int) -> subprocess.Popen:
+    proc = subprocess.Popen(
+        [sys.executable, f"{REPO}/tools/serving_worker.py", "http", sf_dir, str(port), str(cores)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if line.startswith("READY"):
+            return proc
+        if proc.poll() is not None:
+            raise RuntimeError(f"worker died rc={proc.returncode}")
+    raise TimeoutError("worker did not become ready")
+
+
+def _post(url: str, q: str) -> None:
+    req = urllib.request.Request(
+        url, data=json.dumps({"q": q, "k": 10}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        resp.read()
+
+
+def bench_http(n_workers: int, cores: int, users: int = 20, reps: int = 15) -> dict:
+    ports = [18600 + i for i in range(n_workers)]
+    procs = []
+    try:
+        for p in ports:  # sequential: first worker builds, rest attach
+            procs.append(_spawn_http(SF01, p, cores))
+        urls = [f"http://127.0.0.1:{p}/search" for p in ports]
+        # JIT warm-up: the steady state is the gated regime (locust runs
+        # minutes); 40 sequential + one unmeasured concurrent wave per
+        # worker gets each JVM past codegen/JIT before measurement
+        for u in urls:
+            for i in range(40):
+                _post(u, f"warmup {i} spark vector")
+
+        def user(wave: int, uid: int) -> list[float]:
+            url = urls[uid % len(urls)]  # pinned = ideal sticky balancer
+            out = []
+            for i in range(reps):
+                t0 = time.perf_counter()
+                _post(url, f"w{wave} client {uid} request {i} semantic vector search")
+                out.append(time.perf_counter() - t0)
+            return out
+
+        waves = []
+        for wave in range(3):  # wave 0 = concurrent warm-up, unmeasured
+            t0 = time.perf_counter()
+            with concurrent.futures.ThreadPoolExecutor(max_workers=users) as ex:
+                lat = sorted(
+                    x
+                    for res in ex.map(lambda uid: user(wave, uid), range(users))
+                    for x in res
+                )
+            wall = time.perf_counter() - t0
+            if wave == 0:
+                continue
+            waves.append({
+                "n": len(lat),
+                "p50": round(lat[len(lat) // 2], 3), "p95": round(pct(lat, 0.95), 3),
+                "p99": round(pct(lat, 0.99), 3), "qps": round(len(lat) / wall, 1),
+            })
+        return {
+            "workers": n_workers, "cores_each": cores, "users": users,
+            "waves": waves,
+            "best_p95": min(w["p95"] for w in waves),
+            "best_qps": max(w["qps"] for w in waves),
+        }
+    finally:
+        for proc in procs:
+            proc.kill()
+        time.sleep(2)
+
+
+def ensure_sf3072() -> None:
+    if os.path.exists(f"{SF3072}/embeddings.parquet"):
+        return
+    os.environ["SPARK_GRAFT_CPUS"] = "32"
+    from pyspark.sql import functions as F
+
+    from readwise_vector_db_spark.session import get_spark
+
+    spark = get_spark("build_sf3072")
+    shutil.rmtree(SF3072, ignore_errors=True)
+    os.makedirs(SF3072, exist_ok=True)
+    spark.read.parquet(f"{SF01}/documents.parquet").write.mode("overwrite").parquet(
+        f"{SF3072}/documents.parquet"
+    )
+    vec = F.expr("transform(sequence(1, 3072), i -> cast(sin(vec_id * 7919 + i) as float))")
+    (
+        spark.read.parquet(f"{SF01}/embeddings.parquet").select("vec_id")
+        .select("vec_id", vec.alias("embedding"), F.lit(0).alias("label"))
+        .write.mode("overwrite").parquet(f"{SF3072}/embeddings.parquet")
+    )
+    spark.stop()
+
+
+def bench_inproc(n_workers: int, users_total: int = 6, reps: int = 20, cores: int = 32) -> dict:
+    per = users_total // n_workers
+    procs = [
+        subprocess.Popen(
+            [sys.executable, f"{REPO}/tools/serving_worker.py", "inproc",
+             SF3072, str(per), str(reps), str(cores)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True,
+        )
+        for _ in range(n_workers)
+    ]
+    try:
+        for proc in procs:  # wait until every JVM is warmed
+            while True:
+                line = proc.stdout.readline()
+                if line.startswith("WARMED"):
+                    break
+                if proc.poll() is not None:
+                    raise RuntimeError("inproc worker died")
+        for proc in procs:  # fire together
+            proc.stdin.write("go\n")
+            proc.stdin.flush()
+        lat, wall = [], 0.0
+        for proc in procs:
+            while True:
+                line = proc.stdout.readline()
+                if line.startswith("RESULT "):
+                    r = json.loads(line[len("RESULT "):])
+                    lat.extend(r["lat"])
+                    wall = max(wall, r["wall"])
+                    break
+                if proc.poll() is not None:
+                    raise RuntimeError("inproc worker died mid-run")
+        lat.sort()
+        return {
+            "workers": n_workers, "users": users_total, "n": len(lat),
+            "p50": round(lat[len(lat) // 2], 3), "p95": round(pct(lat, 0.95), 3),
+            "qps": round(len(lat) / wall, 1),
+        }
+    finally:
+        for proc in procs:
+            proc.kill()
+        time.sleep(2)
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("http", "all"):
+        for workers, cores in ((1, 32), (2, 16), (2, 32)):
+            print(f"http sf0.1 20-user {workers}x local[{cores}]: "
+                  + json.dumps(bench_http(workers, cores)), flush=True)
+    if which in ("inproc", "all"):
+        ensure_sf3072()
+        for workers in (1, 2):
+            print(f"inproc 3072-d 6-user {workers} proc: "
+                  + json.dumps(bench_inproc(workers)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

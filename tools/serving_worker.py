@@ -1,0 +1,90 @@
+"""One serving process = one SparkSession JVM over the shared warm layout.
+
+The scale-out unit for tools/bench_scaleout.py (round-5 verdict item 2):
+the warm index is files + catalog DDL, so any number of processes can
+open it; this script is what "add an executor behind the balancer"
+means on one box.
+
+Modes:
+  http <sf_dir> <port> <cores>
+      Open the warm layout, serve POST /search on <port>, print READY.
+  inproc <sf_dir> <users> <reps> <cores> [dim_tag]
+      Run <users> concurrent threads x <reps> warm served_search_sql
+      requests (stored query vectors, k=10) and print one JSON line of
+      latencies — the 3072-d concurrency harness, where HTTP would
+      change the embedding dimension.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    mode, sf_dir = sys.argv[1], sys.argv[2]
+    if mode == "http":
+        port, cores = int(sys.argv[3]), sys.argv[4]
+    else:
+        users, reps, cores = int(sys.argv[3]), int(sys.argv[4]), sys.argv[5]
+    os.environ["SPARK_GRAFT_CPUS"] = cores
+
+    from readwise_vector_db_spark.session import get_spark
+
+    spark = get_spark(f"serving_worker_{os.getpid()}")
+
+    if mode == "http":
+        from readwise_vector_db_spark.api.http_server import serve
+        from readwise_vector_db_spark.api.service import SearchService
+
+        service = SearchService(spark, sf_dir, warm=True)
+        server = serve(service, port=port)
+        print(f"READY {server.server_address[1]}", flush=True)
+        server.serve_forever()
+        return
+
+    # --- inproc concurrency mode ---------------------------------------
+    import concurrent.futures
+
+    from readwise_vector_db_spark.operators.search import SearchParams
+    from readwise_vector_db_spark.sources.search_index import (
+        served_search_sql,
+        stored_query_vector,
+        warm_tables,
+    )
+
+    warm_tables(spark, sf_dir)
+    qvs = [v for v in (stored_query_vector(sf_dir, str(q)) for q in range(1, 6)) if v]
+    params = SearchParams(k=10)
+    for i in range(3):  # codegen warm-up, unmeasured
+        served_search_sql(spark, sf_dir, qvs[i % len(qvs)], params).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    print("WARMED", flush=True)
+    # wait for the orchestrator's go signal so two workers start together
+    sys.stdin.readline()
+
+    def user_loop(uid: int) -> list[float]:
+        out = []
+        for i in range(reps):
+            qv = qvs[(uid + i) % len(qvs)]
+            t0 = time.perf_counter()
+            served_search_sql(spark, sf_dir, qv, params).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out.append(time.perf_counter() - t0)
+        return out
+
+    t0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=users) as ex:
+        lat = sorted(x for res in ex.map(user_loop, range(users)) for x in res)
+    wall = time.perf_counter() - t0
+    print("RESULT " + json.dumps({"lat": lat, "wall": wall}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
