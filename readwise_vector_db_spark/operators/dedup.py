@@ -1096,6 +1096,87 @@ def train_semantic_quantizer(
     return centroids
 
 
+def _within_cell_candidates_blas(
+    assigned: DataFrame, threshold: float
+) -> DataFrame:
+    """CANDIDATE half of the BLAS within-cell pair scorer: for each
+    cluster, one Arrow batch → one (blocked) numpy gemm over the
+    L2-normalized cell matrix, emitting pairs whose BLAS cosine clears
+    ``threshold - 1e-4``.  The margin absorbs BLAS-vs-sequential-fold
+    ulp drift (same contract as ``knn_join_blocked``); the caller
+    re-scores candidates with the JVM fold, so the final output is
+    bit-identical to the join+fold path.  Both vectors ride along
+    through the Arrow boundary so rescoring never joins back into the
+    corpus.
+
+    Scale shape: the gemm is O(Σ c_i²·d) FLOPs — the same arithmetic
+    the interpreted fold path performs, but vectorized (measured sf0.1
+    probe: 1.4 M interpreted folds dominated the 3.9 s apply wall).
+    Memory per task is bounded by the 2048-row block × cell size; cells
+    are ~√n by the SemDeDup k≈√n sizing, and one cell = one pandas
+    group, so a pathologically hot cell is the same skew exposure the
+    equi-join path has on its shuffle key.
+
+    Zero-norm vectors are dropped up front: the fold path scores them
+    NULL (no direction), which the threshold filter discards anyway.
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    id_type = assigned.schema["id"].dataType
+    vec_type = ArrayType(DoubleType())
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("va", vec_type),
+            StructField("vb", vec_type),
+        ]
+    )
+    cut = threshold - 1e-4
+    # object dtype: a default-constructed empty frame is float64, which
+    # Arrow refuses to convert into the array<double> vector columns
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype=object) for c in ("id_a", "id_b", "va", "vb")}
+    )
+
+    def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) < 2:
+            return empty
+        # sort by id so emitted (i, j) index pairs ARE id_a < id_b pairs
+        # (pandas str sort = code-point order = Spark's UTF-8 byte order)
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        mat = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        live = norms > 0
+        if live.sum() < 2:
+            return empty
+        pdf = pdf[live].reset_index(drop=True)
+        mat, norms = mat[live], norms[live]
+        unit = mat / norms[:, None]
+        ids = pdf["id"].tolist()
+        vecs = [list(v) for v in pdf["v"]]
+        n, block = len(ids), 2048
+        rows = []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = unit[s:e] @ unit[s:].T  # (e-s) × (n-s), cols j ≥ s
+            for i in range(s, e):
+                hits = np.nonzero(sims[i - s, i - s + 1 :] >= cut)[0] + i + 1
+                rows.extend((ids[i], ids[j], vecs[i], vecs[j]) for j in hits)
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "va", "vb"])
+
+    return (
+        assigned.select("id", "v", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(score_cell, schema=out_schema)
+    )
+
+
 def semantic_dedup_pairs(
     embs: DataFrame,
     threshold: float = 0.999,
@@ -1109,6 +1190,7 @@ def semantic_dedup_pairs(
     # Measured: 4 iters = identical pair output at 27 % less wall than 8.
     max_iter: int = 4,
     quantizer: list[tuple[int, list[float]]] | None = None,
+    pair_scorer: str = "blas",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     pairs found by KMeans-clustering the embedding space and comparing
@@ -1179,6 +1261,15 @@ def semantic_dedup_pairs(
                 vec_col="v",
                 seed=seed,
                 max_iter=max_iter,
+            )
+        if pair_scorer == "blas":
+            cand = _within_cell_candidates_blas(assigned, threshold)
+            cos = F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), 6
+            )
+            return (
+                cand.select("id_a", "id_b", cos.alias("cos_sim"))
+                .filter(F.col("cos_sim") >= threshold)
             )
         norm = F.sqrt(
             F.aggregate(

@@ -187,3 +187,40 @@ def test_assign_cells_matches_kmeans_partitioning(spark):
     assert got == want
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_blas_scorer_output_identical_to_fold_path(spark):
+    """Round-6 BLAS within-cell scorer contract: identical pair set AND
+    identical rounded cos_sim vs the interpreted-fold equi-join path, on
+    a corpus with near-boundary perturbed pairs (where a candidate-cut
+    mistake would show), string ids (ordering contract), and zero-norm
+    vectors (dropped up front vs NULL-scored)."""
+    import math
+    import random
+
+    rng = random.Random(13)
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    rows = [
+        ("a0", unit(0.0)),
+        ("a1", unit(1.5)),  # cos 0.99966 vs a0 — just over 0.999
+        ("a2", unit(2.5)),  # cos 0.99905 vs a0 — within 1e-3 of the cut
+        ("a3", unit(2.57)),  # cos ≈ 0.998994 vs a0 — just UNDER
+        ("z0", [0.0, 0.0, 0.0, 0.0]),  # zero norm
+        ("z1", [0.0, 0.0, 0.0, 0.0]),
+    ] + [
+        (f"r{i}", [rng.gauss(0, 1) for _ in range(4)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    blas = _pairs_set(
+        dd.semantic_dedup_pairs(df, threshold=0.999, n_clusters=3, pair_scorer="blas")
+    )
+    fold = _pairs_set(
+        dd.semantic_dedup_pairs(df, threshold=0.999, n_clusters=3, pair_scorer="fold")
+    )
+    assert blas == fold
+    assert ("a0", "a1") in {(a, b) for a, b, _ in blas}
+    assert all(a < b for a, b, _ in blas)  # id ordering contract holds
