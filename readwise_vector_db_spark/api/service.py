@@ -29,12 +29,25 @@ class SearchService:
     single-SQL fast path — the configuration whose tails the bench gates.
     ``warm=False`` plans directly over the fixture parquet (no index
     build): the cold path, kept for tests and one-shot CLI queries.
-    Both return identical rows (tests/test_api.py pins agreement)."""
+    Both return identical rows (tests/test_api.py pins agreement).
 
-    def __init__(self, spark: SparkSession, sf_dir: str, warm: bool = True):
+    ``ann_nprobe`` (deployment-time, like the reference deciding to
+    serve through its HNSW index) routes unfiltered-extras requests
+    through the IVF-probe path: only the nprobe nearest cells are
+    scored, trading recall for fold CPU exactly as the reference's
+    approximate index does.  None (default) = exact scan."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        warm: bool = True,
+        ann_nprobe: int | None = None,
+    ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.warm = warm
+        self.ann_nprobe = ann_nprobe
         if warm:
             from readwise_vector_db_spark.sources.search_index import warm_tables
 
@@ -61,8 +74,16 @@ class SearchService:
     def _plan(self, req: SearchRequest):
         qv = embed_text_local(req.q)
         if self.warm:
-            from readwise_vector_db_spark.sources.search_index import served_search_sql
+            from readwise_vector_db_spark.sources.search_index import (
+                served_search_ivf_sql,
+                served_search_sql,
+            )
 
+            if self.ann_nprobe is not None:
+                return served_search_ivf_sql(
+                    self.spark, self.sf_dir, qv, self._params(req),
+                    nprobe=self.ann_nprobe,
+                )
             return served_search_sql(self.spark, self.sf_dir, qv, self._params(req))
         return search_ops.semantic_search_indexed(
             self.metadata, self.vectors, qv, self._params(req)

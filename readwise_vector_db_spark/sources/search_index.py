@@ -328,6 +328,14 @@ def served_search_sql(
         f"FROM {vrel} WHERE {' AND '.join(where)} "
         f"ORDER BY score ASC, id ASC LIMIT {params.clamped_k()}"
     ).collect()
+    return _fetch_winners(spark, meta, mname, winners)
+
+
+def _fetch_winners(spark: SparkSession, meta: DataFrame, mname: str, winners):
+    """Second statement of a warm request: winners (≤ k clamped to 100,
+    driver-side rows) → full metadata rows with scores, in score order."""
+    from readwise_vector_db_spark.operators import search as search_ops
+
     out_cols = [c for c in meta.columns if c not in ("embedding", "emb_norm")]
     if not winners:
         return (
@@ -341,3 +349,135 @@ def served_search_sql(
         f"FROM {mname} WHERE id IN ({search_ops.winner_in_list_sql(winners)})"
     )
     return fetched.coalesce(1).sortWithinPartitions(F.asc("score"), F.asc("id"))
+
+
+# --- IVF-probe serving mode ---------------------------------------------
+#
+# The reference serves through a pgvector HNSW index — an APPROXIMATE
+# nearest-neighbor structure (migration 6e900a582819; ef_search bounds
+# how much of the graph a query touches).  The exact fast path above is
+# stricter than the reference; this mode is the like-for-like analogue:
+# a coarse quantizer (IVF) prunes the scored rows to nprobe/n_clusters
+# of the corpus BEFORE any cosine fold runs.  The fold is the request's
+# CPU (measured: at 3072-d six concurrent users' folds contend for one
+# JVM's cores and the P95 sits at the 0.5 s gate), so pruning is a
+# direct concurrency lever: nprobe=4 of 16 cells ≈ 4× less fold CPU per
+# request, with recall traded exactly as IVF trades it (measured and
+# reported next to the latency in SCALING.md, like the reference's
+# ef_search trade).
+#
+# The layout is the persisted `save_ivf_index` artifact (assigned corpus
+# written partitionBy("cluster") + driver-side centroid list) built once
+# per corpus generation under the warm-index root — first process
+# builds, later processes attach, same fingerprint discipline as
+# `build_search_index`.
+
+_IVF_RELS: dict[tuple[str, str, str, int], tuple[str, list]] = {}
+
+
+def ivf_warm_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> tuple[str, list[tuple[int, list[float]]]]:
+    """(relation name, centroids) for the IVF serving path, building and
+    persisting the index on first use.
+
+    The relation carries the warm vectors' (id, embedding, emb_norm)
+    plus the ``cluster`` assignment, cached in memory (the reference's
+    in-RAM HNSW analogue); ``centroids`` stay driver-side — per request
+    the nprobe nearest cells are picked with numpy over n_clusters rows,
+    microseconds next to the scan they prune."""
+    fp = _source_fingerprint(sf_dir)
+    tag = _tag(sf_dir)
+    key = (spark.sparkContext.applicationId, tag, fp, n_clusters)
+    hit = _IVF_RELS.get(key)
+    if hit is not None:
+        return hit
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    # evict superseded generations (fixture regenerated under same tag)
+    for stale in [k for k in _IVF_RELS if k[0] == key[0] and k[1] == tag and k[2] != fp]:
+        name, _ = _IVF_RELS.pop(stale)
+        try:
+            spark.table(name).unpersist()
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+    _, vecs = warm_tables(spark, sf_dir)
+    base = _INDEX_ROOT / tag / f"ivf{n_clusters}"
+    marker = base / "FINGERPRINT"
+    if not (marker.exists() and marker.read_text() == fp):
+        # offline build: KMeans-assign the warm vectors, persist the
+        # cluster-partitioned layout.  Staged under a pid-unique dir and
+        # renamed so a reader never sees a half-written index and two
+        # racing builders resolve to one winner (same pattern as the
+        # planted-artifact publish in suites/similarity.py).
+        assigned, centroids = sim.build_ivf_index(
+            vecs, n_clusters=n_clusters, id_col="id", vec_col="embedding", seed=seed
+        )
+        stage = base.parent / f".ivf{n_clusters}_stage_{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        sim.save_ivf_index(assigned, centroids, str(stage))
+        (stage / "FINGERPRINT").write_text(fp)
+        shutil.rmtree(base, ignore_errors=True)
+        try:
+            os.rename(stage, base)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # a racer won; use theirs
+    loaded, centroids = sim.load_ivf_index(spark, str(base))
+    view = f"rw_warm_ivf_{tag}_{n_clusters}"
+    rel = loaded.cache()
+    rel.createOrReplaceTempView(view)
+    rel.count()  # materialize at index-open, not on the first request
+    _IVF_RELS[key] = (view, centroids)
+    return _IVF_RELS[key]
+
+
+def served_search_ivf_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec,
+    params=None,
+    nprobe: int = 4,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """``served_search_sql`` through the IVF coarse quantizer: identical
+    request shape and output schema, but the scoring statement folds only
+    rows whose cell is among the query's ``nprobe`` nearest centroids.
+    ``nprobe >= n_clusters`` degenerates to the exact path (every cell
+    probed) — pinned against ``served_search_sql`` in tests.  Approximate
+    otherwise, exactly as the reference's HNSW serving path is."""
+    import numpy as np
+
+    from readwise_vector_db_spark.operators import search as search_ops
+
+    params = params or search_ops.SearchParams()
+    meta, vecs = warm_tables(spark, sf_dir)
+    if params.extra_filters:
+        return search_ops.semantic_search_served(meta, vecs, query_vec, params)
+    vrel, centroids = ivf_warm_index(spark, sf_dir, n_clusters=n_clusters)
+    qv = np.asarray(list(query_vec), dtype=float)
+    qn = float(np.linalg.norm(qv))
+    cents = np.asarray([c for _, c in centroids], dtype=float)
+    denoms = np.linalg.norm(cents, axis=1) * qn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dists = np.where(denoms > 0, 1.0 - (cents @ qv) / denoms, 1.0)
+    order = sorted(range(len(centroids)), key=lambda i: (dists[i], centroids[i][0]))
+    probe_ids = sorted(centroids[i][0] for i in order[: max(1, nprobe)])
+    tag = _tag(sf_dir)
+    mname = f"rw_warm_meta_{tag}"
+    where = [
+        f"cluster IN ({', '.join(str(c) for c in probe_ids)})",
+        "embedding IS NOT NULL",  # F1
+    ]
+    mf = search_ops.meta_filter_sql(params, meta.columns)
+    if mf is not None:
+        where.append(f"id IN (SELECT id FROM {mname} WHERE {mf})")
+    winners = spark.sql(
+        f"SELECT id, {search_ops.score_sql(query_vec)} AS score "
+        f"FROM {vrel} WHERE {' AND '.join(where)} "
+        f"ORDER BY score ASC, id ASC LIMIT {params.clamped_k()}"
+    ).collect()
+    return _fetch_winners(spark, meta, mname, winners)

@@ -171,3 +171,74 @@ def test_scoring_relation_right_sized_and_memoized(spark):
     assert df.rdd.getNumPartitions() == 1
     _, vecs = si.warm_tables(spark, SF_SMOKE)
     assert df.count() == vecs.count()
+
+
+# --- IVF-probe serving mode (round 6) -----------------------------------
+
+
+def test_ivf_probe_all_cells_matches_exact_path(spark, warm):
+    """nprobe >= n_clusters degenerates to the exact scan: identical rows
+    (ids, scores, order) to served_search_sql — the correctness anchor
+    for the approximate mode."""
+    meta, vecs, qv = warm
+    params = SearchParams(k=10)
+    got = _rows(
+        si.served_search_ivf_sql(spark, SF_SMOKE, qv, params, nprobe=16, n_clusters=16)
+    )
+    want = _rows(si.served_search_sql(spark, SF_SMOKE, qv, params))
+    assert got == want and len(got) == 10
+
+
+def test_ivf_probe_pruned_scores_are_exact_for_returned_rows(spark, warm):
+    """Pruning may miss neighbors (recall trade) but must never corrupt
+    a returned row: every (id, score) the probe path emits equals the
+    exact path's score for that id, in score order, with the exact
+    output schema."""
+    meta, vecs, qv = warm
+    params = SearchParams(k=10)
+    exact = {r["id"]: r["score"] for r in si.served_search_sql(
+        spark, SF_SMOKE, qv, SearchParams(k=100)
+    ).collect()}
+    out = si.served_search_ivf_sql(spark, SF_SMOKE, qv, params, nprobe=2)
+    rows = _rows(out)
+    assert out.columns == si.served_search_sql(spark, SF_SMOKE, qv, params).columns
+    assert 0 < len(rows) <= 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores)
+    for r in rows:
+        if r["id"] in exact:  # id made exact top-100 → scores must agree
+            assert r["score"] == exact[r["id"]]
+
+
+def test_ivf_probe_with_metadata_filter(spark, warm):
+    meta, vecs, qv = warm
+    params = SearchParams(k=20, lang="en")
+    got = _rows(si.served_search_ivf_sql(spark, SF_SMOKE, qv, params, nprobe=16))
+    want = _rows(si.served_search_sql(spark, SF_SMOKE, qv, params))
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_memoized_and_persisted(spark, warm):
+    """Second call reuses the in-process handle; the on-disk artifact is
+    fingerprinted so a fresh process attaches instead of rebuilding."""
+    rel1, cents1 = si.ivf_warm_index(spark, SF_SMOKE)
+    rel2, cents2 = si.ivf_warm_index(spark, SF_SMOKE)
+    assert rel1 == rel2 and cents1 is cents2
+    tag = si._tag(SF_SMOKE)
+    marker = si._INDEX_ROOT / tag / "ivf16" / "FINGERPRINT"
+    assert marker.exists() and marker.read_text() == si._source_fingerprint(SF_SMOKE)
+    # the relation carries the scoring columns plus the cell assignment
+    cols = set(spark.table(rel1).columns)
+    assert {"id", "embedding", "emb_norm", "cluster"} <= cols
+
+
+def test_service_ann_mode_routes_through_ivf(spark):
+    """ann_nprobe on the service routes requests through the probe path;
+    at nprobe=n_clusters the HTTP-visible results equal the exact mode."""
+    from readwise_vector_db_spark.api.models import SearchRequest
+    from readwise_vector_db_spark.api.service import SearchService
+
+    exact = SearchService(spark, SF_SMOKE, warm=True)
+    ann = SearchService(spark, SF_SMOKE, warm=True, ann_nprobe=16)
+    req = SearchRequest(q="vector search over highlights", k=5)
+    assert ann.search(req) == exact.search(req)

@@ -146,12 +146,15 @@ def ensure_sf3072() -> None:
     spark.stop()
 
 
-def bench_inproc(n_workers: int, users_total: int = 6, reps: int = 20, cores: int = 32) -> dict:
+def bench_inproc(
+    n_workers: int, users_total: int = 6, reps: int = 20, cores: int = 32,
+    variant: str = "exact",
+) -> dict:
     per = users_total // n_workers
     procs = [
         subprocess.Popen(
             [sys.executable, f"{REPO}/tools/serving_worker.py", "inproc",
-             SF3072, str(per), str(reps), str(cores)],
+             SF3072, str(per), str(reps), str(cores), variant],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True,
         )
@@ -168,7 +171,7 @@ def bench_inproc(n_workers: int, users_total: int = 6, reps: int = 20, cores: in
         for proc in procs:  # fire together
             proc.stdin.write("go\n")
             proc.stdin.flush()
-        lat, wall = [], 0.0
+        lat, wall, recall = [], 0.0, None
         for proc in procs:
             while True:
                 line = proc.stdout.readline()
@@ -176,14 +179,16 @@ def bench_inproc(n_workers: int, users_total: int = 6, reps: int = 20, cores: in
                     r = json.loads(line[len("RESULT "):])
                     lat.extend(r["lat"])
                     wall = max(wall, r["wall"])
+                    recall = r.get("recall", recall)
                     break
                 if proc.poll() is not None:
                     raise RuntimeError("inproc worker died mid-run")
         lat.sort()
         return {
-            "workers": n_workers, "users": users_total, "n": len(lat),
+            "workers": n_workers, "users": users_total, "variant": variant,
+            "n": len(lat),
             "p50": round(lat[len(lat) // 2], 3), "p95": round(pct(lat, 0.95), 3),
-            "qps": round(len(lat) / wall, 1),
+            "qps": round(len(lat) / wall, 1), "recall_at_10": recall,
         }
     finally:
         for proc in procs:
@@ -202,6 +207,12 @@ def main() -> None:
         for workers in (1, 2):
             print(f"inproc 3072-d 6-user {workers} proc: "
                   + json.dumps(bench_inproc(workers)), flush=True)
+    if which in ("ivf", "all"):
+        # the approximate serving mode (reference-HNSW analogue) at the
+        # width+concurrency where the exact scan sits AT the gate
+        ensure_sf3072()
+        print("inproc 3072-d 6-user 1 proc ivf nprobe=4/16: "
+              + json.dumps(bench_inproc(1, variant="ivf")), flush=True)
 
 
 if __name__ == "__main__":

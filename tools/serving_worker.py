@@ -8,11 +8,14 @@ means on one box.
 Modes:
   http <sf_dir> <port> <cores>
       Open the warm layout, serve POST /search on <port>, print READY.
-  inproc <sf_dir> <users> <reps> <cores> [dim_tag]
+  inproc <sf_dir> <users> <reps> <cores> [exact|ivf]
       Run <users> concurrent threads x <reps> warm served_search_sql
       requests (stored query vectors, k=10) and print one JSON line of
       latencies — the 3072-d concurrency harness, where HTTP would
-      change the embedding dimension.
+      change the embedding dimension.  ``ivf`` serves through
+      served_search_ivf_sql (nprobe=4/16 — the reference-HNSW-analogue
+      approximate mode) and reports recall@10 of each query vs the
+      exact path next to the latencies.
 """
 
 from __future__ import annotations
@@ -52,18 +55,37 @@ def main() -> None:
 
     from readwise_vector_db_spark.operators.search import SearchParams
     from readwise_vector_db_spark.sources.search_index import (
+        served_search_ivf_sql,
         served_search_sql,
         stored_query_vector,
         warm_tables,
     )
 
+    variant = sys.argv[6] if len(sys.argv) > 6 else "exact"
     warm_tables(spark, sf_dir)
     qvs = [v for v in (stored_query_vector(sf_dir, str(q)) for q in range(1, 6)) if v]
     params = SearchParams(k=10)
+
+    if variant == "ivf":
+        def request(qv):
+            return served_search_ivf_sql(spark, sf_dir, qv, params, nprobe=4)
+    else:
+        def request(qv):
+            return served_search_sql(spark, sf_dir, qv, params)
+
+    recall = None
+    if variant == "ivf":
+        # recall@10 per stored query vs the exact path (index build +
+        # both paths warm before measurement starts)
+        hits, want_n = 0, 0
+        for qv in qvs:
+            want = {r["id"] for r in served_search_sql(spark, sf_dir, qv, params).collect()}
+            got = {r["id"] for r in request(qv).collect()}
+            hits += len(want & got)
+            want_n += len(want)
+        recall = round(hits / want_n, 3) if want_n else None
     for i in range(3):  # codegen warm-up, unmeasured
-        served_search_sql(spark, sf_dir, qvs[i % len(qvs)], params).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        request(qvs[i % len(qvs)]).write.format("noop").mode("overwrite").save()
     print("WARMED", flush=True)
     # wait for the orchestrator's go signal so two workers start together
     sys.stdin.readline()
@@ -73,9 +95,7 @@ def main() -> None:
         for i in range(reps):
             qv = qvs[(uid + i) % len(qvs)]
             t0 = time.perf_counter()
-            served_search_sql(spark, sf_dir, qv, params).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            request(qv).write.format("noop").mode("overwrite").save()
             out.append(time.perf_counter() - t0)
         return out
 
@@ -83,7 +103,11 @@ def main() -> None:
     with concurrent.futures.ThreadPoolExecutor(max_workers=users) as ex:
         lat = sorted(x for res in ex.map(user_loop, range(users)) for x in res)
     wall = time.perf_counter() - t0
-    print("RESULT " + json.dumps({"lat": lat, "wall": wall}), flush=True)
+    print(
+        "RESULT "
+        + json.dumps({"lat": lat, "wall": wall, "variant": variant, "recall": recall}),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
