@@ -75,15 +75,32 @@ def main() -> None:
 
     recall = None
     if variant == "ivf":
-        # recall@10 per stored query vs the exact path (index build +
-        # both paths warm before measurement starts)
-        hits, want_n = 0, 0
-        for qv in qvs:
-            want = {r["id"] for r in served_search_sql(spark, sf_dir, qv, params).collect()}
-            got = {r["id"] for r in request(qv).collect()}
-            hits += len(want & got)
-            want_n += len(want)
-        recall = round(hits / want_n, 3) if want_n else None
+        # recall@10 vs the exact path (index build + both paths warm
+        # before measurement starts) — on the stored corpus vectors
+        # (IVF's easy case: the query co-clusters with itself) AND on
+        # perturbed non-corpus queries (each stored vector + deterministic
+        # N(0, 0.05·std) noise — a query NEAR the corpus but not in it,
+        # the regime where boundary-straddling neighbors get missed)
+        import random
+
+        def _recall(vecs) -> float | None:
+            hits, want_n = 0, 0
+            for qv in vecs:
+                want = {
+                    r["id"]
+                    for r in served_search_sql(spark, sf_dir, qv, params).collect()
+                }
+                got = {r["id"] for r in request(qv).collect()}
+                hits += len(want & got)
+                want_n += len(want)
+            return round(hits / want_n, 3) if want_n else None
+
+        rng = random.Random(97)
+        scale = 0.05 * (sum(x * x for x in qvs[0]) / len(qvs[0])) ** 0.5
+        perturbed = [
+            [x + rng.gauss(0.0, scale) for x in qv] for qv in qvs
+        ]
+        recall = {"stored": _recall(qvs), "perturbed": _recall(perturbed)}
     for i in range(3):  # codegen warm-up, unmeasured
         request(qvs[i % len(qvs)]).write.format("noop").mode("overwrite").save()
     print("WARMED", flush=True)
