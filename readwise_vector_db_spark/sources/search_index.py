@@ -426,9 +426,23 @@ def ivf_warm_index(
             os.rename(stage, base)
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)  # a racer won; use theirs
-    loaded, centroids = sim.load_ivf_index(spark, str(base))
+    # Read with fold-CPU-sized splits, then sort each partition by
+    # cluster so cached batches carry tight cluster min/max stats and
+    # the in-memory scan's batch pruning SKIPS non-probed cells instead
+    # of decompressing every embedding batch and filtering row-by-row.
+    # sortWithinPartitions is map-side (no shuffle) and preserves the
+    # read parallelism a single request's latency depends on — measured
+    # at ×10/3072-d (20k rows, nprobe=4/16): plain cache 0.23 s scoring,
+    # hash-repartition(n_clusters) 0.54 s (parallelism collapsed to 16
+    # skewed tasks), sortWithinPartitions + 16 MB splits 0.18 s.
+    mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 << 20))
+        loaded, centroids = sim.load_ivf_index(spark, str(base))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
     view = f"rw_warm_ivf_{tag}_{n_clusters}"
-    rel = loaded.cache()
+    rel = loaded.sortWithinPartitions("cluster").cache()
     rel.createOrReplaceTempView(view)
     rel.count()  # materialize at index-open, not on the first request
     _IVF_RELS[key] = (view, centroids)

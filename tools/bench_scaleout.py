@@ -123,38 +123,52 @@ def bench_http(n_workers: int, cores: int, users: int = 20, reps: int = 15) -> d
         time.sleep(2)
 
 
-def ensure_sf3072() -> None:
-    if os.path.exists(f"{SF3072}/embeddings.parquet"):
-        return
+def ensure_sf3072(root: str | None = None, scale: int = 1) -> str:
+    """Synthesize a 3072-d corpus; ``scale`` multiplies the row count
+    (scale=10 ⇒ ~20k vectors, the ×10 serving-index study corpus).
+    The extra rows get distinct ids and phase-shifted vectors so nothing
+    collapses as byte-duplicates."""
+    root = root or (SF3072 if scale == 1 else f"{SF3072}_x{scale}")
+    if os.path.exists(f"{root}/embeddings.parquet"):
+        return root
     os.environ["SPARK_GRAFT_CPUS"] = "32"
     from pyspark.sql import functions as F
 
     from readwise_vector_db_spark.session import get_spark
 
     spark = get_spark("build_sf3072")
-    shutil.rmtree(SF3072, ignore_errors=True)
-    os.makedirs(SF3072, exist_ok=True)
-    spark.read.parquet(f"{SF01}/documents.parquet").write.mode("overwrite").parquet(
-        f"{SF3072}/documents.parquet"
-    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    ids = spark.read.parquet(f"{SF01}/embeddings.parquet").select("vec_id")
+    if scale > 1:
+        copies = spark.range(scale).withColumnRenamed("id", "copy")
+        # keep the vec_id ⊆ doc_id invariant the winner-fetch relies on
+        docs = docs.crossJoin(copies).withColumn(
+            "doc_id", F.col("doc_id") + F.col("copy") * 1_000_000
+        ).drop("copy")
+        ids = ids.crossJoin(copies).select(
+            (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id")
+        )
+    docs.write.mode("overwrite").parquet(f"{root}/documents.parquet")
     vec = F.expr("transform(sequence(1, 3072), i -> cast(sin(vec_id * 7919 + i) as float))")
     (
-        spark.read.parquet(f"{SF01}/embeddings.parquet").select("vec_id")
-        .select("vec_id", vec.alias("embedding"), F.lit(0).alias("label"))
-        .write.mode("overwrite").parquet(f"{SF3072}/embeddings.parquet")
+        ids.select("vec_id", vec.alias("embedding"), F.lit(0).alias("label"))
+        .write.mode("overwrite").parquet(f"{root}/embeddings.parquet")
     )
     spark.stop()
+    return root
 
 
 def bench_inproc(
     n_workers: int, users_total: int = 6, reps: int = 20, cores: int = 32,
-    variant: str = "exact",
+    variant: str = "exact", sf_dir: str | None = None,
 ) -> dict:
     per = users_total // n_workers
     procs = [
         subprocess.Popen(
             [sys.executable, f"{REPO}/tools/serving_worker.py", "inproc",
-             SF3072, str(per), str(reps), str(cores), variant],
+             sf_dir or SF3072, str(per), str(reps), str(cores), variant],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True,
         )

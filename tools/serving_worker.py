@@ -66,15 +66,22 @@ def main() -> None:
     qvs = [v for v in (stored_query_vector(sf_dir, str(q)) for q in range(1, 6)) if v]
     params = SearchParams(k=10)
 
-    if variant == "ivf":
+    if variant.startswith("ivf"):
+        # "ivf" = nprobe 4 of 16 cells; "ivf:8:64" = nprobe 8 of 64
+        parts = variant.split(":")
+        nprobe = int(parts[1]) if len(parts) > 1 else 4
+        n_cells = int(parts[2]) if len(parts) > 2 else 16
+
         def request(qv):
-            return served_search_ivf_sql(spark, sf_dir, qv, params, nprobe=4)
+            return served_search_ivf_sql(
+                spark, sf_dir, qv, params, nprobe=nprobe, n_clusters=n_cells
+            )
     else:
         def request(qv):
             return served_search_sql(spark, sf_dir, qv, params)
 
     recall = None
-    if variant == "ivf":
+    if variant.startswith("ivf"):
         # recall@10 vs the exact path (index build + both paths warm
         # before measurement starts) — on the stored corpus vectors
         # (IVF's easy case: the query co-clusters with itself) AND on
