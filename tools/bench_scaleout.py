@@ -71,13 +71,24 @@ def _post(url: str, q: str) -> None:
         resp.read()
 
 
-def bench_http(n_workers: int, cores: int, users: int = 20, reps: int = 15) -> dict:
+def bench_http(
+    n_workers: int, cores: int, users: int = 20, reps: int = 15,
+    via_proxy: bool = False,
+) -> dict:
     ports = [18600 + i for i in range(n_workers)]
     procs = []
+    proxy = None
     try:
         for p in ports:  # sequential: first worker builds, rest attach
             procs.append(_spawn_http(SF01, p, cores))
         urls = [f"http://127.0.0.1:{p}/search" for p in ports]
+        if via_proxy:
+            # a REAL balancer hop (tools/rr_proxy.py): every user hits
+            # the proxy, which round-robins across backends per request
+            from tools.rr_proxy import serve_proxy
+
+            proxy = serve_proxy([f"http://127.0.0.1:{p}" for p in ports])
+            urls = [f"http://127.0.0.1:{proxy.server_address[1]}/search"]
         # JIT warm-up: the steady state is the gated regime (locust runs
         # minutes); 40 sequential + one unmeasured concurrent wave per
         # worker gets each JVM past codegen/JIT before measurement
@@ -113,11 +124,13 @@ def bench_http(n_workers: int, cores: int, users: int = 20, reps: int = 15) -> d
             })
         return {
             "workers": n_workers, "cores_each": cores, "users": users,
-            "waves": waves,
+            "via_proxy": via_proxy, "waves": waves,
             "best_p95": min(w["p95"] for w in waves),
             "best_qps": max(w["qps"] for w in waves),
         }
     finally:
+        if proxy is not None:
+            proxy.shutdown()
         for proc in procs:
             proc.kill()
         time.sleep(2)
