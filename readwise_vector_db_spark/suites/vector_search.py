@@ -148,6 +148,42 @@ def search_filtered_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stringify_tags(served_search_sql(spark, sf_dir, qv, params))
 
 
+@register_extra(
+    "search_topk_ivf",
+    f"""
+    WITH h AS ({HL_ORACLE}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5)
+    SELECT h.id, h.text, h.source_type, h.lang, h.n_chars,
+           array_to_string(h.tags, ',') AS tags,
+           {round_pos(COS_DIST, 6)} AS score
+    FROM h, q
+    WHERE h.emb IS NOT NULL
+    ORDER BY score ASC, h.id ASC
+    LIMIT 10
+    """,
+)
+def search_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``search_topk`` through the IVF-probe serving mode (round 6): the
+    persisted cluster-partitioned warm index (``ivf_warm_index``) with
+    every cell probed, so the result is exact by construction and fully
+    value-hash-checkable — the oracle verifies the whole serving chain
+    (KMeans artifact build/attach, batch-prunable cache, driver-side
+    centroid selection, cluster IN-filter, winner fetch) loses and
+    corrupts nothing.  The PRUNED configuration (``nprobe < n_clusters``
+    — approximate, the reference-HNSW analogue) is covered by
+    tests/test_search_serving.py and the scale-out harness, where recall
+    is measured rather than asserted."""
+    from readwise_vector_db_spark.sources.search_index import served_search_ivf_sql
+
+    meta, vecs = warm_tables(spark, sf_dir)
+    qv = _stored_query_vec(sf_dir, vecs, "5")
+    return _stringify_tags(
+        served_search_ivf_sql(
+            spark, sf_dir, qv, search_ops.SearchParams(k=10), nprobe=16, n_clusters=16
+        )
+    )
+
+
 @register(
     "corpus_stats",
     """
