@@ -82,7 +82,12 @@ def test_resolve_clusters_sizes(spark):
 
 
 def test_does_not_converge_raises(spark):
-    edges = [(i, i + 1) for i in range(64)]
+    # a shuffled ring defeats the quick label phase AND cannot star-
+    # contract in a single round — the safety net must fire
+    rng = random.Random(3)
+    ids = list(range(500, 628))
+    rng.shuffle(ids)
+    edges = [(ids[i], ids[(i + 1) % len(ids)]) for i in range(len(ids))]
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iter=1)
@@ -109,3 +114,21 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "Join" not in plan
     assert len(plan.splitlines()) < 10
+
+
+def test_shuffled_ring_converges_within_bound(spark):
+    """Round-6 regression: a ring whose vertex ids are RANDOMLY permuted
+    relative to adjacency (the id-vs-topology misalignment a real
+    near-dup chain has — phase-adjacent embeddings get unrelated doc
+    ids).  The single-jump-per-round variant needed 28 rounds on this
+    shape at n=1000 and blew the max_iter=25 safety net; compression to
+    fixpoint must close n=256 well inside 12 outer rounds."""
+    rng = random.Random(99)
+    ids = list(range(1000, 1256))
+    rng.shuffle(ids)
+    n = len(ids)
+    edges = [(ids[i], ids[(i + 1) % n]) for i in range(n)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, max_iter=12).collect()
+    assert {r["component"] for r in out} == {min(ids)}
+    assert len(out) == n
