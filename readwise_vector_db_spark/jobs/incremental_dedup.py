@@ -326,3 +326,122 @@ def run_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- semantic incremental dedup (the embedding-space twin) ------------------
+
+SEM_STORE_SCHEMA = "vec_id LONG, v ARRAY<FLOAT>, n DOUBLE, cluster INT"
+
+
+def semantic_dedup_batch_against_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: VersionedTable,
+    quantizer: list[tuple[int, list[float]]],
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, int]:
+    """SemDeDup against a versioned embedding store: drop batch rows
+    whose embedding is byte-identical or semantically near (rounded
+    cosine ≥ ``threshold``) to an already-accepted row, then append the
+    survivors' (id, v, n, cluster) — the store IS the index, exactly
+    the shape of the shingle path's (fp, sig) rows:
+
+    1. in-batch exact-vector dedup — groupBy the 12-byte JVM-native
+       vector fingerprint (xxhash64 + murmur3, the
+       ``_vector_group_fanout`` key), min id wins;
+    2. in-batch semantic dedup — :func:`semantic_dedup` with the SAME
+       persisted quantizer (no per-increment KMeans);
+    3. historical probe — ``assign_cells`` the batch (map-only argmin
+       over the fixed centroids), broadcast it, and join the store on
+       cell equality: the store — the ever-growing side — scans IN
+       PLACE and never shuffles (proven Exchange-free in
+       tests/test_incremental_dedup.py), the batch ships once as a
+       BroadcastExchange, and each surviving candidate pair costs ONE
+       interpreted fold (both norms ride precomputed, the store's from
+       its accept-time row).  O(increment · matching-cell candidates),
+       never O(store);
+    4. survivors append via :class:`VersionedTable` (CAS-serialized,
+       snapshot-isolated — same commit path as the shingle store).
+
+    The quantizer is the PERSISTED serving artifact
+    (``operators/similarity.save_quantizer`` /
+    ``dedup.train_semantic_quantizer``) — cell assignments are stable
+    across increments by construction, so a batch row and its stored
+    near-twin co-assign whenever the fused detector would have
+    co-clustered them (identical vectors always; boundary-straddling
+    near-dups are the documented SemDeDup miss mode, unchanged here).
+    Increments past the broadcast threshold chunk into several calls
+    (each chunk is an increment; dedup-against-store is associative
+    because accepted rows commit before the next chunk probes).
+
+    No reference counterpart (reference dedup is upsert-by-id,
+    ``db/supabase_ops.py:112-208``) — north-star scope, SURVEY §2.7.
+    """
+    from readwise_vector_db_spark.functions.vector import cosine_similarity, l2_norm
+    from readwise_vector_db_spark.operators.dedup import semantic_dedup
+
+    stats: dict[str, int] = {"batch_raw": batch.count()}
+    base = (
+        batch.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<float>").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .persist()
+    )
+
+    # 1. in-batch exact-vector dedup (12-byte fingerprint, min id wins)
+    gfp = F.struct(F.xxhash64("v").alias("h1"), F.hash("v").alias("h2"))
+    keyed = base.withColumn("_gfp", gfp)
+    winners = keyed.groupBy("_gfp").agg(F.min("vec_id").alias("vec_id")).select("vec_id")
+    exact_kept = keyed.join(winners, "vec_id", "left_semi").drop("_gfp")
+    # 2. in-batch semantic dedup with the persisted quantizer
+    batch_kept = semantic_dedup(
+        exact_kept, threshold=threshold, id_col="vec_id", vec_col="v",
+        quantizer=quantizer,
+    ).persist()
+    stats["after_batch_dedup"] = batch_kept.count()
+
+    # 3. cell assignment (map-only, fixed centroids) + precomputed norm
+    from readwise_vector_db_spark.operators.similarity import assign_cells
+
+    assigned = assign_cells(batch_kept, quantizer, vec_col="v").select(
+        "vec_id", "v", l2_norm(F.col("v").cast("array<double>")).alias("n"), "cluster"
+    )
+
+    if table.exists():
+        store = table.read(spark)
+        b = F.broadcast(
+            assigned.select(
+                F.col("vec_id").alias("bid"),
+                F.col("v").alias("bv"),
+                F.col("n").alias("bn"),
+                "cluster",
+            )
+        )
+        cos = F.round(
+            cosine_similarity(
+                F.col("v"), F.col("bv"), a_norm=F.col("n"), b_norm=F.col("bn")
+            ),
+            6,
+        )
+        dup_ids = (
+            store.join(b, "cluster")
+            .filter(cos >= threshold)
+            .select(F.col("bid").alias("vec_id"))
+            .distinct()
+        )
+        survivors = assigned.join(dup_ids, "vec_id", "left_anti")
+    else:
+        survivors = assigned
+    survivors = survivors.persist()
+    stats["accepted"] = survivors.count()
+    if stats["accepted"] > 0 or not table.exists():
+        table.commit_append(survivors)
+    stats["store_version"] = table.latest_version() or 0
+    survivors.unpersist()
+    batch_kept.unpersist()
+    base.unpersist()
+    return stats

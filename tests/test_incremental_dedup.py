@@ -316,3 +316,114 @@ def test_crash_lag_auto_repaired_on_next_probe(spark, docs, tmp_path):
     )
     assert spark.table(name).count() == n_bands_per_sig
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --- semantic incremental dedup ---------------------------------------------
+
+
+def _sem_quantizer(spark):
+    from readwise_vector_db_spark.operators.dedup import train_semantic_quantizer
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    return train_semantic_quantizer(embs, n_clusters=4)
+
+
+def _sem_batch(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_semantic_incremental_drops_historical_and_in_batch_dups(spark, tmp_path):
+    """Three increments: byte-identical vectors, near-dup (1e-7 scaled)
+    vectors, and fresh vectors — historical twins dropped, fresh kept,
+    in-batch dups collapse before the store probe."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        semantic_dedup_batch_against_store,
+    )
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    q = _sem_quantizer(spark)
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    seed = [(int(r["vec_id"]), list(r["embedding"])) for r in embs.limit(10).collect()]
+    table = VersionedTable(str(tmp_path / "semstore"))
+
+    s0 = semantic_dedup_batch_against_store(
+        spark, _sem_batch(spark, seed), table, q
+    )
+    assert s0["accepted"] == 10 and s0["store_version"] == 1
+
+    # increment 1: 3 byte-identical to store, 1 near-dup, 2 fresh, plus
+    # an in-batch duplicate pair (only one of which may survive)
+    fresh_a = [float(i) for i in range(len(seed[0][1]))]
+    fresh_b = [float(-i) for i in range(len(seed[0][1]))]
+    near = [x * (1.0 + 1e-7) for x in seed[3][1]]
+    inc = [
+        (101, seed[0][1]), (102, seed[1][1]), (103, seed[2][1]),  # exact twins
+        (104, near),                                             # near twin
+        (105, fresh_a), (106, fresh_a),                          # in-batch dup
+        (107, fresh_b),
+    ]
+    s1 = semantic_dedup_batch_against_store(
+        spark, _sem_batch(spark, inc), table, q
+    )
+    assert s1["after_batch_dedup"] == 6  # 105/106 collapsed in-batch
+    assert s1["accepted"] == 2           # only 105, 107 survive history
+    kept = {r["vec_id"] for r in table.read(spark).select("vec_id").collect()}
+    assert kept == {int(i) for i, _ in seed} | {105, 107}
+
+    # increment 2: re-sending an accepted increment drops everything
+    s2 = semantic_dedup_batch_against_store(
+        spark, _sem_batch(spark, [(201, fresh_a), (202, fresh_b)]), table, q
+    )
+    assert s2["accepted"] == 0 and s2["store_version"] == 2  # no empty commit
+
+
+def test_semantic_incremental_store_never_shuffles(spark, tmp_path):
+    """The historical probe's executed plan must carry no shuffle
+    Exchange — the store scans in place, the batch ships as a single
+    BroadcastExchange (the O(increment) contract)."""
+    from readwise_vector_db_spark.functions.vector import cosine_similarity, l2_norm
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        semantic_dedup_batch_against_store,
+    )
+    from readwise_vector_db_spark.operators.similarity import assign_cells
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    q = _sem_quantizer(spark)
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    seed = [(int(r["vec_id"]), list(r["embedding"])) for r in embs.limit(20).collect()]
+    table = VersionedTable(str(tmp_path / "semstore_plan"))
+    semantic_dedup_batch_against_store(spark, _sem_batch(spark, seed), table, q)
+
+    # rebuild the probe join exactly as the job does and audit its plan
+    batch = _sem_batch(spark, [(300, seed[0][1])]).select(
+        F.col("vec_id"), F.col("embedding").alias("v")
+    )
+    assigned = assign_cells(batch, q, vec_col="v").select(
+        F.col("vec_id").alias("bid"), F.col("v").alias("bv"),
+        l2_norm(F.col("v").cast("array<double>")).alias("bn"), "cluster",
+    )
+    store = table.read(spark)
+    cos = F.round(
+        cosine_similarity(F.col("v"), F.col("bv"), a_norm=F.col("n"), b_norm=F.col("bn")),
+        6,
+    )
+    probe = store.join(F.broadcast(assigned), "cluster").filter(cos >= 0.999)
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+    import re
+
+    assert not re.search(r"Exchange (hash|range|SinglePartition)", plan), plan
+
+
+def test_semantic_incremental_requires_long_ids_and_skips_nulls(spark, tmp_path):
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        semantic_dedup_batch_against_store,
+    )
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    q = _sem_quantizer(spark)
+    table = VersionedTable(str(tmp_path / "semstore_null"))
+    rows = [(1, [1.0, 0.0, 0.0, 0.0] * 16), (2, None)]
+    s = semantic_dedup_batch_against_store(spark, _sem_batch(spark, rows), table, q)
+    assert s["batch_raw"] == 2 and s["accepted"] == 1

@@ -224,3 +224,30 @@ def test_blas_scorer_output_identical_to_fold_path(spark):
     assert blas == fold
     assert ("a0", "a1") in {(a, b) for a, b, _ in blas}
     assert all(a < b for a, b, _ in blas)  # id ordering contract holds
+
+
+def test_assign_cells_blas_route_matches_expr_route(spark):
+    """The k>=32 BLAS route (one gemm against the centroid matrix) must
+    reproduce the expr route's assignment exactly, including NULL cells
+    for NULL vectors — and stay Exchange-free (map-only contract)."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    base = _augmented(spark).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    q = dd.train_semantic_quantizer(_augmented(spark), n_clusters=40)
+    expr_out = {
+        r["id"]: r["cluster"]
+        for r in sim.assign_cells(base, q, vec_col="v", method="expr").collect()
+    }
+    blas = sim.assign_cells(base, q, vec_col="v", method="blas")
+    blas_out = {r["id"]: r["cluster"] for r in blas.collect()}
+    assert blas_out == expr_out and len(blas_out) > 0
+    assert sim.assign_cells(base, q, vec_col="v", method="auto") is not None
+    plan = blas._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # NULL vector → NULL cell on both routes
+    nulls = spark.createDataFrame([(1, None)], "id bigint, v array<float>")
+    for m in ("expr", "blas"):
+        got = sim.assign_cells(nulls, q, vec_col="v", method=m).collect()
+        assert got[0]["cluster"] is None
