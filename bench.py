@@ -330,6 +330,51 @@ def main() -> None:
     spark.catalog.clearCache()
     spark._jvm.System.gc()
 
+    # --- semantic incremental dedup (embedding store) --------------------
+    # Same composite for the embedding half of the incremental matrix
+    # (round 6): quantizer trained ONCE (the persisted-artifact
+    # economics), then seed + increment against the versioned
+    # (id, v, norm, cell) store.  Fewer reps than the per-query rows —
+    # the composite is ~10 s/rep and its variance story lives in
+    # SCALING.md's flat-growth table.
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        semantic_dedup_batch_against_store,
+    )
+    from readwise_vector_db_spark.operators.dedup import train_semantic_quantizer
+
+    embs_inc = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    semq = train_semantic_quantizer(embs_inc, n_clusters=64)
+    sem_seed_s, sem_inc_s = [], []
+    for _ in range(max(2, reps // 2)):
+        root = tempfile.mkdtemp(prefix="bench_semincdedup_")
+        table = VersionedTable(root)
+        t0 = time.perf_counter()
+        semantic_dedup_batch_against_store(
+            spark, embs_inc.filter(_Fi.col("vec_id") % 2 == 0), table, semq
+        )
+        t1 = time.perf_counter()
+        # increment = the odd half plus a re-send of half the seed rows:
+        # both accept and drop paths exercised
+        semantic_dedup_batch_against_store(
+            spark,
+            embs_inc.filter(
+                (_Fi.col("vec_id") % 2 == 1) | (_Fi.col("vec_id") % 4 == 0)
+            ),
+            table,
+            semq,
+        )
+        t2 = time.perf_counter()
+        sem_seed_s.append(t1 - t0)
+        sem_inc_s.append(t2 - t1)
+        shutil.rmtree(root, ignore_errors=True)
+    sem_seed_s.sort()
+    sem_inc_s.sort()
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+
     # --- ANN quality: IVF recall@10 vs exact ----------------------------
     # Latency without recall is half a number for the one operator whose
     # speed comes from approximation: a mis-tuned IVF (too few probes,
@@ -457,6 +502,14 @@ def main() -> None:
         "incremental_dedup_increment_sec": {
             "median": round(median(inc_s), 3),
             "min": round(inc_s[0], 3),
+        },
+        "semantic_incremental_seed_sec": {
+            "median": round(median(sem_seed_s), 3),
+            "min": round(sem_seed_s[0], 3),
+        },
+        "semantic_incremental_increment_sec": {
+            "median": round(median(sem_inc_s), 3),
+            "min": round(sem_inc_s[0], 3),
         },
         "sf": sf,
         "search_warm_p95": round(p95, 3),
