@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_clusters",
     "decontaminate",
     "pii_redact",
+    "boilerplate_removal",
     "chunk_overlap",
     "text_stats",
     "tfidf_top_terms",
@@ -93,13 +94,14 @@ def main() -> None:
     # kept-for-trend build row must be on the driver-checked surface
     missing = [n for n in HEADLINE if n not in qs]
     assert not missing, f"bench names not registered: {missing}"
-    # ann_ivf_planted / dedup_semantic_probe: kept-for-trend extras (the
-    # BUILD row and the quantizer-probe serving row); both pass the
+    # ann_ivf_planted / dedup_semantic_probe / boilerplate_removal:
+    # kept-for-trend extras (the BUILD row, the quantizer-probe serving
+    # row, and the round-6 CCNet boilerplate pass); all pass the
     # stricter local oracle gate (tools/oracle_check.py)
     off_surface = [
         n for n in HEADLINE
         if n not in main_queries()
-        and n not in ("ann_ivf_planted", "dedup_semantic_probe")
+        and n not in ("ann_ivf_planted", "dedup_semantic_probe", "boilerplate_removal")
     ]
     assert not off_surface, f"bench names not on the driver surface: {off_surface}"
 

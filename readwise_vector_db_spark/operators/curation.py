@@ -15,6 +15,10 @@ data pipelines):
   S < W ⇒ adjacent chunks overlap by W−S tokens), the retrieval-index
   / context-packing shape.  Map-only: sequence + slice per row, no
   shuffle at any scale.
+* **remove_boilerplate** — drop high-document-frequency text segments
+  (headers, footers, nav chrome) from every document, the CCNet /
+  C4-style within-corpus boilerplate pass: any fixed-width word
+  segment appearing in ≥ ``min_df`` documents is removed everywhere.
 """
 
 from __future__ import annotations
@@ -145,6 +149,142 @@ def chunk_overlap(
             (F.col("start") / stride).cast("int").alias("chunk_idx"),
             F.size(chunk).alias("n_chunk_tokens"),
             F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+def _segment_array(text_col: str | F.Column, seg_words: int) -> F.Column:
+    """array<string> of fixed-width word segments of ``text_col`` —
+    consecutive ``seg_words``-word windows, last one possibly short.
+    Pure codegen: split + sequence + slice + array_join per row."""
+    toks = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * seg_words + 1, seg_words), " "),
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    seg_words: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "auto",
+    max_broadcast_segments: int = 20_000,
+) -> DataFrame:
+    """(doc_id, clean_text, kept_segs, dropped_segs): every document
+    with its boilerplate segments removed.  A *segment* is a
+    consecutive ``seg_words``-word window (a proxy for a line — the
+    fixture corpus has no newlines; real corpora would segment on
+    ``\\n`` with the same plumbing); a segment is *boilerplate* when it
+    occurs in ≥ ``min_df`` distinct documents.  This is the CCNet
+    paragraph-dedup / C4 "lines seen elsewhere" pass that strips
+    headers, footers, cookie banners and nav chrome from crawled text.
+
+    Shape for 100 TB — the key fact is that the boilerplate set is
+    SMALL by construction: segments with df ≥ min_df number at most
+    (total segment instances) / min_df, i.e. ≤ avg_segs_per_doc ·
+    n_docs / min_df, and with min_df a fraction of the corpus (the
+    usual CCNet setting) the bound is avg_segs_per_doc / frac —
+    INDEPENDENT of corpus size.  So:
+
+    * one shuffle computes document frequency over 8-byte ``xxhash64``
+      segment keys (strings never shuffle; partial aggregation runs
+      map-side);
+    * ``strategy="map"`` (picked by ``auto`` whenever the boilerplate
+      set fits ``max_broadcast_segments``): collect the offending
+      hashes (driver-bounded by the argument above), embed them as an
+      array literal, and rebuild every document MAP-ONLY with
+      ``filter``+``array_join`` — original segment order is preserved
+      for free, and the corpus text crosses no shuffle at all;
+    * ``strategy="shuffle"`` (the fallback for degenerate corpora
+      where "boilerplate" is most of the text): posexplode → left-anti
+      broadcast join against the df table → re-assemble per doc with a
+      sorted ``collect_list``.  One extra doc-keyed shuffle of the
+      kept text — still linear, never all-pairs.
+
+    64-bit hash collisions could merge a rare segment into a
+    boilerplate one (dropping it wrongly); at 10^9 distinct segments
+    the expected number of colliding pairs is ~0.03 — and the df pass
+    can be re-keyed on the segment string if a corpus ever needs the
+    exactness more than the shuffle-width win.
+
+    No reference counterpart (the reference ingests curated highlights
+    and never filters text) — north-star scope, SURVEY §2.7.
+    """
+    if seg_words < 1:
+        raise ValueError("seg_words must be >= 1")
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2 (df=1 segments are just text)")
+    if strategy not in ("auto", "map", "shuffle"):
+        raise ValueError(f"strategy must be auto|map|shuffle, got {strategy!r}")
+
+    segs_arr = _segment_array(text_col, seg_words)
+    base = docs.select(F.col(id_col), F.col(text_col)).withColumn("_segs", segs_arr)
+    seg_df = (
+        base.select(F.col(id_col), F.explode("_segs").alias("_seg"))
+        .select(F.col(id_col), F.xxhash64("_seg").alias("h"))
+        .groupBy("h")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .filter(F.col("df") >= F.lit(min_df))
+        .select("h")
+    )
+
+    if strategy in ("auto", "map"):
+        # driver-bounded by the df ≥ min_df counting bound (docstring);
+        # cap guards the degenerate case before collecting too much
+        common = [
+            r["h"] for r in seg_df.limit(max_broadcast_segments + 1).collect()
+        ]
+        if len(common) <= max_broadcast_segments:
+            if common:
+                lit_common = F.lit(sorted(common))
+                kept_arr = F.filter(
+                    F.col("_segs"),
+                    lambda s: ~F.array_contains(lit_common, F.xxhash64(s)),
+                )
+            else:
+                kept_arr = F.col("_segs")
+            return base.select(
+                F.col(id_col),
+                F.array_join(kept_arr, " ").alias("clean_text"),
+                F.size(kept_arr).cast("long").alias("kept_segs"),
+                (F.size("_segs") - F.size(kept_arr)).cast("long").alias("dropped_segs"),
+            )
+        if strategy == "map":
+            raise ValueError(
+                f"boilerplate set exceeds max_broadcast_segments="
+                f"{max_broadcast_segments}; use strategy='shuffle'"
+            )
+
+    exploded = base.select(
+        F.col(id_col),
+        F.size("_segs").cast("long").alias("_total"),
+        F.posexplode("_segs").alias("_seg_id", "_seg"),
+    ).withColumn("h", F.xxhash64("_seg"))
+    kept = exploded.join(F.broadcast(seg_df), "h", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_seg_id", "_seg"))),
+                lambda s: s["_seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_segs"),
+    )
+    totals = base.select(F.col(id_col), F.size("_segs").cast("long").alias("_total"))
+    return (
+        totals.join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_segs", F.lit(0)).cast("long").alias("kept_segs"),
+            (F.col("_total") - F.coalesce("kept_segs", F.lit(0)))
+            .cast("long")
+            .alias("dropped_segs"),
         )
     )
 

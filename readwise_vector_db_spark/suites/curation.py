@@ -401,3 +401,84 @@ def chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --- boilerplate removal ----------------------------------------------------
+#
+# Planted boilerplate: a "newsletter" header prepended to every 3rd doc
+# and a "copyright" footer-phrase prepended (so word alignment is
+# preserved — both phrases are exactly _BP_W words) to every 7th doc.
+# With the 5 %-of-corpus df threshold the two phrases are the only
+# segments crossing it at any sf; the operator must remove them from
+# every planted doc while leaving all organic segments intact, and the
+# full (clean_text, counts) output is value-hash-checked.
+
+_BP_W = 8
+_BP_A = "subscribe to our newsletter for daily updates now "
+_BP_B = "all rights reserved copyright notice terms of service "
+
+_BP_DOCS_SQL = f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN '{_BP_B}' ELSE '' END ||
+               CASE WHEN doc_id % 3 = 0 THEN '{_BP_A}' ELSE '' END ||
+               text AS text
+        FROM documents
+"""
+
+_BOILERPLATE_ORACLE = f"""
+    WITH aug AS ({_BP_DOCS_SQL}),
+    tot AS (SELECT COUNT(*) AS n FROM aug),
+    segx AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(string_split(text, ' '))/{_BP_W}.0) AS BIGINT)),
+                   i -> {{'seg_id': i,
+                         'seg': array_to_string(list_slice(
+                             string_split(text, ' '),
+                             i*{_BP_W}+1, i*{_BP_W}+{_BP_W}), ' ')}})) AS s
+        FROM aug),
+    segs AS (SELECT doc_id, s.seg_id AS seg_id, s.seg AS seg FROM segx),
+    common AS (
+        SELECT seg
+        FROM (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg) d, tot
+        WHERE d.df >= CEIL(0.05 * tot.n)),
+    kept AS (SELECT sg.doc_id, sg.seg_id, sg.seg
+             FROM segs sg ANTI JOIN common c USING (seg)),
+    agg AS (SELECT doc_id,
+                   string_agg(seg, ' ' ORDER BY seg_id) AS clean_text,
+                   COUNT(*) AS kept_segs
+            FROM kept GROUP BY doc_id),
+    totals AS (SELECT doc_id, COUNT(*) AS total_segs FROM segs GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(a.kept_segs, 0) AS kept_segs,
+           t.total_segs - COALESCE(a.kept_segs, 0) AS dropped_segs
+    FROM totals t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _bp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_BP_B)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BP_A)).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+@register_extra("boilerplate_removal", _BOILERPLATE_ORACLE)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate pass over the planted corpus: every
+    8-word segment occurring in ≥ 5 % of documents is removed from all
+    of them; (doc_id, clean_text, kept_segs, dropped_segs), full text
+    value-hash-checked.  Map strategy: one df shuffle on hashed
+    segments, then a map-only rebuild — the corpus text never
+    shuffles (operators/curation.py:remove_boilerplate)."""
+    import math
+
+    aug = _bp_docs(spark, sf_dir)
+    min_df = math.ceil(0.05 * aug.count())
+    return cu.remove_boilerplate(aug, seg_words=_BP_W, min_df=min_df)

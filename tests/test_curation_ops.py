@@ -81,3 +81,114 @@ def test_chunk_overlap_rejects_bad_stride(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_overlap(docs, window=8, stride=9)
+
+
+# --- remove_boilerplate -----------------------------------------------------
+
+_BP = "one two three four"  # 4-word boilerplate segment (seg_words=4)
+
+
+def _bp_docs(spark):
+    # docs 1-3 share the boilerplate header; doc 4 is organic; doc 5 is
+    # ONLY boilerplate (every segment dropped)
+    rows = [
+        (1, _BP + " alpha beta gamma delta"),
+        (2, _BP + " epsilon zeta eta theta"),
+        (3, _BP + " iota kappa lam mu"),
+        (4, "nu xi omicron pi rho sigma tau upsilon"),
+        (5, _BP),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("strategy", ["map", "shuffle"])
+def test_remove_boilerplate_drops_common_segments(spark, strategy):
+    from readwise_vector_db_spark.operators.curation import remove_boilerplate
+
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            _bp_docs(spark), seg_words=4, min_df=3, strategy=strategy
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert (out[1]["kept_segs"], out[1]["dropped_segs"]) == (1, 1)
+    assert out[4]["clean_text"] == "nu xi omicron pi rho sigma tau upsilon"
+    assert out[4]["dropped_segs"] == 0
+    # all-boilerplate doc survives as a row with empty text
+    assert out[5]["clean_text"] == ""
+    assert (out[5]["kept_segs"], out[5]["dropped_segs"]) == (0, 1)
+
+
+def test_remove_boilerplate_map_equals_shuffle(spark):
+    from readwise_vector_db_spark.operators.curation import remove_boilerplate
+
+    docs = _bp_docs(spark)
+    a = remove_boilerplate(docs, seg_words=4, min_df=2, strategy="map")
+    b = remove_boilerplate(docs, seg_words=4, min_df=2, strategy="shuffle")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_remove_boilerplate_preserves_order_and_partial_segments(spark):
+    from readwise_vector_db_spark.operators.curation import remove_boilerplate
+
+    # 2-word segments; the repeated segment sits mid-document, and doc
+    # lengths are odd so the final segment is short
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb xx yy cc"),
+            (2, "dd ee xx yy ff"),
+            (3, "gg hh ii"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(docs, seg_words=2, min_df=2).collect()
+    }
+    assert out[1]["clean_text"] == "aa bb cc"
+    assert out[2]["clean_text"] == "dd ee ff"
+    assert out[3]["clean_text"] == "gg hh ii"
+
+
+def test_remove_boilerplate_no_common_segments_is_identity(spark):
+    from readwise_vector_db_spark.operators.curation import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate(docs, seg_words=2, min_df=2).collect()}
+    assert out[1]["clean_text"] == "aa bb"
+    assert out[2]["clean_text"] == "cc dd"
+    assert all(r["dropped_segs"] == 0 for r in out.values())
+
+
+def test_remove_boilerplate_map_cap_raises_and_auto_falls_back(spark):
+    from readwise_vector_db_spark.operators.curation import remove_boilerplate
+
+    # every doc is the same text -> every segment is boilerplate; with a
+    # 1-segment cap the map strategy must refuse, auto must fall back
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc dd") for i in range(4)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_broadcast_segments"):
+        remove_boilerplate(
+            docs, seg_words=2, min_df=2, strategy="map", max_broadcast_segments=1
+        ).collect()
+    out = remove_boilerplate(
+        docs, seg_words=2, min_df=2, strategy="auto", max_broadcast_segments=1
+    ).collect()
+    assert all(r["clean_text"] == "" and r["dropped_segs"] == 2 for r in out)
+
+
+def test_remove_boilerplate_rejects_bad_params(spark):
+    from readwise_vector_db_spark.operators.curation import remove_boilerplate
+
+    docs = spark.createDataFrame([(1, "aa")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        remove_boilerplate(docs, seg_words=0)
+    with pytest.raises(ValueError):
+        remove_boilerplate(docs, min_df=1)
+    with pytest.raises(ValueError):
+        remove_boilerplate(docs, strategy="bogus")
