@@ -7,12 +7,14 @@ frame-sampling as Arrow-batched ``mapInPandas`` stages.
 
 The codec boundary has three faces: ``real_decode`` runs an actual
 decoder — PNG via the pure-stdlib codec in functions/png.py (zlib
-inflate + unfilter; no PIL needed), proving the image leg end-to-end —
-``decode_stub`` raises ``NotImplementedError`` exactly where audio/video
-codecs (torchaudio/ffmpeg, absent from this container) would plug in,
-and ``fake_decode`` is a deterministic stand-in so the Spark-side
-plumbing — schema, batch iteration, partition sizing — is testable for
-every kind uniformly (and stays the driver-checked oracle path).
+inflate + unfilter; no PIL needed) and PCM WAV via functions/wav.py
+(RIFF parse + one vectorized frombuffer), proving the image AND audio
+legs end-to-end — ``decode_stub`` raises ``NotImplementedError``
+exactly where the video codec (ffmpeg, absent from this container)
+would plug in, and ``fake_decode`` is a deterministic stand-in so the
+Spark-side plumbing — schema, batch iteration, partition sizing — is
+testable for every kind uniformly (and stays the driver-checked oracle
+path).
 
 Scale notes: media rows are fat (MBs); keep
 ``spark.sql.files.maxPartitionBytes`` small enough that one partition of
@@ -104,15 +106,22 @@ def decode_stub(payload: bytes, mime: str):
     )
 
 
-def real_decode(payload: bytes, mime: str) -> np.ndarray:
+def real_decode(payload: bytes, mime: str):
     """Real-codec dispatch: ``image/png`` decodes with the pure-stdlib
-    codec (functions/png.py — zlib inflate + unfilter, no PIL needed);
-    every other mime stays the documented :func:`decode_stub` plug
-    point.  Returns the pixel array (h, w, ch) uint8."""
+    PNG codec (functions/png.py — zlib inflate + unfilter, no PIL
+    needed) and returns the (h, w, ch) uint8 pixel array;
+    ``audio/wav`` decodes with the pure-stdlib PCM codec
+    (functions/wav.py) and returns ((n, channels) float32 samples,
+    sample_rate); every other mime stays the documented
+    :func:`decode_stub` plug point."""
     if mime == "image/png":
         from readwise_vector_db_spark.functions.png import decode_png
 
         return decode_png(payload)
+    if mime == "audio/wav":
+        from readwise_vector_db_spark.functions.wav import decode_wav
+
+        return decode_wav(payload)
     return decode_stub(payload, mime)
 
 
@@ -151,9 +160,18 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
                     nbytes.append(None)
                     continue
                 if use_real_codec:
-                    # PNG payloads run the REAL pure-stdlib decode →
-                    # histogram features; other mimes stay the stub
-                    arr = pixel_features(real_decode(bytes(payload), meta["mime"]))
+                    # PNG/WAV payloads run the REAL pure-stdlib decode
+                    # → histogram / energy-profile features; other
+                    # mimes stay the stub
+                    decoded = real_decode(bytes(payload), meta["mime"])
+                    if meta["mime"] == "audio/wav":
+                        from readwise_vector_db_spark.functions.wav import (
+                            audio_features,
+                        )
+
+                        arr = audio_features(*decoded, dim=FEATURE_DIM)
+                    else:
+                        arr = pixel_features(decoded)
                 else:
                     arr = fake_decode(bytes(payload))
                 feats.append([float(x) for x in arr])
