@@ -6,11 +6,12 @@ metadata struct, and runs decode / feature-extraction / resize /
 frame-sampling as Arrow-batched ``mapInPandas`` stages.
 
 The codec boundary has three faces: ``real_decode`` runs an actual
-decoder — PNG via the pure-stdlib codec in functions/png.py (zlib
-inflate + unfilter; no PIL needed) and PCM WAV via functions/wav.py
-(RIFF parse + one vectorized frombuffer), proving the image AND audio
-legs end-to-end — ``decode_stub`` raises ``NotImplementedError``
-exactly where the video codec (ffmpeg, absent from this container)
+decoder for ALL THREE media kinds — PNG via functions/png.py (zlib
+inflate + unfilter; no PIL needed), PCM WAV via functions/wav.py
+(RIFF parse + one vectorized frombuffer), animated GIF via
+functions/gif.py (LZW + frame compositing — a real multi-frame video
+container) — ``decode_stub`` raises ``NotImplementedError`` exactly
+where heavyweight codecs (mp4/ffmpeg, absent from this container)
 would plug in, and ``fake_decode`` is a deterministic stand-in so the
 Spark-side plumbing — schema, batch iteration, partition sizing — is
 testable for every kind uniformly (and stays the driver-checked oracle
@@ -122,6 +123,10 @@ def real_decode(payload: bytes, mime: str):
         from readwise_vector_db_spark.functions.wav import decode_wav
 
         return decode_wav(payload)
+    if mime == "image/gif":
+        from readwise_vector_db_spark.functions.gif import decode_gif
+
+        return decode_gif(payload)
     return decode_stub(payload, mime)
 
 
@@ -160,9 +165,9 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
                     nbytes.append(None)
                     continue
                 if use_real_codec:
-                    # PNG/WAV payloads run the REAL pure-stdlib decode
-                    # → histogram / energy-profile features; other
-                    # mimes stay the stub
+                    # PNG/WAV/GIF payloads run the REAL pure-stdlib
+                    # decode → histogram / energy-profile / motion
+                    # features; other mimes stay the stub
                     decoded = real_decode(bytes(payload), meta["mime"])
                     if meta["mime"] == "audio/wav":
                         from readwise_vector_db_spark.functions.wav import (
@@ -170,6 +175,12 @@ def extract_features(media: DataFrame, use_real_codec: bool = False) -> DataFram
                         )
 
                         arr = audio_features(*decoded, dim=FEATURE_DIM)
+                    elif meta["mime"] == "image/gif":
+                        from readwise_vector_db_spark.functions.gif import (
+                            video_features,
+                        )
+
+                        arr = video_features(*decoded, dim=FEATURE_DIM)
                     else:
                         arr = pixel_features(decoded)
                 else:
@@ -247,6 +258,52 @@ def resize_images(
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """The REAL video frame-sampling stage: decode each GIF payload
+    (functions/gif.py — pure-stdlib LZW + compositing), walk the
+    per-frame delays, keep the first frame at or after each
+    ``every_ms`` tick, and emit that frame's pixel-histogram features —
+    (media_id, frame_idx, frame_ms, features[16]), one row per sampled
+    frame.  The real counterpart of :func:`sample_frames`'s timestamp
+    math, at the same fan-out boundary a production pipeline gives
+    ffmpeg.  Non-GIF video mimes raise through :func:`decode_stub` —
+    fail loudly, never garble."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ms": [], "features": []}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                if payload is None:
+                    continue
+                frames, delays = real_decode(bytes(payload), meta["mime"])
+                t, next_tick = 0, 0
+                for i in range(frames.shape[0]):
+                    if t >= next_tick:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["frame_ms"].append(t)
+                        out["features"].append(
+                            [float(x) for x in pixel_features(frames[i])]
+                        )
+                        next_tick += every_ms
+                    t += delays[i] if i < len(delays) else 0
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=FRAME_FEATURES_SCHEMA
     )
 
 

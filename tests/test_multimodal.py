@@ -299,3 +299,128 @@ def test_extract_features_real_codec_mixed_kinds(spark):
     }
     assert abs(sum(got[1]) - 1.0) < 1e-5  # image histogram normalized
     assert abs(got[2][0] - 500 / 8000) < 1e-6  # audio duration slot
+
+
+# --- GIF codec (functions/gif.py) -------------------------------------------
+
+
+def _anim(n=3, h=10, w=12, colors=8, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, colors, size=(n, h, w, 1)).repeat(3, axis=-1) * 30).astype(
+        np.uint8
+    )
+
+
+def test_gif_roundtrip_animation():
+    from readwise_vector_db_spark.functions import gif
+
+    frames = _anim()
+    out, delays = gif.decode_gif(gif.encode_gif(frames, [100, 50, 70]))
+    assert out.shape == frames.shape
+    assert delays == [100, 50, 70]
+    assert np.array_equal(out, frames)
+
+
+def test_gif_lzw_width_boundaries_and_table_overflow():
+    from readwise_vector_db_spark.functions import gif
+
+    # 256-color noise over 10k pixels crosses every code-size widening
+    # (16/512/1024/2048) and overflows the 4095-entry table, forcing a
+    # mid-stream clear code
+    rng = np.random.RandomState(1)
+    fr = rng.randint(0, 256, size=(1, 100, 100, 1), dtype=np.uint8).repeat(3, -1)
+    out, _ = gif.decode_gif(gif.encode_gif(fr))
+    assert np.array_equal(out, fr)
+    # structured data hits the boundaries with long match runs instead
+    ramp = np.tile(np.arange(256, dtype=np.uint8), (1, 300, 1))[..., None].repeat(3, -1)
+    out2, _ = gif.decode_gif(gif.encode_gif(ramp))
+    assert np.array_equal(out2, ramp)
+
+
+def test_gif_known_external_ground_truth():
+    """The classic 1x1 white-pixel GIF from public web documentation —
+    pins the decoder against bytes our encoder did not produce."""
+    from readwise_vector_db_spark.functions import gif
+
+    tiny = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    frames, delays = gif.decode_gif(tiny)
+    assert frames.shape == (1, 1, 1, 3)
+    assert frames.ravel().tolist() == [255, 255, 255]
+
+
+def test_gif_rejects_garbage_and_unsupported():
+    from readwise_vector_db_spark.functions import gif
+
+    with pytest.raises(ValueError, match="signature"):
+        gif.decode_gif(b"PNG89a not a gif")
+    blob = bytearray(gif.encode_gif(_anim(n=1)))
+    at = blob.index(b"\x2c")  # image descriptor: set interlace flag
+    blob[at + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        gif.decode_gif(bytes(blob))
+    with pytest.raises(ValueError, match="256"):
+        rng = np.random.RandomState(2)
+        gif.encode_gif(rng.randint(0, 255, size=(1, 40, 40, 3), dtype=np.uint8))
+
+
+def test_video_features_semantics():
+    from readwise_vector_db_spark.functions import gif
+
+    still = np.full((4, 8, 8, 3), 120, dtype=np.uint8)
+    f = gif.video_features(still, [250, 250, 250, 250], dim=16)
+    assert f.shape == (16,)
+    assert f[0] == 4.0  # n_frames
+    assert abs(f[1] - 1.0) < 1e-6  # duration 4 x 250ms
+    assert abs(f[2] - 120 / 255) < 1e-3  # mean intensity
+    assert f[3] == 0.0  # a still video has zero motion
+    moving = still.copy()
+    moving[2:] = 200
+    f2 = gif.video_features(moving, [250] * 4, dim=16)
+    assert f2[3] > 0.05  # motion registered
+
+
+def test_extract_features_through_real_gif_decode(spark):
+    """The video leg of the real-codec path: decode_gif runs inside
+    mapInPandas and produces motion/intensity features of the true
+    frames — all three media kinds now decode for real."""
+    from readwise_vector_db_spark.functions import gif
+
+    rows, want = [], {}
+    for i in range(4):
+        fr = _anim(n=2 + i, seed=i)
+        blob = gif.encode_gif(fr, [100] * (2 + i))
+        rows.append((i, "video", blob, ("image/gif", 12, 10, (2 + i) * 100)))
+        want[i] = gif.video_features(fr, [100] * (2 + i), dim=mm.FEATURE_DIM)
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r["features"]
+        for r in mm.extract_features(media, use_real_codec=True).collect()
+    }
+    assert len(got) == 4
+    for i in range(4):
+        assert np.allclose(got[i], want[i], atol=1e-6)
+
+
+def test_frame_features_samples_real_frames(spark):
+    from readwise_vector_db_spark.functions import gif
+
+    # 6 frames at 400 ms -> ticks at 0/1000/2000 hit frames 0, 3, 5
+    fr = _anim(n=6, seed=9)
+    media = spark.createDataFrame(
+        [(1, "video", gif.encode_gif(fr, [400] * 6), ("image/gif", 12, 10, 2400))],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        mm.frame_features(media, every_ms=1000).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [(r["frame_idx"], r["frame_ms"]) for r in rows] == [
+        (0, 0),
+        (3, 1200),
+        (5, 2000),
+    ]
+    for r in rows:
+        assert np.allclose(r["features"], mm.pixel_features(fr[r["frame_idx"]]), atol=1e-6)
