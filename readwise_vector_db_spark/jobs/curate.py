@@ -5,6 +5,11 @@ data-curation funnel, each stage an operator from this repo, chained as
 ONE lazy DataFrame plan plus one pair-join pass:
 
     raw documents
+      → boilerplate removal   (optional, operators/curation.py:
+                               remove_boilerplate — the CCNet pass;
+                               runs FIRST so scoring and dedup see
+                               clean text, as the published pipelines
+                               order it)
       → quality filter        (functions/text.py:quality_score)
       → language filter       (functions/text.py:lang_id)
       → exact dedup           (operators/dedup.py:exact_dedup)
@@ -48,6 +53,8 @@ def curate_corpus(
     near_dup_threshold: float = 0.6,
     semantic_threshold: float | None = None,
     semantic_quantizer: list[tuple[int, list[float]]] | None = None,
+    boilerplate_min_df_frac: float | None = None,
+    boilerplate_seg_words: int = 8,
 ) -> dict[str, float]:
     """Run the curation funnel over ``documents``; commit survivors to a
     VersionedTable at ``out_root``.  Returns per-stage surviving counts —
@@ -59,6 +66,43 @@ def curate_corpus(
     """
     t_start = time.perf_counter()
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
+
+    # optional CCNet boilerplate pass, FIRST: quality scores and dedup
+    # fingerprints must see clean text, or shared boilerplate inflates
+    # every downstream similarity.  Map strategy: one df shuffle over
+    # hashed segments, corpus text itself never shuffles; metadata
+    # columns ride through keep_cols, no reattach join.
+    if boilerplate_min_df_frac is not None:
+        import math
+
+        from readwise_vector_db_spark.operators.curation import remove_boilerplate
+
+        total = docs.count()
+        min_df = max(2, math.ceil(boilerplate_min_df_frac * total))
+        cleaned = remove_boilerplate(
+            docs,
+            seg_words=boilerplate_seg_words,
+            min_df=min_df,
+            keep_cols=[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        bp = cleaned.agg(
+            F.sum("dropped_segs").alias("d"), F.sum("kept_segs").alias("k")
+        ).collect()[0]
+        stats_bp = {
+            "boilerplate_dropped_segs": int(bp["d"] or 0),
+            "boilerplate_kept_segs": int(bp["k"] or 0),
+        }
+        docs = cleaned.select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        t_bp = time.perf_counter()
+        stats_bp["wall_boilerplate"] = t_bp - t_start
+        t_stage = t_bp
+    else:
+        stats_bp = {}
+        t_stage = t_start
 
     # Stage flags computed once, first three funnel counts from ONE
     # aggregate pass — quality_score tokenizes every document, so separate
@@ -77,12 +121,13 @@ def curate_corpus(
         F.sum((F.col("_q_ok") & F.col("_l_ok")).cast("long")).alias("after_lang"),
     ).collect()[0]
     stats: dict[str, float] = {
+        **stats_bp,
         "raw": int(head["raw"]),
         "after_quality": int(head["after_quality"] or 0),
         "after_lang": int(head["after_lang"] or 0),
     }
     t_score = time.perf_counter()
-    stats["wall_score"] = t_score - t_start  # scan + score + persist fill
+    stats["wall_score"] = t_score - t_stage  # scan + score + persist fill
 
     in_lang = flagged.filter(F.col("_q_ok") & F.col("_l_ok")).drop("_q_ok", "_l_ok")
 

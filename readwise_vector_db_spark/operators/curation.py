@@ -173,9 +173,10 @@ def remove_boilerplate(
     text_col: str = "text",
     strategy: str = "auto",
     max_broadcast_segments: int = 20_000,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(doc_id, clean_text, kept_segs, dropped_segs): every document
-    with its boilerplate segments removed.  A *segment* is a
+    """(doc_id, clean_text, kept_segs, dropped_segs[, keep_cols...]):
+    every document with its boilerplate segments removed.  A *segment* is a
     consecutive ``seg_words``-word window (a proxy for a line — the
     fixture corpus has no newlines; real corpora would segment on
     ``\\n`` with the same plumbing); a segment is *boilerplate* when it
@@ -221,8 +222,14 @@ def remove_boilerplate(
     if strategy not in ("auto", "map", "shuffle"):
         raise ValueError(f"strategy must be auto|map|shuffle, got {strategy!r}")
 
+    # keep_cols ride the map path for free and the shuffle path's
+    # totals frame (already per-doc) — a caller composing a pipeline
+    # never needs a join to reattach its metadata columns
+    extra = list(keep_cols or [])
     segs_arr = _segment_array(text_col, seg_words)
-    base = docs.select(F.col(id_col), F.col(text_col)).withColumn("_segs", segs_arr)
+    base = docs.select(F.col(id_col), F.col(text_col), *extra).withColumn(
+        "_segs", segs_arr
+    )
     seg_df = (
         base.select(F.col(id_col), F.explode("_segs").alias("_seg"))
         .select(F.col(id_col), F.xxhash64("_seg").alias("h"))
@@ -252,6 +259,7 @@ def remove_boilerplate(
                 F.array_join(kept_arr, " ").alias("clean_text"),
                 F.size(kept_arr).cast("long").alias("kept_segs"),
                 (F.size("_segs") - F.size(kept_arr)).cast("long").alias("dropped_segs"),
+                *extra,
             )
         if strategy == "map":
             raise ValueError(
@@ -275,7 +283,9 @@ def remove_boilerplate(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("kept_segs"),
     )
-    totals = base.select(F.col(id_col), F.size("_segs").cast("long").alias("_total"))
+    totals = base.select(
+        F.col(id_col), F.size("_segs").cast("long").alias("_total"), *extra
+    )
     return (
         totals.join(agg, id_col, "left")
         .select(
@@ -285,6 +295,7 @@ def remove_boilerplate(
             (F.col("_total") - F.coalesce("kept_segs", F.lit(0)))
             .cast("long")
             .alias("dropped_segs"),
+            *extra,
         )
     )
 

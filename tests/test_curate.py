@@ -60,3 +60,36 @@ def test_curate_corpus_is_deterministic(spark, tmp_path):
     ids_a = {r["doc_id"] for r in VersionedTable(str(tmp_path / "a")).read(spark).collect()}
     ids_b = {r["doc_id"] for r in VersionedTable(str(tmp_path / "b")).read(spark).collect()}
     assert ids_a == ids_b
+
+
+def test_curate_corpus_boilerplate_stage(spark, tmp_path):
+    """Optional CCNet stage: with planted boilerplate in the corpus,
+    the funnel strips it BEFORE scoring/dedup, reports segment
+    accounting + its own wall, and commits boilerplate-free text."""
+    header = "subscribe to our newsletter for daily updates now"
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(80)
+        .select(
+            "doc_id",
+            F.concat(F.lit(header + " "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = str(tmp_path / "curated")
+    stats = curate_corpus(
+        spark, sf, out, boilerplate_min_df_frac=0.5, boilerplate_seg_words=8
+    )
+    # one header segment dropped per doc, organic segments kept
+    assert stats["boilerplate_dropped_segs"] == stats["raw"] == 80
+    assert stats["boilerplate_kept_segs"] > 0
+    assert "wall_boilerplate" in stats
+    committed = VersionedTable(out).read(spark)
+    assert committed.count() == stats["after_near_dup"]
+    assert committed.filter(F.col("text").contains(header)).count() == 0
+    # metadata columns rode through the stage
+    assert {"lang", "source", "n_chars"} <= set(committed.columns)
