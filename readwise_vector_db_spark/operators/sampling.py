@@ -187,3 +187,59 @@ def pack_sequences(
         )
         .drop("_end")
     )
+
+
+def shuffle_order(
+    df: DataFrame,
+    seed: str = "shuffle",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global training order: every row gets a
+    ``shuffle_pos`` in [0, n) — the position it would occupy after
+    shuffling the whole dataset with the given ``seed``.  Reproducible
+    epochs, resumable data loaders, and auditable "what did the model
+    see before step k" queries all hang off this one column.
+
+    The naive Spark expression — ``row_number() OVER (ORDER BY hash)``
+    — is a single-partition sort: a scale killer.  This is the
+    two-phase shape instead:
+
+    1. salt+hash every id, bucket the hash into ``n_buckets`` pmod
+       groups (map-only);
+    2. ONE tiny aggregate counts rows per bucket; the cumulative
+       offsets (n_buckets rows) broadcast as a literal map;
+    3. rank WITHIN each bucket (window partitioned by bucket — the one
+       real shuffle, each task sorting ~1/n_buckets of the data) and
+       add the bucket's offset.
+
+    The global order is (bucket, hash, id) lexicographic — a pure
+    function of (data, seed), independent of partitioning, cluster
+    size, or execution order, so reruns and the DuckDB oracle agree
+    bit-for-bit.  At 100 TB: n_buckets scales with the cluster (each
+    bucket must fit one task's sort), the offsets stay a driver-side
+    array of longs, and everything else is map-only.
+    """
+    h = hash64(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")), base_hash)
+    keyed = df.withColumn("_h", h).withColumn(
+        "_b", F.pmod(F.col("_h"), F.lit(n_buckets))
+    )
+    counts = {
+        r["_b"]: r["c"]
+        for r in keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    rn = F.row_number().over(
+        W.partitionBy("_b").orderBy(F.col("_h"), F.col(id_col))
+    )
+    return keyed.withColumn(
+        "shuffle_pos",
+        (off_map[F.col("_b")] + rn - F.lit(1)).cast("long"),
+    ).drop("_h", "_b")

@@ -145,3 +145,37 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_col="n_chars",
         base_hash="md5",
     ).select("doc_id", "shard", "start_tok", "seq_first", "seq_last")
+
+
+# --- deterministic global shuffle -------------------------------------------
+#
+# Training-order assignment: the full (doc_id -> shuffle_pos) bijection
+# is value-hash-checked, so bucketing, offset arithmetic, and the
+# within-bucket ranking must all agree with the oracle's single
+# row_number() — the oracle spells the naive single-sort the operator
+# exists to avoid.
+
+_SHUFFLE_ORACLE = """
+    WITH k AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY h % 64, h, doc_id) - 1 AS BIGINT)
+               AS shuffle_pos
+    FROM k
+"""
+
+
+@register_extra("shuffle_order_q", _SHUFFLE_ORACLE)
+def shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle position for every document
+    (seed "epoch0"): two-phase bucket-offset + within-bucket rank
+    (operators/sampling.py:shuffle_order) vs the oracle's naive global
+    row_number() — same bijection, no single-partition sort."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True).select("doc_id")
+    return sp.shuffle_order(
+        docs, seed="epoch0", n_buckets=64, base_hash="md5"
+    ).select("doc_id", "shuffle_pos")

@@ -121,3 +121,45 @@ def test_pack_sequences_stream_is_contiguous(docs):
             assert r["seq_last"] == (end - 1) // capacity
             assert r["seq_first"] <= r["seq_last"]
             offset = end
+
+
+# --- shuffle_order ----------------------------------------------------------
+
+
+def test_shuffle_order_is_a_permutation(spark):
+    from readwise_vector_db_spark.operators.sampling import shuffle_order
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = shuffle_order(df, seed="s1", n_buckets=16).collect()
+    poss = sorted(r["shuffle_pos"] for r in out)
+    assert poss == list(range(500))
+
+
+def test_shuffle_order_deterministic_across_partitioning(spark):
+    from readwise_vector_db_spark.operators.sampling import shuffle_order
+
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_order(df, seed="e").collect()}
+    b = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in shuffle_order(df.repartition(13), seed="e", n_buckets=8).collect()
+    }
+    # same seed + same bucket count -> identical positions regardless
+    # of input partitioning; a different bucket count is a different
+    # (still valid) permutation
+    b_same = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in shuffle_order(df.repartition(13), seed="e").collect()
+    }
+    assert a == b_same
+    assert sorted(b.values()) == list(range(300))
+
+
+def test_shuffle_order_seed_changes_order(spark):
+    from readwise_vector_db_spark.operators.sampling import shuffle_order
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_order(df, seed="x").collect()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_order(df, seed="y").collect()}
+    assert a != b  # overwhelmingly
+    assert sorted(a.values()) == sorted(b.values())
