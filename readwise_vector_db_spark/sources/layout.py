@@ -56,7 +56,6 @@ def zorder_key(
         raise ValueError("zorder_key needs at least one column")
     if not (1 <= bits * len(cols) <= 63):
         raise ValueError(f"bits*len(cols) must fit a long, got {bits * len(cols)}")
-    n = len(cols)
     buckets = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = float(hi) - float(lo)
@@ -72,6 +71,14 @@ def zorder_key(
         buckets.append(
             F.greatest(F.lit(0).cast("long"), F.least(F.lit((1 << bits) - 1).cast("long"), b))
         )
+    return _interleave(buckets, bits)
+
+
+def _interleave(buckets: list[Column], bits: int) -> Column:
+    """Morton-interleave pre-computed bucket columns (long, in
+    [0, 2^bits)): bit i of bucket c lands at output bit
+    ``i * len(buckets) + c``.  Pure shift/mask/or — codegen."""
+    n = len(buckets)
     parts = []
     for ci, b in enumerate(buckets):
         for i in range(bits):
@@ -88,30 +95,50 @@ def write_zordered(
     bits: int = 10,
     num_files: int = 16,
     rowgroup_bytes: int | None = None,
+    bucketing: str = "width",
 ) -> None:
     """Write ``df`` as parquet clustered on the Z-order curve of
-    ``cols``: one stats aggregate, a range repartition on the Morton
-    key (contiguous curve segments per file — the one shuffle this
-    costs), an in-partition sort, and a plain parquet write.  The key
-    column itself is dropped; the layout IS the artifact.
+    ``cols``: one stats pass, a range repartition on the Morton key
+    (contiguous curve segments per file — the one shuffle this costs),
+    an in-partition sort, and a plain parquet write.  The key column
+    itself is dropped; the layout IS the artifact.
+
+    ``bucketing="width"`` (default) buckets each column equi-width from
+    its [min, max] — one cheap aggregate, right for near-uniform keys.
+    ``bucketing="depth"`` buckets equi-DEPTH from ``approxQuantile``
+    boundaries applied by MLlib's ``Bucketizer`` (JVM binary search per
+    row, no Python in the key path): under heavy skew an equi-width
+    grid piles most rows into a handful of curve cells — each dominated
+    row group then spans the hot value AND tail values, so min/max
+    pruning dies; quantile buckets put ~equal row counts in every cell
+    and the tail stays prunable.  Cost: one approxQuantile pass per
+    column at write time; duplicate quantiles (a heavy hitter wider
+    than a bucket) collapse, which only coarsens that column's grid.
 
     ``rowgroup_bytes`` tightens parquet row groups below the default
     128 MiB block (``parquet.block.size``) so row-group pruning has
     granularity at fixture scale; a production table tunes file and
     row-group size with the same knob.
     """
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
-    ).collect()[0]
-    key = zorder_key(
-        cols,
-        [stats[f"lo_{c}"] for c in cols],
-        [stats[f"hi_{c}"] for c in cols],
-        bits=bits,
-    )
+    if bucketing not in ("width", "depth"):
+        raise ValueError(f"bucketing must be width|depth, got {bucketing!r}")
+    if bucketing == "depth":
+        work, bucket_cols = _depth_bucketed(df, cols, bits)
+        key = _interleave([F.col(b) for b in bucket_cols], bits)
+    else:
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        work = df
+        key = zorder_key(
+            cols,
+            [stats[f"lo_{c}"] for c in cols],
+            [stats[f"hi_{c}"] for c in cols],
+            bits=bits,
+        )
     writer = (
-        df.withColumn("_z", key)
+        work.withColumn("_z", key)
         .repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
         .select(*df.columns)
@@ -120,6 +147,49 @@ def write_zordered(
     if rowgroup_bytes is not None:
         writer = writer.option("parquet.block.size", rowgroup_bytes)
     writer.parquet(path)
+
+
+def _depth_bucketed(
+    df: DataFrame, cols: list[str], bits: int
+) -> tuple[DataFrame, list[str]]:
+    """Equi-depth bucket columns for the Z-order key: approxQuantile
+    boundaries (driver-side, ≤ 2^bits-1 doubles per column) applied by
+    MLlib ``Bucketizer`` — a JVM-side binary search per row, keeping
+    the key computation out of Python.  NULLs route through
+    handleInvalid="keep" (the extra trailing bucket) and are then
+    mapped to bucket 0 so they cluster at the curve origin like the
+    equi-width path."""
+    from pyspark.ml.feature import Bucketizer
+
+    work = df
+    bucket_cols = []
+    for i, c in enumerate(cols):
+        dcol, bcol = f"_zd_{i}", f"_zb_{i}"
+        work = work.withColumn(dcol, F.col(c).cast("double"))
+        probs = [j / (1 << bits) for j in range(1, 1 << bits)]
+        qs = work.stat.approxQuantile(dcol, probs, 1.0 / (1 << (bits + 2)))
+        splits = [float("-inf")] + sorted(set(qs)) + [float("inf")]
+        if len(splits) < 3:  # constant column
+            work = work.withColumn(bcol, F.lit(0).cast("long"))
+            bucket_cols.append(bcol)
+            continue
+        bz = Bucketizer(
+            splits=splits, inputCol=dcol, outputCol=bcol + "_raw",
+            handleInvalid="keep",
+        )
+        work = bz.transform(work).withColumn(
+            bcol,
+            F.when(F.col(dcol).isNull(), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.col(bcol + "_raw").cast("long"),
+                    F.lit((1 << bits) - 1).cast("long"),
+                )
+            )
+            .cast("long"),
+        )
+        bucket_cols.append(bcol)
+    return work, bucket_cols
 
 
 def rowgroup_ranges(path: str, columns: list[str]) -> list[dict[str, tuple]]:

@@ -93,3 +93,47 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     assert sx > 0.9  # the sorted column prunes ~perfectly
     assert sy == 0.0  # the other column prunes nothing
     assert zx > 0.5 and zy > 0.5  # z-order prunes BOTH
+
+
+def test_depth_bucketing_preserves_content(spark, tmp_path):
+    df = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") * 13 % 500).alias("v")
+    )
+    path = str(tmp_path / "zd")
+    L.write_zordered(df, path, ["k", "v"], bits=6, num_files=4, bucketing="depth")
+    back = spark.read.parquet(path)
+    assert back.columns == ["k", "v"]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_depth_bucketing_beats_width_under_outlier_skew(spark, tmp_path):
+    """The textbook equi-width failure: 95% of x-values live in
+    [0, 1000) but rare outliers stretch the range to ~1e9, so the
+    equi-width grid puts the ENTIRE bulk into bucket 0 and selective
+    predicates inside the bulk prune nothing on x.  Equi-depth
+    (quantile) buckets spread the bulk across the grid and the same
+    predicate prunes most row groups."""
+    n = 40_000
+    base = spark.range(n).select(
+        F.when(
+            F.col("id") % 20 == 0,
+            F.xxhash64("id").bitwiseAND(F.lit(0x7FFFFFFF)) % 1_000_000_000,
+        )
+        .otherwise(F.xxhash64("id").bitwiseAND(F.lit(0x7FFFFFFF)) % 1_000)
+        .alias("x"),
+        (F.xxhash64("id", F.lit(2)).bitwiseAND(F.lit(0x7FFFFFFF)) % 10_000).alias("y"),
+    )
+    wpath, dpath = str(tmp_path / "w"), str(tmp_path / "d")
+    for path, mode in ((wpath, "width"), (dpath, "depth")):
+        L.write_zordered(
+            base, path, ["x", "y"], bits=8, num_files=4,
+            rowgroup_bytes=1 << 14, bucketing=mode,
+        )
+    wr = L.rowgroup_ranges(wpath, ["x", "y"])
+    dr = L.rowgroup_ranges(dpath, ["x", "y"])
+    # a 5%-wide slice INSIDE the bulk value range
+    w_bulk = L.pruned_fraction(wr, "x", 400, 450)
+    d_bulk = L.pruned_fraction(dr, "x", 400, 450)
+    assert d_bulk > w_bulk + 0.3, (w_bulk, d_bulk)
+    # and the depth layout still prunes the second column
+    assert L.pruned_fraction(dr, "y", 4000, 4500) > 0.3
