@@ -445,3 +445,39 @@ def semantic_dedup_batch_against_store(
     batch_kept.unpersist()
     base.unpersist()
     return stats
+
+
+def run_incremental_semantic_dedup(
+    spark: SparkSession,
+    stream_vecs: DataFrame,
+    store_root: str,
+    quantizer: list[tuple[int, list[float]]],
+    threshold: float = 0.999,
+    compact_every: int = 64,
+    **kwargs,
+):
+    """Streaming face of the semantic path — the embedding twin of
+    :func:`run_incremental_dedup`: each micro-batch runs
+    :func:`semantic_dedup_batch_against_store` against the store as of
+    its start (quantizer fixed — cell assignments stay stable across
+    the stream's lifetime, which is what makes the store a valid
+    index).  Same compaction cadence as the shingle path; the semantic
+    store needs no separate band index — the committed (id, v, n,
+    cluster) rows ARE the index, so compaction alone bounds read
+    fan-in."""
+    table = VersionedTable(store_root)
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        semantic_dedup_batch_against_store(
+            spark, batch_df, table, quantizer, threshold=threshold, **kwargs
+        )
+        v = table.latest_version() or 0
+        if compact_every and v % compact_every == 0 and v > 0:
+            table.compact(spark, target_files=spark.sparkContext.defaultParallelism)
+
+    return (
+        stream_vecs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{store_root}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

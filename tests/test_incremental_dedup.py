@@ -427,3 +427,49 @@ def test_semantic_incremental_requires_long_ids_and_skips_nulls(spark, tmp_path)
     rows = [(1, [1.0, 0.0, 0.0, 0.0] * 16), (2, None)]
     s = semantic_dedup_batch_against_store(spark, _sem_batch(spark, rows), table, q)
     assert s["batch_raw"] == 2 and s["accepted"] == 1
+
+
+def test_semantic_streaming_face_drains_and_dedups(spark, tmp_path):
+    """foreachBatch wiring for the semantic path: a file-source stream
+    whose increments contain exact replicas of earlier rows ends with
+    the same store a sequential batch run produces."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        run_incremental_semantic_dedup,
+    )
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    q = _sem_quantizer(spark)
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    # remap base ids to 1..8 so the min-id survivor rule favors base
+    # rows regardless of how the file source batches the increments
+    base = [
+        (i + 1, list(r["embedding"])) for i, r in enumerate(embs.limit(8).collect())
+    ]
+    # the second file replays half of file 1 under HIGHER ids plus two
+    # fresh rows
+    fresh = [
+        (201, [float(i) for i in range(len(base[0][1]))]),
+        (202, [float(-i) for i in range(len(base[0][1]))]),
+    ]
+    src = str(tmp_path / "vec_incoming")
+    _sem_batch(spark, base).coalesce(1).write.parquet(src)
+    _sem_batch(
+        spark, [(100 + i, v) for i, (_, v) in enumerate(base[:4])] + fresh
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    store_root = str(tmp_path / "semstream")
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_incremental_semantic_dedup(
+        spark, stream, store_root, q
+    ).awaitTermination(120)
+
+    got = VersionedTable(store_root).read(spark)
+    ids = {r["vec_id"] for r in got.collect()}
+    # all 8 base rows + the 2 fresh rows; no replayed twin accepted
+    assert {i for i, _ in base} <= ids
+    assert {201, 202} <= ids
+    assert len(ids) == 10
