@@ -186,6 +186,15 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, list[int]]:
     color after the frame."""
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad signature")
+    try:
+        return _decode_gif_checked(data)
+    except (IndexError, struct.error) as e:
+        # out-of-bounds reads on a syntactically broken stream surface
+        # as the same loud typed error as every other reject
+        raise ValueError(f"GIF stream truncated or malformed: {e}") from e
+
+
+def _decode_gif_checked(data: bytes) -> tuple[np.ndarray, list[int]]:
     w, h, packed, bg_idx, _ = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     global_pal = None

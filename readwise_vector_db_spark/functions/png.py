@@ -100,13 +100,19 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG: bad signature")
     pos, idat, ihdr = 8, bytearray(), None
     while pos < len(data):
+        if pos + 12 > len(data):
+            raise ValueError("PNG stream truncated mid-chunk")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"PNG chunk {tag!r}: truncated body")
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("PNG IHDR must be 13 bytes")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat += body
@@ -124,7 +130,10 @@ def decode_png(data: bytes) -> np.ndarray:
         raise NotImplementedError("interlaced (Adam7) PNG unsupported")
     ch = _CHANNELS[color_type]
     bpp, stride = ch, w * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length does not match dimensions")
     out = bytearray(h * stride)

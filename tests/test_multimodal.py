@@ -424,3 +424,71 @@ def test_frame_features_samples_real_frames(spark):
     ]
     for r in rows:
         assert np.allclose(r["features"], mm.pixel_features(fr[r["frame_idx"]]), atol=1e-6)
+
+
+# --- codec property fuzz (hypothesis) ---------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    n=st.integers(1, 4),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    colors=st.integers(1, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(n, h, w, colors, seed):
+    """Any palette size, any dims, any frame count ≤ 4: encode→decode
+    is the identity.  Exercises LZW code-width transitions at every
+    min_code_size and the single-pixel / single-color degeneracies."""
+    from readwise_vector_db_spark.functions import gif
+
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, colors, size=(n, h, w), dtype=np.int64)
+    # map bucket -> distinct colors so the palette has `colors` entries max
+    fr = np.stack(
+        [vals % 256, (vals * 7) % 256, (vals * 13) % 256], axis=-1
+    ).astype(np.uint8)
+    out, delays = gif.decode_gif(gif.encode_gif(fr, [10 * (i + 1) for i in range(n)]))
+    assert out.shape == fr.shape
+    assert np.array_equal(out, fr)
+    assert delays == [10 * (i + 1) for i in range(n)]
+
+
+@given(
+    n=st.integers(1, 2000),
+    ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    bits=st.sampled_from([8, 16]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, ch, rate, bits, seed):
+    from readwise_vector_db_spark.functions import wav
+
+    rng = np.random.RandomState(seed)
+    s = rng.uniform(-1, 1, size=(n, ch))
+    out, got_rate = wav.decode_wav(wav.encode_wav(s, sample_rate=rate, bits=bits))
+    assert got_rate == rate
+    assert out.shape == (n, ch)
+    assert np.allclose(out, s, atol=(1 / 250 if bits == 8 else 1e-4))
+
+
+@given(data=st.binary(min_size=0, max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_codecs_never_garble_garbage(data):
+    """Arbitrary bytes either decode (only if they really are a valid
+    stream) or raise a loud typed error — never crash with an
+    unexpected exception class, never return silently wrong shapes."""
+    from readwise_vector_db_spark.functions import gif, png, wav
+
+    for decode in (gif.decode_gif, wav.decode_wav, png.decode_png):
+        try:
+            decode(data)
+        except (ValueError, NotImplementedError):
+            pass
+
