@@ -55,6 +55,8 @@ def curate_corpus(
     semantic_quantizer: list[tuple[int, list[float]]] | None = None,
     boilerplate_min_df_frac: float | None = None,
     boilerplate_seg_words: int = 8,
+    quality_model=None,
+    quality_model_tau: float = 0.5,
 ) -> dict[str, float]:
     """Run the curation funnel over ``documents``; commit survivors to a
     VersionedTable at ``out_root``.  Returns per-stage surviving counts —
@@ -112,9 +114,23 @@ def curate_corpus(
     # traversed by the stats aggregate AND every downstream stage
     # (exact_dedup alone reads it twice).  At 100 TB this is the
     # materialized post-scoring corpus a real pipeline writes anyway.
-    flagged = docs.withColumn(
-        "_q_ok", F.round(T.quality_score("text"), 6) >= min_quality
-    ).withColumn("_l_ok", T.lang_id("text") == lang).persist()
+    # quality flag: the heuristic score, optionally AND a trained
+    # classifier (operators/quality_model.py — the GPT-3-recipe LR over
+    # hashed features).  The model transform is a broadcast-coefficient
+    # map, so it fuses into the same single scoring pass; its
+    # probability column is dropped before the funnel continues.
+    q_ok = F.round(T.quality_score("text"), 6) >= min_quality
+    if quality_model is not None:
+        from pyspark.ml.functions import vector_to_array
+
+        docs = quality_model.transform(docs)
+        docs = docs.withColumn(
+            "_m_ok", vector_to_array("probability")[1] >= quality_model_tau
+        ).drop("_toks", "_feat", "rawPrediction", "probability", "prediction")
+        q_ok = q_ok & F.col("_m_ok")
+    flagged = docs.withColumn("_q_ok", q_ok).withColumn(
+        "_l_ok", T.lang_id("text") == lang
+    ).drop("_m_ok").persist()
     head = flagged.agg(
         F.count(F.lit(1)).alias("raw"),
         F.sum(F.col("_q_ok").cast("long")).alias("after_quality"),

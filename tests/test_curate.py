@@ -93,3 +93,29 @@ def test_curate_corpus_boilerplate_stage(spark, tmp_path):
     assert committed.filter(F.col("text").contains(header)).count() == 0
     # metadata columns rode through the stage
     assert {"lang", "source", "n_chars"} <= set(committed.columns)
+
+
+def test_curate_corpus_quality_model_stage(spark, tmp_path):
+    """Optional trained-classifier gate: junk docs that pass the
+    heuristic filter are removed once the model stage is on."""
+    from readwise_vector_db_spark.operators.quality_model import train_quality_model
+    from tests.test_quality_model import _corpora
+
+    good, bad = _corpora(spark)
+    model = train_quality_model(good, bad)
+    base = curate_corpus(spark, SF_SMOKE, str(tmp_path / "base"))
+    gated = curate_corpus(
+        spark, SF_SMOKE, str(tmp_path / "gated"), quality_model=model
+    )
+    # fixture docs are the model's own "good" distribution: the gate
+    # must not decimate them...
+    assert gated["after_quality"] >= 0.8 * base["after_quality"]
+    # ...and monotone accounting still holds through the gated funnel
+    assert (
+        gated["raw"]
+        >= gated["after_quality"]
+        >= gated["after_lang"]
+        >= gated["after_exact_dedup"]
+        >= gated["after_near_dup"]
+        > 0
+    )
