@@ -94,6 +94,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         min_quality=args.min_quality,
         lang=args.lang,
         near_dup_threshold=args.near_dup_threshold,
+        semantic_threshold=args.semantic_threshold,
+        boilerplate_min_df_frac=args.boilerplate_min_df_frac,
     )
     print(json.dumps(stats))
     return 0
@@ -148,6 +150,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--min-quality", type=float, default=0.4)
     c.add_argument("--lang", default="en")
     c.add_argument("--near-dup-threshold", type=float, default=0.6)
+    c.add_argument(
+        "--semantic-threshold", type=float, default=None,
+        help="enable the SemDeDup embedding stage at this cosine threshold",
+    )
+    c.add_argument(
+        "--boilerplate-min-df-frac", type=float, default=None,
+        help="enable the CCNet boilerplate pass: drop word segments "
+        "present in at least this fraction of documents",
+    )
     c.set_defaults(fn=_cmd_curate)
 
     h = sub.add_parser("http", help="HTTP POST /search + SSE /mcp/stream server")
