@@ -1,0 +1,223 @@
+"""Product quantization (PQ) — byte-coded vectors with ADC scanning.
+
+SQ8 (functions/vector.py) compresses each DIMENSION to a byte — 4×
+over float32.  Product quantization compresses each VECTOR to ``m``
+bytes regardless of dimensionality: split the vector into ``m``
+subvectors, learn a 256-centroid codebook per subspace, store only the
+m centroid ids.  A 3072-d embedding becomes 16–64 bytes — the
+compression regime that keeps a 100 TB corpus's vectors RAM-resident
+across a cluster, and the core of the public FAISS IVF-PQ design
+(Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011).
+
+Query-time scoring is **asymmetric distance computation (ADC)**: the
+query stays exact; one ``m × 256`` lookup table of
+subspace-inner-products is computed per query (m·256·(d/m) = d·256
+multiplies — microseconds, driver-side) and broadcast; each corpus
+row's score is then ``sum(LUT[j, code[j]])`` — m table lookups and
+adds, no float math against the original vector, which is never read.
+
+Scale shape: codebooks train on a driver-side SAMPLE (the FAISS
+practice — 256 centroids per subspace saturate long before millions of
+training rows), encoding is one vectorized mapInPandas pass (gemm per
+subspace), and the scan ships only (id, m bytes) — compose with the
+IVF layout (operators/similarity.py) for cell pruning on top, exactly
+IVF-PQ.  Scores are approximate; ``rescore=`` re-ranks the top
+candidates with the exact JVM fold so the returned scores are true
+cosines (the knn_join_blocked pattern).
+
+No reference counterpart (the reference's pgvector HNSW stores full
+vectors) — north-star scope, SURVEY §2.7.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _kmeans_np(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd's k-means (numpy): k centroids of x."""
+    rng = np.random.RandomState(seed)
+    n = x.shape[0]
+    if n <= k:
+        # degenerate: every point its own centroid, pad by repeating
+        reps = x[rng.choice(n, size=k, replace=True)]
+        reps[: min(n, k)] = x[: min(n, k)]
+        return reps
+    cents = x[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        # (n, k) distances via the expansion trick; argmin per row
+        d2 = ((x**2).sum(1)[:, None] - 2 * x @ cents.T + (cents**2).sum(1)[None, :])
+        assign = d2.argmin(1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cents[j] = x[mask].mean(0)
+    return cents
+
+
+def train_pq_codebooks(
+    vecs: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    sample_rows: int = 20_000,
+    iters: int = 12,
+    seed: int = 7,
+) -> list[np.ndarray]:
+    """Learn ``m`` codebooks of ``k`` centroids each from (a sample of)
+    the corpus.  Vectors are l2-normalized before splitting so ADC
+    inner products sum to the cosine; d must divide by m.  Returns a
+    list of (k, d/m) float32 arrays — the whole model is m·k·(d/m) =
+    k·d floats, broadcastable anywhere."""
+    sample = (
+        vecs.select(F.col(vec_col).cast("array<float>").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in sample], dtype=np.float32)
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError("train_pq_codebooks needs a non-empty vector column")
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    sub = d // m
+    return [
+        _kmeans_np(
+            np.ascontiguousarray(x[:, j * sub : (j + 1) * sub], dtype=np.float64),
+            k,
+            iters,
+            seed + j,
+        ).astype(np.float32)
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebooks: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code array<int>): each vector l2-normalized, split into
+    m subvectors, each assigned its nearest codebook centroid — one
+    vectorized gemm per subspace per Arrow batch, map-only."""
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    books = [np.asarray(b, dtype=np.float32) for b in codebooks]
+
+    schema = T.StructType(
+        [
+            T.StructField("pq_id", T.LongType(), False),
+            T.StructField("pq_code", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray(list(pdf["v"]), dtype=np.float32)
+            if x.size == 0:
+                yield pd.DataFrame({"pq_id": [], "pq_code": []})
+                continue
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for j, b in enumerate(books):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (xs**2).sum(1)[:, None]
+                    - 2 * xs @ b.T
+                    + (b**2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"pq_id": pdf["id"].values, "pq_code": list(codes)}
+            )
+
+    base = vecs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<float>").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    return base.mapInPandas(run, schema=schema).select(
+        F.col("pq_id").alias(id_col), "pq_code"
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    query: list[float],
+    codebooks: list[np.ndarray],
+    k: int = 10,
+    id_col: str = "vec_id",
+    rescore: DataFrame | None = None,
+    vec_col: str = "embedding",
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """Top-k by ADC over the byte codes: (id, score) with score =
+    approximate cosine similarity (sum of per-subspace LUT entries).
+
+    With ``rescore=`` (a frame carrying the original vectors), the top
+    ``k * rescore_factor`` ADC candidates are re-ranked by the exact
+    JVM cosine fold and the returned ``score`` is the TRUE cosine —
+    ADC then only has to get the right vectors into the candidate set,
+    the standard two-stage PQ serving shape."""
+    m = len(codebooks)
+    q = np.asarray(query, dtype=np.float32)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    sub = codebooks[0].shape[1]
+    lut = np.stack(
+        [codebooks[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
+    ).astype(np.float32)  # (m, k_centroids)
+
+    schema = T.StructType(
+        [
+            T.StructField("adc_id", T.LongType(), False),
+            T.StructField("adc_score", T.FloatType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"adc_id": [], "adc_score": []})
+                continue
+            c = np.asarray(list(pdf["pq_code"]), dtype=np.int64)  # (n, m)
+            scores = lut[np.arange(m)[None, :], c].sum(1)
+            yield pd.DataFrame(
+                {"adc_id": pdf["id"].values, "adc_score": scores}
+            )
+
+    fetch = k * rescore_factor if rescore is not None else k
+    adc = (
+        codes.select(F.col(id_col).cast("long").alias("id"), "pq_code")
+        .mapInPandas(run, schema=schema)
+        .orderBy(F.col("adc_score").desc(), F.col("adc_id"))
+        .limit(fetch)
+        .select(F.col("adc_id").alias(id_col), F.col("adc_score"))
+    )
+    if rescore is None:
+        return adc.select(
+            F.col(id_col), F.round(F.col("adc_score"), 6).alias("score")
+        )
+    from readwise_vector_db_spark.functions.vector import cosine_similarity
+
+    qlit = F.lit([float(x) for x in q.tolist()]).cast("array<double>")
+    exact = (
+        rescore.join(F.broadcast(adc.select(id_col)), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col).cast("array<double>"), qlit), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return exact

@@ -1,0 +1,106 @@
+"""Product quantization: codebooks, encoding, ADC recall, exact-on-
+reconstruction property (operators/pq.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.operators import pq
+from readwise_vector_db_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").persist()
+
+
+@pytest.fixture(scope="module")
+def books(spark, embs):
+    return pq.train_pq_codebooks(embs, m=8, k=32, sample_rows=5000)
+
+
+def _exact_topk(spark, embs, q, k):
+    from readwise_vector_db_spark.functions.vector import cosine_similarity
+
+    qn = np.asarray(q, dtype=np.float64)
+    qn = (qn / np.linalg.norm(qn)).tolist()
+    return [
+        r["vec_id"]
+        for r in embs.select(
+            "vec_id",
+            cosine_similarity(
+                F.col("embedding").cast("array<double>"),
+                F.lit(qn).cast("array<double>"),
+            ).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_codebook_shapes_and_validation(spark, embs, books):
+    assert len(books) == 8
+    d = len(embs.first()["embedding"])
+    assert all(b.shape == (32, d // 8) for b in books)
+    with pytest.raises(ValueError, match="divisible"):
+        pq.train_pq_codebooks(embs, m=7)
+
+
+def test_encode_is_total_and_deterministic(spark, embs, books):
+    codes = pq.pq_encode(embs, books)
+    n = embs.filter(F.col("embedding").isNotNull()).count()
+    rows = codes.collect()
+    assert len(rows) == n
+    assert all(len(r["pq_code"]) == 8 for r in rows)
+    assert all(0 <= c < 32 for r in rows for c in r["pq_code"])
+    again = {r["vec_id"]: r["pq_code"] for r in pq.pq_encode(embs, books).collect()}
+    assert {r["vec_id"]: r["pq_code"] for r in rows} == again
+
+
+def test_adc_matches_reconstruction_inner_product(spark, books):
+    """The ADC score must equal ``dot(reconstruction(codes), q_norm)``
+    exactly — recomputed here from the codes the encoder actually
+    produced, pinning the LUT indexing and summation independent of
+    which centroids got picked."""
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(len(books) * books[0].shape[1])])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = {r["vec_id"]: r["pq_code"] for r in pq.pq_encode(df, books).collect()}
+    q = np.asarray(rows[7][1], dtype=np.float32)
+    qn = q / np.linalg.norm(q)
+    got = {
+        r["vec_id"]: r["score"]
+        for r in pq.pq_search(
+            pq.pq_encode(df, books), list(q), books, k=40
+        ).collect()
+    }
+    for i, code in codes.items():
+        recon = np.concatenate([books[j][code[j]] for j in range(len(books))])
+        want = float(np.dot(recon, qn))
+        assert abs(got[i] - want) < 1e-4, (i, got[i], want)
+
+
+def test_pq_recall_and_rescore(spark, embs, books):
+    q = list(embs.orderBy("vec_id").first()["embedding"])
+    exact = _exact_topk(spark, embs, q, 10)
+    codes = pq.pq_encode(embs, books).persist()
+    adc = [r["vec_id"] for r in pq.pq_search(codes, q, books, k=10).collect()]
+    recall = len(set(adc) & set(exact)) / 10
+    assert recall >= 0.5, recall  # raw ADC on a 32-centroid toy model
+    rescored = pq.pq_search(
+        codes, q, books, k=10, rescore=embs, rescore_factor=8
+    ).collect()
+    r_ids = [r["vec_id"] for r in rescored]
+    r_recall = len(set(r_ids) & set(exact)) / 10
+    assert r_recall >= 0.8, r_recall
+    # rescored scores are true cosines, descending
+    scores = [r["score"] for r in rescored]
+    assert scores == sorted(scores, reverse=True)
+    codes.unpersist()
