@@ -59,6 +59,7 @@ HEADLINE = [
     "knn_join_blocked",
     "ann_ivf_planted",  # index BUILD trend (retired extra; probe is the serving row)
     "ann_ivf_probe",
+    "pq_probe",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_lsh_embedding",
@@ -94,14 +95,20 @@ def main() -> None:
     # kept-for-trend build row must be on the driver-checked surface
     missing = [n for n in HEADLINE if n not in qs]
     assert not missing, f"bench names not registered: {missing}"
-    # ann_ivf_planted / dedup_semantic_probe / boilerplate_removal:
-    # kept-for-trend extras (the BUILD row, the quantizer-probe serving
-    # row, and the round-6 CCNet boilerplate pass); all pass the
-    # stricter local oracle gate (tools/oracle_check.py)
+    # ann_ivf_planted / dedup_semantic_probe / boilerplate_removal /
+    # pq_probe: kept-for-trend extras (the BUILD row, the quantizer-probe
+    # serving row, the round-6 CCNet boilerplate pass, and the PQ ADC
+    # serving row); all pass the stricter local oracle gate
+    # (tools/oracle_check.py)
     off_surface = [
         n for n in HEADLINE
         if n not in main_queries()
-        and n not in ("ann_ivf_planted", "dedup_semantic_probe", "boilerplate_removal")
+        and n not in (
+            "ann_ivf_planted",
+            "dedup_semantic_probe",
+            "boilerplate_removal",
+            "pq_probe",
+        )
     ]
     assert not off_surface, f"bench names not on the driver surface: {off_surface}"
 

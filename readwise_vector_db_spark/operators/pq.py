@@ -150,6 +150,45 @@ def pq_encode(
     )
 
 
+def save_pq_index(
+    codes: DataFrame,
+    codebooks: list[np.ndarray],
+    path: str,
+) -> None:
+    """Persist the PQ index as a serving artifact: the byte codes as
+    parquet (the whole scannable corpus state — m ints per row) plus the
+    codebooks as one (subspace, centroid, vec) table.  Mirrors
+    ``save_ivf_index`` (similarity.py): the train+encode pass is the
+    offline job; serving processes only ever ``load_pq_index`` and pay
+    ADC probe cost."""
+    spark = codes.sparkSession
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    rows = [
+        (j, c, [float(x) for x in b[c]])
+        for j, b in enumerate(codebooks)
+        for c in range(b.shape[0])
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, centroid int, vec array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, list[np.ndarray]]:
+    """(codes, codebooks) from a :func:`save_pq_index` layout.  The
+    codebook table is driver-side model metadata (m·k rows, k·d floats
+    total); codes scan lazily."""
+    codes = spark.read.parquet(f"{path}/codes")
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in cb)
+    books = []
+    for j in range(m):
+        ents = sorted(
+            (r["centroid"], r["vec"]) for r in cb if r["subspace"] == j
+        )
+        books.append(np.asarray([v for _, v in ents], dtype=np.float32))
+    return codes, books
+
+
 def pq_search(
     codes: DataFrame,
     query: list[float],

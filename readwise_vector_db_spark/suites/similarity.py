@@ -246,6 +246,125 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_probe_rows(spark, sf_dir, assigned, centroids)
 
 
+# PQ planted oracle: pq_search returns SIMILARITY (1.0 for a planted
+# duplicate) where the IVF entries return distance (0.0) — same exactness
+# argument as _PLANTED_SQL: no natural corpus pair rounds to cosine 1.0
+# at 6dp (proven by the green IVF rows), so the expectation is exact.
+_PQ_PLANTED_SQL = """
+    SELECT vec_id AS query_id, vec_id AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS score
+    FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+    UNION ALL
+    SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS score
+    FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+    """
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ plants: every query vector (vec_id < 5) re-injected as
+    vec_id+1000000 — identical vectors get identical PQ codes, so both
+    rows share the corpus-max ADC score and survive candidate selection."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    is_query = (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    dups = embs.filter(is_query).withColumn("vec_id", F.col("vec_id") + 1000000)
+    return embs.unionByName(dups)
+
+
+def _planted_pq_rows(
+    spark: SparkSession, sf_dir: str, codes: DataFrame, books
+) -> DataFrame:
+    """Shared probe loop: 5 queries through ADC + exact rescore over the
+    planted corpus, keeping only the similarity-1.0 rows the oracle
+    expects (the original and its plant)."""
+    from readwise_vector_db_spark.operators import pq
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = _planted_corpus(spark, sf_dir)
+    is_query = (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    qrows = embs.filter(is_query).select("vec_id", "embedding").collect()
+    parts = []
+    for r in qrows:
+        res = pq.pq_search(
+            codes,
+            [float(x) for x in r["embedding"]],
+            books,
+            k=10,
+            rescore=corpus,
+            rescore_factor=8,
+        )
+        parts.append(
+            res.filter(F.col("score") == 1.0).select(
+                F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
+                F.col("vec_id").cast("long").alias("neighbor_id"),
+                (F.col("score") + F.lit(0.0)).alias("score"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register_extra("pq_planted", _PQ_PLANTED_SQL)
+def pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-duplicate check for product quantization (operators/pq.py),
+    hash-checked: codebooks trained and corpus encoded IN the query (the
+    BUILD trend row, like ``ann_ivf_planted``), then 5 queries scanned by
+    ADC with exact rescore.  A planted pair shares its original's byte
+    code, so both rows carry the corpus-max true cosine and MUST come
+    back at similarity 1.0; graded recall stays in tests/test_pq.py."""
+    from readwise_vector_db_spark.operators import pq
+
+    corpus = _planted_corpus(spark, sf_dir)
+    books = pq.train_pq_codebooks(corpus, m=8, k=256)
+    codes = pq.pq_encode(corpus, books).persist()
+    return _planted_pq_rows(spark, sf_dir, codes, books)
+
+
+def planted_pq_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the saved planted PQ index for ``sf_dir`` —
+    same race-safe stage+rename publish as :func:`planted_ivf_artifact`
+    (deterministic build, marker inside the renamed dir)."""
+    from readwise_vector_db_spark.operators import pq
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}:{int(st.st_mtime)}"
+        f"|pq8x256|v{_IVF_ARTIFACT_VERSION}".encode()
+    ).hexdigest()[:16]
+    path = f"{_IVF_ARTIFACT_ROOT}/{key}"
+    marker = f"{path}/_BUILT"
+    if not os.path.exists(marker):
+        corpus = _planted_corpus(spark, sf_dir)
+        books = pq.train_pq_codebooks(corpus, m=8, k=256)
+        codes = pq.pq_encode(corpus, books)
+        stage = f"{path}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        pq.save_pq_index(codes, books, stage)
+        open(f"{stage}/_BUILT", "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+@register_extra("pq_probe", _PQ_PLANTED_SQL)
+def pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING path of the PQ index: load persisted byte codes +
+    codebooks (``save_pq_index``/``load_pq_index``) and ADC-scan them —
+    no k-means, no encoding in the query path.  The scan ships m=8 ints
+    per row instead of the 64-float vector (the compression regime that
+    keeps a 100 TB corpus's vectors RAM-resident); exact rescore touches
+    only the 80-row candidate set.  Same planted oracle as
+    ``pq_planted``, so the probe is value-hash-checked."""
+    from readwise_vector_db_spark.operators import pq
+
+    path = planted_pq_artifact(spark, sf_dir)
+    codes, books = pq.load_pq_index(spark, path)
+    return _planted_pq_rows(spark, sf_dir, codes, books)
+
+
 _STQ_TEXT = "spark query window merge"
 # The embedder is deterministic pure Python (seeded hashing projection,
 # functions/embedder.py), so the query vector is computable at import time

@@ -87,6 +87,25 @@ def test_adc_matches_reconstruction_inner_product(spark, books):
         assert abs(got[i] - want) < 1e-4, (i, got[i], want)
 
 
+def test_save_load_roundtrip(spark, embs, books, tmp_path):
+    codes = pq.pq_encode(embs, books)
+    pq.save_pq_index(codes, books, str(tmp_path / "pqidx"))
+    codes2, books2 = pq.load_pq_index(spark, str(tmp_path / "pqidx"))
+    assert len(books2) == len(books)
+    for a, b in zip(books, books2):
+        assert np.allclose(a, b)
+    want = {r["vec_id"]: r["pq_code"] for r in codes.collect()}
+    got = {r["vec_id"]: r["pq_code"] for r in codes2.collect()}
+    assert want == got
+    # a probe over the loaded index returns the same rows as the built one
+    q = list(embs.orderBy("vec_id").first()["embedding"])
+    a = pq.pq_search(codes, q, books, k=5).collect()
+    b = pq.pq_search(codes2, q, books2, k=5).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
+
+
 def test_pq_recall_and_rescore(spark, embs, books):
     q = list(embs.orderBy("vec_id").first()["embedding"])
     exact = _exact_topk(spark, embs, q, 10)
