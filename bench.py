@@ -60,6 +60,7 @@ HEADLINE = [
     "ann_ivf_planted",  # index BUILD trend (retired extra; probe is the serving row)
     "ann_ivf_probe",
     "pq_probe",
+    "ivfpq_probe",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_lsh_embedding",
@@ -108,6 +109,7 @@ def main() -> None:
             "dedup_semantic_probe",
             "boilerplate_removal",
             "pq_probe",
+            "ivfpq_probe",
         )
     ]
     assert not off_surface, f"bench names not on the driver surface: {off_surface}"

@@ -189,6 +189,158 @@ def load_pq_index(spark, path: str) -> tuple[DataFrame, list[np.ndarray]]:
     return codes, books
 
 
+def ivfpq_encode(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[np.ndarray],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, pq_code): coarse-quantizer cell + PQ byte code in
+    ONE map-only Arrow pass (a gemm against the centroid matrix for the
+    cell — same argmin semantics as ``assign_cells(method="blas")`` —
+    plus one gemm per subspace for the code).  No join, no shuffle; the
+    write side partitions by ``cluster`` so probes prune directories.
+
+    This is FAISS IVF-PQ's layout half (Jégou et al. 2011) over parquet:
+    codes are computed on the l2-normalized vector (not the residual) so
+    the same codebooks serve both the flat and the IVF-composed scan and
+    ADC sums stay cosines."""
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    books = [np.asarray(b, dtype=np.float32) for b in codebooks]
+    ordered = sorted(centroids)
+    cell_ids = np.asarray([int(c) for c, _ in ordered], dtype=np.int64)
+    cmat = np.asarray([v for _, v in ordered], dtype=np.float64)
+    c_sq = (cmat * cmat).sum(axis=1)
+
+    schema = T.StructType(
+        [
+            T.StructField("pq_id", T.LongType(), False),
+            T.StructField("cluster", T.IntegerType(), False),
+            T.StructField("pq_code", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = np.asarray(list(pdf["v"]), dtype=np.float64)
+            if raw.size == 0:
+                yield pd.DataFrame({"pq_id": [], "cluster": [], "pq_code": []})
+                continue
+            # cell on the RAW vector (KMeans.transform semantics —
+            # ‖x‖² is argmin-invariant, skip it)
+            cells = cell_ids[np.argmin(c_sq[None, :] - 2.0 * (raw @ cmat.T), 1)]
+            x = raw.astype(np.float32)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for j, b in enumerate(books):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (xs**2).sum(1)[:, None]
+                    - 2 * xs @ b.T
+                    + (b**2).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "pq_id": pdf["id"].values,
+                    "cluster": cells.astype(np.int32),
+                    "pq_code": list(codes),
+                }
+            )
+
+    base = vecs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<float>").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    return base.mapInPandas(run, schema=schema).select(
+        F.col("pq_id").alias(id_col), "cluster", "pq_code"
+    )
+
+
+def save_ivfpq_index(
+    codes: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[np.ndarray],
+    path: str,
+) -> None:
+    """Persist the composed index: codes ``partitionBy("cluster")`` (a
+    probe's cluster IN-filter becomes partition pruning — nprobe/k of
+    the directories are read, each row m bytes instead of d floats),
+    plus the centroid and codebook tables (driver-side metadata)."""
+    spark = codes.sparkSession
+    codes.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [
+        (j, c, [float(x) for x in b[c]])
+        for j, b in enumerate(codebooks)
+        for c in range(b.shape[0])
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, centroid int, vec array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_ivfpq_index(spark, path: str):
+    """(codes, centroids, codebooks) from :func:`save_ivfpq_index`."""
+    codes = spark.read.parquet(f"{path}/codes")
+    cent = spark.read.parquet(f"{path}/centroids").collect()
+    centroids = sorted(
+        (int(r["cluster"]), [float(x) for x in r["centroid"]]) for r in cent
+    )
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in cb)
+    books = []
+    for j in range(m):
+        ents = sorted((r["centroid"], r["vec"]) for r in cb if r["subspace"] == j)
+        books.append(np.asarray([v for _, v in ents], dtype=np.float32))
+    return codes, centroids, books
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[np.ndarray],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    rescore: DataFrame | None = None,
+    vec_col: str = "embedding",
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ probe: rank centroids by cosine distance to the query
+    driver-side (index metadata, same policy as ``ivf_search``), filter
+    the code table to the ``nprobe`` nearest cells — partition pruning
+    over a :func:`save_ivfpq_index` layout — then ADC-scan only those
+    cells.  Pure composition: the scan half IS :func:`pq_search`."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def cos_dist(c: list[float]) -> float:
+        cv = np.asarray(c, dtype=np.float64)
+        denom = float(np.linalg.norm(cv)) * qn
+        return 1.0 - float(cv @ q) / denom if denom > 0 else 1.0
+
+    probe = sorted(centroids, key=lambda t: (cos_dist(t[1]), t[0]))[:nprobe]
+    probe_ids = [cid for cid, _ in probe]
+    pruned = codes.filter(F.col("cluster").isin(probe_ids)).select(id_col, "pq_code")
+    return pq_search(
+        pruned,
+        query,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        rescore=rescore,
+        vec_col=vec_col,
+        rescore_factor=rescore_factor,
+    )
+
+
 def pq_search(
     codes: DataFrame,
     query: list[float],

@@ -365,6 +365,79 @@ def pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_pq_rows(spark, sf_dir, codes, books)
 
 
+def planted_ivfpq_artifact(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the saved planted IVF-PQ index for ``sf_dir``
+    (coarse KMeans(16) + PQ 8×256 codebooks, codes partitioned by
+    cluster) — same race-safe publish as the other artifacts."""
+    from readwise_vector_db_spark.operators import pq
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}:{int(st.st_mtime)}"
+        f"|ivfpq16x8x256|v{_IVF_ARTIFACT_VERSION}".encode()
+    ).hexdigest()[:16]
+    path = f"{_IVF_ARTIFACT_ROOT}/{key}"
+    marker = f"{path}/_BUILT"
+    if not os.path.exists(marker):
+        corpus = _planted_corpus(spark, sf_dir)
+        _, centroids = sim.build_ivf_index(corpus, n_clusters=16)
+        books = pq.train_pq_codebooks(corpus, m=8, k=256)
+        codes = pq.ivfpq_encode(corpus, centroids, books)
+        stage = f"{path}.stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        pq.save_ivfpq_index(codes, centroids, books, stage)
+        open(f"{stage}/_BUILT", "w").close()
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+@register_extra("ivfpq_probe", _PQ_PLANTED_SQL)
+def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-style serving path — IVF partition pruning ON
+    TOP OF PQ byte codes (operators/pq.py ``ivfpq_search``): a probe
+    reads nprobe/16 of the partition DIRECTORIES, each row m=8 ints
+    instead of d floats, ADC-scans the pruned cells, and exact-rescores
+    only the candidate set.  At 100 TB this is the ANN configuration
+    that matters: both the fraction of data touched AND the bytes per
+    row touched shrink multiplicatively.  A planted pair co-assigns with
+    its original (identical vectors, identical cell), the query's
+    nearest centroid is probed first, so both similarity-1.0 rows MUST
+    return — the same exact oracle as ``pq_planted``."""
+    from readwise_vector_db_spark.operators import pq
+
+    path = planted_ivfpq_artifact(spark, sf_dir)
+    codes, centroids, books = pq.load_ivfpq_index(spark, path)
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = _planted_corpus(spark, sf_dir)
+    is_query = (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    qrows = embs.filter(is_query).select("vec_id", "embedding").collect()
+    parts = []
+    for r in qrows:
+        res = pq.ivfpq_search(
+            codes,
+            centroids,
+            books,
+            [float(x) for x in r["embedding"]],
+            k=10,
+            nprobe=4,
+            rescore=corpus,
+            rescore_factor=8,
+        )
+        parts.append(
+            res.filter(F.col("score") == 1.0).select(
+                F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
+                F.col("vec_id").cast("long").alias("neighbor_id"),
+                (F.col("score") + F.lit(0.0)).alias("score"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _STQ_TEXT = "spark query window merge"
 # The embedder is deterministic pure Python (seeded hashing projection,
 # functions/embedder.py), so the query vector is computable at import time

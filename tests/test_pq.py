@@ -106,6 +106,63 @@ def test_save_load_roundtrip(spark, embs, books, tmp_path):
     ]
 
 
+def test_ivfpq_encode_matches_components(spark, embs, books):
+    """One-pass ivfpq_encode must agree with the two components it fuses:
+    assign_cells(blas) for the cell, pq_encode for the code."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    _, centroids = sim.build_ivf_index(embs, n_clusters=8)
+    fused = {
+        r["vec_id"]: (r["cluster"], r["pq_code"])
+        for r in pq.ivfpq_encode(embs, centroids, books).collect()
+    }
+    cells = {
+        r["vec_id"]: r["cluster"]
+        for r in sim.assign_cells(
+            embs.filter(F.col("embedding").isNotNull()), centroids, method="blas"
+        ).collect()
+    }
+    codes = {r["vec_id"]: r["pq_code"] for r in pq.pq_encode(embs, books).collect()}
+    assert fused == {i: (cells[i], codes[i]) for i in codes}
+
+
+def test_ivfpq_probe_prunes_and_matches(spark, embs, books, tmp_path):
+    """A probe over the persisted layout must (a) push the cluster
+    IN-filter into partition pruning, (b) return the same rows as the
+    in-memory composition, and (c) retrieve a planted duplicate pair at
+    true-cosine 1.0 through rescore."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    q0 = embs.orderBy("vec_id").first()
+    plant = spark.createDataFrame(
+        [(int(q0["vec_id"]) + 1_000_000, list(q0["embedding"]))],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = embs.select("vec_id", "embedding").unionByName(plant)
+    _, centroids = sim.build_ivf_index(corpus, n_clusters=8)
+    codes = pq.ivfpq_encode(corpus, centroids, books)
+    path = str(tmp_path / "ivfpq")
+    pq.save_ivfpq_index(codes, centroids, books, path)
+    codes2, cents2, books2 = pq.load_ivfpq_index(spark, path)
+    assert cents2 == [(c, [float(x) for x in v]) for c, v in sorted(centroids)]
+
+    qv = [float(x) for x in q0["embedding"]]
+    mem = pq.ivfpq_search(codes, centroids, books, qv, k=10, nprobe=3).collect()
+    disk_df = pq.ivfpq_search(codes2, cents2, books2, qv, k=10, nprobe=3)
+    disk = disk_df.collect()
+    assert [(r["vec_id"], r["score"]) for r in mem] == [
+        (r["vec_id"], r["score"]) for r in disk
+    ]
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    rescored = pq.ivfpq_search(
+        codes2, cents2, books2, qv, k=10, nprobe=3, rescore=corpus, rescore_factor=8
+    ).collect()
+    top = {r["vec_id"] for r in rescored if r["score"] == 1.0}
+    assert top == {int(q0["vec_id"]), int(q0["vec_id"]) + 1_000_000}
+
+
 def test_pq_recall_and_rescore(spark, embs, books):
     q = list(embs.orderBy("vec_id").first()["embedding"])
     exact = _exact_topk(spark, embs, q, 10)
