@@ -399,9 +399,21 @@ def pq_search(
         )
     from readwise_vector_db_spark.functions.vector import cosine_similarity
 
-    qlit = F.lit([float(x) for x in q.tolist()]).cast("array<double>")
+    # Candidate ids come to the driver (k·rescore_factor rows — serving-
+    # bounded by construction, the ivf_search centroid-collect policy) so
+    # the id list pushes into the rescore scan as an IN filter.  A
+    # broadcast join here instead would read the ENTIRE raw-vector
+    # column to fetch the candidates — measured 2.4 s vs 0.9 s per probe
+    # at 3072-d ×10 (247 MB scanned for 80 rows; tools/bench_pq.py).
+    cand_ids = [r[id_col] for r in adc.select(id_col).collect()]
+    # ONE JVM-parsed literal expr — F.lit(list) costs a py4j round-trip
+    # per component (~1.4 s of pure driver latency at 3072-d, the warm-
+    # serving pathology operators/search.py documents)
+    from readwise_vector_db_spark.operators.search import vector_literal
+
+    qlit = vector_literal([float(x) for x in q.tolist()])
     exact = (
-        rescore.join(F.broadcast(adc.select(id_col)), id_col)
+        rescore.filter(F.col(id_col).isin(cand_ids))
         .select(
             F.col(id_col),
             F.round(
