@@ -55,6 +55,7 @@ HEADLINE = [
     "search_filtered",
     "search_topk_warm",
     "search_text_query",
+    "hybrid_search_rrf",
     "search_sq8",
     "knn_join_blocked",
     "ann_ivf_planted",  # index BUILD trend (retired extra; probe is the serving row)
@@ -110,6 +111,7 @@ def main() -> None:
             "boilerplate_removal",
             "pq_probe",
             "ivfpq_probe",
+            "hybrid_search_rrf",
         )
     ]
     assert not off_surface, f"bench names not on the driver surface: {off_surface}"

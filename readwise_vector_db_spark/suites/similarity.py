@@ -477,3 +477,160 @@ def search_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = search_ops.semantic_search(hl, qv, params)
     # string-join the tags array: the driver canon cannot hash list cells
     return out.withColumn("tags", F.array_join("tags", ","))
+
+
+# ---- lexical ranking + hybrid fusion (operators/ranking.py) -----------
+#
+# BM25 constants must be the SAME doubles in both engines: 1.2 + 1.0 is
+# a rounding-boundary sum (exactly halfway between neighbors), so the
+# SQL inlines repr()s of the Python-computed values rather than retyping
+# the arithmetic in SQL.
+_BM25_TERMS = _STQ_TEXT.split()  # same free-text query as the vector path
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_scored_sql() -> str:
+    """DuckDB CTEs ``base``/``stats``/``scored`` mirroring bm25_scores:
+    per-term array-filter TFs, one stats row, 9dp-rounded contributions
+    summed in query order, total rounded at 6dp."""
+    tfs = ",\n               ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1p1, k1, one_b, b = (
+        repr(_BM25_K1 + 1.0),
+        repr(_BM25_K1),
+        repr(1.0 - _BM25_B),
+        repr(_BM25_B),
+    )
+    contribs = " + ".join(
+        f"ROUND(ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * ((CAST(tf{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * ({one_b}"
+        f" + {b} * CAST(dl AS DOUBLE) / avgdl))), 9)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    base AS (
+        SELECT doc_id, len(t) AS dl,
+               {tfs}
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+              FROM documents)
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl, {dfs}
+        FROM base
+    ),
+    scored AS (
+        SELECT doc_id, ROUND({contribs}, 6) AS bm25
+        FROM base CROSS JOIN stats
+    )"""
+
+
+@register_extra(
+    "bm25_topk",
+    f"""
+    WITH {_bm25_scored_sql()}
+    SELECT doc_id, bm25, rank FROM (
+        SELECT doc_id, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
+                   AS rank
+        FROM scored WHERE bm25 > 0)
+    WHERE rank <= 10
+    ORDER BY rank
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical ranked retrieval: BM25 top-10 for the suite's free-text
+    query — one map-only TF pass (Q array-filter counts, no per-token
+    explode/shuffle), a 1-row broadcast stats aggregate, TakeOrdered."""
+    from readwise_vector_db_spark.operators import ranking
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ranking.bm25_topk(docs, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+@register_extra(
+    "hybrid_search_rrf",
+    f"""
+    WITH {_bm25_scored_sql()},
+    lex AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                       AS INT) AS rank
+            FROM scored WHERE bm25 > 0)
+        WHERE rank <= 20
+    ),
+    q AS (SELECT {_STQ_QV_SQL} AS qv),
+    vec AS (
+        SELECT doc_id, rank FROM (
+            SELECT e.vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY {round_pos(seq_cos_dist("CAST(e.embedding AS DOUBLE[])", "q.qv"), 6)} ASC,
+                                e.vec_id ASC) AS INT) AS rank
+            FROM embeddings e, q WHERE e.embedding IS NOT NULL)
+        WHERE rank <= 20
+    ),
+    fused AS (
+        SELECT doc_id,
+               ROUND(SUM(1.0 / (60.0 + CAST(rank AS DOUBLE))), 9) AS rrf_score,
+               CAST(COUNT(*) AS INT) AS n_lists
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_lists
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 ⊕ embedded-query cosine top-20,
+    fused by reciprocal-rank fusion (k=60).  Both legs run over the SAME
+    free-text query (the lexical terms and the deterministic embedding
+    of ``_STQ_TEXT``); each leg is serving-bounded (top-20), so fusion
+    cost is independent of corpus size.  This is the retrieval shape the
+    reference's vector-only /search can't express."""
+    from readwise_vector_db_spark.functions.vector import cosine_distance
+    from readwise_vector_db_spark.operators import ranking
+    from readwise_vector_db_spark.operators.search import vector_literal
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = ranking.bm25_topk(
+        docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B
+    ).select("doc_id", "rank")
+
+    qv = embed_text_local(_STQ_TEXT)
+    q_lit = vector_literal(qv)
+    acc = 0.0
+    for x in qv:
+        acc += float(x) * float(x)
+    embs = load_table(spark, sf_dir, "embeddings")
+    w = W.orderBy(F.asc("_d"), F.asc("vec_id"))
+    vec = (
+        embs.filter(F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_distance(
+                    F.col("embedding").cast("array<double>"),
+                    q_lit,
+                    b_norm=F.lit(acc**0.5),
+                ),
+                6,
+            ).alias("_d"),
+            F.col("vec_id"),
+        )
+        .orderBy(F.asc("_d"), F.asc("vec_id"))
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("doc_id", "rank")
+    )
+    return ranking.rrf_fuse([lex, vec], k=10)
