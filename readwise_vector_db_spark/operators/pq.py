@@ -301,6 +301,37 @@ def load_ivfpq_index(spark, path: str):
     return codes, centroids, books
 
 
+def append_to_ivfpq_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a :func:`save_ivfpq_index` layout:
+    encode the increment against the FROZEN centroids and codebooks and
+    append its codes into the cluster partition directories — one
+    O(increment) map pass + append-mode write, no rebuild, no touch of
+    existing files (the incremental-dedup store discipline applied to
+    the ANN index; the reference's pgvector HNSW gets this for free from
+    Postgres INSERT, here it's a layout property).  Returns the number
+    of appended codes.
+
+    Honesty notes: (a) duplicate ids are NOT deduplicated — the caller
+    owns id uniqueness (same contract as upsert vs append elsewhere);
+    (b) codes use the frozen model, so recall on a DRIFTED increment
+    distribution degrades until a retrain — the same staleness/compact
+    cadence question the versioned store measures; probes see appended
+    rows immediately either way.  Deletes go through a rebuild (or a
+    probe-side exclusion filter), exactly like parquet compaction.
+    """
+    spark = new_vecs.sparkSession
+    _, centroids, books = load_ivfpq_index(spark, path)
+    codes = ivfpq_encode(new_vecs, centroids, books, id_col=id_col, vec_col=vec_col)
+    n = codes.count()
+    codes.write.mode("append").partitionBy("cluster").parquet(f"{path}/codes")
+    return n
+
+
 def ivfpq_search(
     codes: DataFrame,
     centroids: list[tuple[int, list[float]]],

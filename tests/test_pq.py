@@ -163,6 +163,60 @@ def test_ivfpq_probe_prunes_and_matches(spark, embs, books, tmp_path):
     assert top == {int(q0["vec_id"]), int(q0["vec_id"]) + 1_000_000}
 
 
+def test_ivfpq_incremental_append(spark, embs, books, tmp_path):
+    """Appending to a persisted IVF-PQ index must be O(increment): the
+    increment becomes visible to probes (a planted duplicate returns at
+    cosine 1.0), existing code files are never rewritten, and the codes
+    match what the frozen model would assign."""
+    import os
+
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    base = embs.select("vec_id", "embedding")
+    _, centroids = sim.build_ivf_index(base, n_clusters=8)
+    path = str(tmp_path / "ivfpq_inc")
+    pq.save_ivfpq_index(
+        pq.ivfpq_encode(base, centroids, books), centroids, books, path
+    )
+
+    def code_files():
+        out = {}
+        for root, _, files in os.walk(f"{path}/codes"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = code_files()
+    q0 = embs.orderBy("vec_id").first()
+    plant_id = int(q0["vec_id"]) + 1_000_000
+    plant = spark.createDataFrame(
+        [(plant_id, list(q0["embedding"]))], "vec_id long, embedding array<float>"
+    )
+    assert pq.append_to_ivfpq_index(plant, path) == 1
+
+    after = code_files()
+    # append-only: every pre-existing file survives untouched
+    assert set(before) <= set(after)
+    assert all(after[p] == ts for p, ts in before.items())
+    assert len(after) > len(before)
+
+    codes, cents, bks = pq.load_ivfpq_index(spark, path)
+    # the appended row carries the code/cell the frozen model assigns
+    want = pq.ivfpq_encode(plant, centroids, books).first()
+    got = codes.filter(F.col("vec_id") == plant_id).first()
+    assert (got["cluster"], got["pq_code"]) == (want["cluster"], want["pq_code"])
+
+    qv = [float(x) for x in q0["embedding"]]
+    rescore = base.unionByName(plant)
+    rows = pq.ivfpq_search(
+        codes, cents, bks, qv, k=10, nprobe=3, rescore=rescore, rescore_factor=8
+    ).collect()
+    top = {r["vec_id"] for r in rows if r["score"] == 1.0}
+    assert top == {int(q0["vec_id"]), plant_id}
+
+
 def test_pq_recall_and_rescore(spark, embs, books):
     q = list(embs.orderBy("vec_id").first()["embedding"])
     exact = _exact_topk(spark, embs, q, 10)
