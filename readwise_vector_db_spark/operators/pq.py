@@ -121,12 +121,21 @@ def pq_encode(
         ]
     )
 
+    d_expect = m * sub
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            x = np.asarray(list(pdf["v"]), dtype=np.float32)
-            if x.size == 0:
+            if len(pdf) == 0:
                 yield pd.DataFrame({"pq_id": [], "pq_code": []})
                 continue
+            lens = pdf["v"].map(len)
+            if (lens != d_expect).any():
+                bad = pdf["id"][lens != d_expect].iloc[0]
+                raise ValueError(
+                    f"pq_encode: vector id={bad} has dim {lens[lens != d_expect].iloc[0]},"
+                    f" codebooks expect {d_expect}"
+                )
+            x = np.asarray(list(pdf["v"]), dtype=np.float32)
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             codes = np.empty((x.shape[0], m), dtype=np.int32)
             for j, b in enumerate(books):
@@ -222,12 +231,21 @@ def ivfpq_encode(
         ]
     )
 
+    d_expect = m * sub
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            raw = np.asarray(list(pdf["v"]), dtype=np.float64)
-            if raw.size == 0:
+            if len(pdf) == 0:
                 yield pd.DataFrame({"pq_id": [], "cluster": [], "pq_code": []})
                 continue
+            lens = pdf["v"].map(len)
+            if (lens != d_expect).any():
+                bad = pdf["id"][lens != d_expect].iloc[0]
+                raise ValueError(
+                    f"ivfpq_encode: vector id={bad} has dim"
+                    f" {lens[lens != d_expect].iloc[0]}, model expects {d_expect}"
+                )
+            raw = np.asarray(list(pdf["v"]), dtype=np.float64)
             # cell on the RAW vector (KMeans.transform semantics —
             # ‖x‖² is argmin-invariant, skip it)
             cells = cell_ids[np.argmin(c_sq[None, :] - 2.0 * (raw @ cmat.T), 1)]

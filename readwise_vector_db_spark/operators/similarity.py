@@ -283,6 +283,7 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_assigned: bool = False,
+    pred=None,
 ) -> DataFrame:
     """Probe the ``nprobe`` clusters whose centroids are nearest the query,
     then exact top-k within them.
@@ -295,6 +296,17 @@ def ivf_search(
     collapses a vector found in several probed cells to one row,
     deterministically (min cos_dist — identical across copies — and min
     cluster id).
+
+    ``pred`` (an optional boolean Column over the assigned corpus's
+    metadata columns) makes this a FILTERED ANN probe — the reference's
+    ``/search`` filter semantics composed with the index.  This is
+    post-filtering in ANN terms, but it applies INSIDE the pruned scan
+    (cluster IN-list and the predicate both push into the parquet read),
+    before any distance math.  The honest recall caveat at scale: a
+    selective predicate can starve k within the probed cells — matching
+    rows may live in unprobed clusters — so selectivity raises the
+    nprobe a caller should use; the planted-oracle query pins the
+    exactness of the plumbing, not a recall guarantee.
     """
     import numpy as np
 
@@ -317,7 +329,10 @@ def ivf_search(
     for x in query_vec:
         acc += float(x) * float(x)
     q_norm = F.lit(acc ** 0.5)
-    probed = assigned.filter(F.col("cluster").isin(probe_ids)).withColumn(
+    pruned = assigned.filter(F.col("cluster").isin(probe_ids))
+    if pred is not None:
+        pruned = pruned.filter(pred)
+    probed = pruned.withColumn(
         "cos_dist",
         F.round(
             cosine_distance(F.col(vec_col), q_lit, b_norm=q_norm), SCORE_DECIMALS

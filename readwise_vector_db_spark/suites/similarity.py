@@ -365,6 +365,55 @@ def pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_pq_rows(spark, sf_dir, codes, books)
 
 
+@register_extra("ann_ivf_filtered", _PLANTED_SQL)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN: metadata predicate composed with the IVF probe (the
+    reference's ``/search`` filters + index, `api/routes.py` filter
+    params) — ``ivf_search(pred=label == q.label)``.
+
+    The oracle PROVES the predicate binds, not just that retrieval
+    works: each query gets TWO identical-vector plants — one sharing its
+    ``label`` (vec_id+1e6) and one with an impossible label
+    (vec_id+2e6).  All three rows sit at distance 0 in the probed cell,
+    so an unfiltered probe would return three 0-rows and the value hash
+    would MISMATCH; the expected set is exactly the original + the
+    same-label plant."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    is_query = (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    same = embs.filter(is_query).withColumn("vec_id", F.col("vec_id") + 1000000)
+    diff = (
+        embs.filter(is_query)
+        .withColumn("vec_id", F.col("vec_id") + 2000000)
+        .withColumn("label", F.lit(-999).cast("int"))
+    )
+    assigned, centroids = sim.build_ivf_index(
+        embs.unionByName(same).unionByName(diff), n_clusters=16
+    )
+    assigned = assigned.persist()
+    qrows = embs.filter(is_query).select("vec_id", "embedding", "label").collect()
+    parts = []
+    for r in qrows:
+        res = sim.ivf_search(
+            assigned,
+            centroids,
+            [float(x) for x in r["embedding"]],
+            k=10,
+            nprobe=4,
+            pred=F.col("label") == F.lit(int(r["label"])),
+        )
+        parts.append(
+            res.filter(F.col("cos_dist") == 0.0).select(
+                F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
+                F.col("neighbor_id").cast("long"),
+                (F.col("cos_dist") + F.lit(0.0)).alias("cos_dist"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def planted_ivfpq_artifact(spark: SparkSession, sf_dir: str) -> str:
     """Build-once path of the saved planted IVF-PQ index for ``sf_dir``
     (coarse KMeans(16) + PQ 8×256 codebooks, codes partitioned by

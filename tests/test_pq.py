@@ -106,6 +106,17 @@ def test_save_load_roundtrip(spark, embs, books, tmp_path):
     ]
 
 
+def test_encode_rejects_wrong_dim(spark, books):
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 63)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim 63.*expect"):
+        pq.pq_encode(bad, books).collect()
+    cents = [(0, [0.0] * 64)]
+    with pytest.raises(Exception, match="dim 63.*expects"):
+        pq.ivfpq_encode(bad, cents, books).collect()
+
+
 def test_ivfpq_encode_matches_components(spark, embs, books):
     """One-pass ivfpq_encode must agree with the two components it fuses:
     assign_cells(blas) for the cell, pq_encode for the code."""

@@ -203,3 +203,42 @@ def test_ivf_save_load_roundtrip_same_results(spark, embs, tmp_path):
         disk_df.explain("formatted")
     pf = [l for l in buf.getvalue().splitlines() if "PartitionFilters" in l]
     assert pf and "cluster" in pf[0], f"probe not partition-pruned: {pf}"
+
+
+def test_ivf_filtered_probe_binds_predicate(spark, embs):
+    """ivf_search(pred=...) must exclude a distance-0 decoy that fails
+    the predicate — and WITHOUT the predicate the decoy must appear,
+    proving the planted oracle construction has teeth."""
+    q0 = embs.orderBy("vec_id").first()
+    qid, qlab = int(q0["vec_id"]), int(q0["label"])
+    plants = spark.createDataFrame(
+        [
+            (qid + 1_000_000, list(q0["embedding"]), qlab),
+            (qid + 2_000_000, list(q0["embedding"]), -999),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = embs.select("vec_id", "embedding", "label").unionByName(plants)
+    assigned, centroids = sim.build_ivf_index(corpus, n_clusters=8)
+    assigned = assigned.persist()
+    qv = [float(x) for x in q0["embedding"]]
+
+    plain = {
+        r["neighbor_id"]
+        for r in sim.ivf_search(assigned, centroids, qv, k=10, nprobe=3)
+        .filter(F.col("cos_dist") == 0.0)
+        .collect()
+    }
+    assert plain == {qid, qid + 1_000_000, qid + 2_000_000}
+
+    filtered = {
+        r["neighbor_id"]
+        for r in sim.ivf_search(
+            assigned, centroids, qv, k=10, nprobe=3,
+            pred=F.col("label") == F.lit(qlab),
+        )
+        .filter(F.col("cos_dist") == 0.0)
+        .collect()
+    }
+    assert filtered == {qid, qid + 1_000_000}
+    assigned.unpersist()
