@@ -228,6 +228,54 @@ def test_ivfpq_incremental_append(spark, embs, books, tmp_path):
     assert top == {int(q0["vec_id"]), plant_id}
 
 
+def test_streaming_index_append(spark, embs, books, tmp_path):
+    """Micro-batches of new vectors land in the persisted IVF-PQ index
+    via the streaming face; a probe after drain retrieves a planted row
+    that arrived only through the stream."""
+    from readwise_vector_db_spark.jobs.index_maintenance import (
+        run_streaming_index_append,
+    )
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    base = embs.select("vec_id", "embedding")
+    _, centroids = sim.build_ivf_index(base, n_clusters=8)
+    path = str(tmp_path / "ivfpq_stream")
+    pq.save_ivfpq_index(
+        pq.ivfpq_encode(base, centroids, books), centroids, books, path
+    )
+
+    q0 = embs.orderBy("vec_id").first()
+    plant_id = int(q0["vec_id"]) + 1_000_000
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(plant_id, list(q0["embedding"])), (plant_id + 1, [0.5] * 64)],
+        "vec_id long, embedding array<float>",
+    ).repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_streaming_index_append(spark, stream, path)
+    q.awaitTermination(120)
+
+    codes, cents, bks = pq.load_ivfpq_index(spark, path)
+    assert codes.filter(F.col("vec_id") >= 1_000_000).count() == 2
+    rescore = base.unionByName(
+        spark.createDataFrame(
+            [(plant_id, list(q0["embedding"]))], "vec_id long, embedding array<float>"
+        )
+    )
+    rows = pq.ivfpq_search(
+        codes, cents, bks, [float(x) for x in q0["embedding"]],
+        k=10, nprobe=3, rescore=rescore, rescore_factor=8,
+    ).collect()
+    assert {r["vec_id"] for r in rows if r["score"] == 1.0} == {
+        int(q0["vec_id"]), plant_id
+    }
+
+
 def test_pq_recall_and_rescore(spark, embs, books):
     q = list(embs.orderBy("vec_id").first()["embedding"])
     exact = _exact_topk(spark, embs, q, 10)
