@@ -319,6 +319,147 @@ def load_ivfpq_index(spark, path: str):
     return codes, centroids, books
 
 
+def pq_knn_join(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[np.ndarray],
+    k: int = 5,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    rescore: DataFrame | None = None,
+    vec_col: str = "embedding",
+    rescore_factor: int = 4,
+    local_margin: int = 8,
+) -> DataFrame:
+    """Batch k-NN join over byte codes — the many-query twin of
+    ``pq_search`` and the PQ analogue of ``knn_join_blocked``.
+
+    All Q query LUTs are built driver-side (Q·m·256 floats — index
+    metadata) and broadcast; each Arrow batch of codes scores every
+    query with m vectorized LUT gathers into an (n, Q) matrix, keeps a
+    local top-(k·factor+margin) per query, and emits only
+    partitions×Q×top candidate rows — the corpus never shuffles and its
+    raw vectors are never read.  With ``rescore=`` the candidates (a
+    driver-bounded set) are re-ranked by the exact JVM cosine fold, so
+    emitted ``cos_dist`` and ranks are bit-identical with ``knn_join``
+    wherever ADC recalled the true neighbors; output (query_id,
+    neighbor_id, cos_dist, rn).  Without rescore: (query_id,
+    neighbor_id, score, rn) on the raw ADC inner product.
+    """
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    q_rows = queries.select(query_id, query_vec).collect()
+    if not q_rows:
+        raise ValueError("pq_knn_join needs at least one query row")
+    qids = [r[0] for r in q_rows]
+    qmat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float32)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # (m, 256, Q): per-subspace LUTs for every query at once
+    luts = np.stack(
+        [codebooks[j] @ qmat[:, j * sub : (j + 1) * sub].T for j in range(m)]
+    ).astype(np.float32)
+    spark = codes.sparkSession
+    bc = spark.sparkContext.broadcast((qids, luts))
+    fetch = k * rescore_factor if rescore is not None else k
+    keep = fetch + max(local_margin, 0)
+
+    schema = T.StructType(
+        [
+            T.StructField("q_ix", T.IntegerType(), False),
+            T.StructField("adc_id", T.LongType(), False),
+            T.StructField("adc_score", T.FloatType(), False),
+        ]
+    )
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _qids, _luts = bc.value
+        nq = len(_qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.asarray(list(pdf["pq_code"]), dtype=np.int64)  # (n, m)
+            scores = np.zeros((c.shape[0], nq), dtype=np.float32)
+            for j in range(m):
+                scores += _luts[j][c[:, j]]  # gather (n, Q)
+            ids = pdf["id"].values
+            top = min(keep, c.shape[0])
+            out_q, out_i, out_s = [], [], []
+            part = np.argpartition(-scores, top - 1, axis=0)[:top]  # (top, Q)
+            for qx in range(nq):
+                sel = part[:, qx]
+                out_q.extend([qx] * len(sel))
+                out_i.extend(ids[sel])
+                out_s.extend(scores[sel, qx])
+            yield pd.DataFrame(
+                {"q_ix": out_q, "adc_id": out_i, "adc_score": out_s}
+            )
+
+    qid_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qids)], f"q_ix int, {query_id} long"
+        )
+    )
+    cands = (
+        codes.select(F.col(id_col).cast("long").alias("id"), "pq_code")
+        .mapInPandas(score_partition, schema=schema)
+        .join(qid_df, "q_ix")
+    )
+    from pyspark.sql import Window as W
+
+    w_adc = W.partitionBy(query_id).orderBy(F.desc("adc_score"), F.asc("adc_id"))
+    shortlist = (
+        cands.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= fetch)
+        .select(query_id, F.col("adc_id").alias("neighbor_id"), "adc_score")
+    )
+    if rescore is None:
+        w_out = W.partitionBy(query_id).orderBy(
+            F.desc("adc_score"), F.asc("neighbor_id")
+        )
+        return (
+            shortlist.withColumn("rn", F.row_number().over(w_out).cast("int"))
+            .filter(F.col("rn") <= k)
+            .select(
+                query_id,
+                "neighbor_id",
+                F.round(F.col("adc_score"), 6).alias("score"),
+                "rn",
+            )
+        )
+
+    from readwise_vector_db_spark.functions.vector import cosine_distance
+
+    # candidate vectors fetched by a driver-collected IN filter (Q·fetch
+    # ids, serving-bounded) — never a scan-everything broadcast join
+    cand_ids = [
+        r["neighbor_id"] for r in shortlist.select("neighbor_id").distinct().collect()
+    ]
+    fetch_vecs = F.broadcast(
+        rescore.filter(F.col(id_col).isin(cand_ids)).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_nv"),
+        )
+    )
+    q_vecs = F.broadcast(
+        queries.select(
+            F.col(query_id),
+            F.col(query_vec).cast("array<double>").alias("_qv"),
+        )
+    )
+    w_exact = W.partitionBy(query_id).orderBy(F.asc("cos_dist"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(fetch_vecs, "neighbor_id")
+        .join(q_vecs, query_id)
+        .withColumn(
+            "cos_dist", F.round(cosine_distance(F.col("_nv"), F.col("_qv")), 6)
+        )
+        .withColumn("rn", F.row_number().over(w_exact).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select(query_id, "neighbor_id", "cos_dist", "rn")
+    )
+
+
 def append_to_ivfpq_index(
     new_vecs: DataFrame,
     path: str,

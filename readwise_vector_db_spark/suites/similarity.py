@@ -414,6 +414,33 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register_extra("pq_knn_join_planted", _PLANTED_SQL)
+def pq_knn_join_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH many-query ADC path (``pq_knn_join``): all 5 planted
+    queries scored in ONE pass over the byte codes (Q LUTs broadcast,
+    (n, Q) score matrix per Arrow batch, local top-f per query, exact
+    rescore of the driver-bounded candidate set) instead of 5 sequential
+    probes.  Same exact planted expectation; the corpus's raw vectors
+    are touched only for the ≤Q·k·factor candidates."""
+    from readwise_vector_db_spark.operators import pq
+
+    corpus = _planted_corpus(spark, sf_dir)
+    books = pq.train_pq_codebooks(corpus, m=8, k=256)
+    codes = pq.pq_encode(corpus, books).persist()
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(
+        (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = pq.pq_knn_join(
+        codes, queries, books, k=10, rescore=corpus, rescore_factor=8
+    )
+    return out.filter(F.col("cos_dist") == 0.0).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        (F.col("cos_dist") + F.lit(0.0)).alias("cos_dist"),
+    )
+
+
 def planted_ivfpq_artifact(spark: SparkSession, sf_dir: str) -> str:
     """Build-once path of the saved planted IVF-PQ index for ``sf_dir``
     (coarse KMeans(16) + PQ 8×256 codebooks, codes partitioned by

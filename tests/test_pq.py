@@ -276,6 +276,52 @@ def test_streaming_index_append(spark, embs, books, tmp_path):
     }
 
 
+def test_pq_knn_join_recall_vs_exact(spark, embs, books):
+    """Batch ADC join with exact rescore recalls nearly all of the exact
+    join's neighbors, and the rows it recalls are bit-identical (same
+    rounded cos_dist, ranks consistent)."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    queries = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_dist"]
+        for r in sim.knn_join(queries, embs, k=5, corpus_id="vec_id").collect()
+    }
+    codes = pq.pq_encode(embs, books).persist()
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cos_dist"]
+        for r in pq.pq_knn_join(
+            codes, queries, books, k=5, rescore=embs, rescore_factor=16
+        ).collect()
+    }
+    codes.unpersist()
+    hit = set(got) & set(exact)
+    assert len(hit) / len(exact) >= 0.8, (len(hit), len(exact))
+    assert all(got[p] == exact[p] for p in hit)
+
+
+def test_pq_knn_join_adc_only_schema(spark, embs, books):
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = pq.pq_knn_join(pq.pq_encode(embs, books), queries, books, k=4).collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rn"], r["score"]))
+    for q, lst in per_q.items():
+        lst.sort()
+        assert [rn for rn, _ in lst] == [1, 2, 3, 4]
+        scores = [s for _, s in lst]
+        assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError, match="at least one query"):
+        pq.pq_knn_join(
+            pq.pq_encode(embs, books), queries.filter("query_id < 0"), books
+        )
+
+
 def test_pq_recall_and_rescore(spark, embs, books):
     q = list(embs.orderBy("vec_id").first()["embedding"])
     exact = _exact_topk(spark, embs, q, 10)
