@@ -485,9 +485,16 @@ def append_to_ivfpq_index(
     """
     spark = new_vecs.sparkSession
     _, centroids, books = load_ivfpq_index(spark, path)
-    codes = ivfpq_encode(new_vecs, centroids, books, id_col=id_col, vec_col=vec_col)
-    n = codes.count()
-    codes.write.mode("append").partitionBy("cluster").parquet(f"{path}/codes")
+    # persist: count + write are two actions — uncached they would each
+    # run the encode pass, doubling the increment's cost
+    codes = ivfpq_encode(
+        new_vecs, centroids, books, id_col=id_col, vec_col=vec_col
+    ).persist()
+    try:
+        n = codes.count()
+        codes.write.mode("append").partitionBy("cluster").parquet(f"{path}/codes")
+    finally:
+        codes.unpersist()
     return n
 
 
