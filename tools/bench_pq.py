@@ -135,47 +135,57 @@ def main() -> None:
     }
 
     # ---- batch many-query join: exact BLAS vs ADC-over-codes -----------
-    q_df = embs.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    exact_join = {
-        (r["query_id"], r["neighbor_id"])
-        for r in sim.knn_join_blocked(q_df, embs, k=5, corpus_id="vec_id").collect()
-    }
-
-    def adc_join():
-        return pq.pq_knn_join(
-            pq_codes, q_df, pq_books, k=5, rescore=embs, rescore_factor=8
-        ).collect()
-
-    for name, fn in (
-        (
-            "knn_join_blocked_exact",
-            lambda: sim.knn_join_blocked(q_df, embs, k=5, corpus_id="vec_id").collect(),
-        ),
-        ("pq_knn_join_adc", adc_join),
-    ):
-        walls = []
-        for _ in range(reps):
-            spark.catalog.clearCache()
-            t0 = time.monotonic()
-            rows = fn()
-            walls.append(time.monotonic() - t0)
-        rec = (
-            len({(r["query_id"], r["neighbor_id"]) for r in rows} & exact_join)
-            / len(exact_join)
+    # swept in Q: the exact join's per-batch work is a (batch × d) @ (d
+    # × Q) gemm over RAW vectors, ADC's is Q gathers over m-byte codes —
+    # the Q-scaling slope is the batch-retrieval story
+    for n_q in (10, 100):
+        q_df = embs.filter(F.col("vec_id") < n_q).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
         )
-        print(
-            json.dumps(
-                {
-                    "config": name,
-                    "wall_min_s": round(min(walls), 3),
-                    "walls_s": [round(w, 3) for w in walls],
-                    "recall_vs_exact_join": round(rec, 3),
-                }
+        exact_join = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.knn_join_blocked(
+                q_df, embs, k=5, corpus_id="vec_id"
+            ).collect()
+        }
+
+        def adc_join():
+            return pq.pq_knn_join(
+                pq_codes, q_df, pq_books, k=5, rescore=embs, rescore_factor=8
+            ).collect()
+
+        for name, fn in (
+            (
+                "knn_join_blocked_exact",
+                lambda: sim.knn_join_blocked(
+                    q_df, embs, k=5, corpus_id="vec_id"
+                ).collect(),
             ),
-            flush=True,
-        )
+            ("pq_knn_join_adc", adc_join),
+        ):
+            walls = []
+            for _ in range(reps):
+                spark.catalog.clearCache()
+                t0 = time.monotonic()
+                rows = fn()
+                walls.append(time.monotonic() - t0)
+            rec = (
+                len({(r["query_id"], r["neighbor_id"]) for r in rows} & exact_join)
+                / len(exact_join)
+            )
+            print(
+                json.dumps(
+                    {
+                        "config": name,
+                        "n_queries": n_q,
+                        "wall_min_s": round(min(walls), 3),
+                        "walls_s": [round(w, 3) for w in walls],
+                        "recall_vs_exact_join": round(rec, 3),
+                    }
+                ),
+                flush=True,
+            )
 
     exact_ids = {
         qid: [r["vec_id"] for r in exact_topk(qv).collect()] for qid, qv in queries
