@@ -73,6 +73,7 @@ HEADLINE = [
     "chunk_overlap",
     "text_stats",
     "tfidf_top_terms",
+    "lm_quality",
     "multimodal_features",
     "upsert_merge",
     "quota_sample_sources",
@@ -112,6 +113,7 @@ def main() -> None:
             "pq_probe",
             "ivfpq_probe",
             "hybrid_search_rrf",
+            "lm_quality",
         )
     ]
     assert not off_surface, f"bench names not on the driver surface: {off_surface}"

@@ -1,0 +1,150 @@
+"""N-gram language-model quality scoring — the CCNet recipe.
+
+CCNet (Wenzek et al., LREC 2020) ranks crawled documents by the
+perplexity of a KenLM n-gram model trained on a high-quality reference
+corpus; low-perplexity documents are "wiki-like".  Re-expressed
+Spark-first with a bigram LM:
+
+- **Train** = two counting aggregates over the reference corpus
+  (unigram and bigram frequencies).  The model is BOUNDED by vocabulary,
+  not corpus size — the CCNet artifact property — so it collects to a
+  driver dict and broadcasts (at web scale the same counts come off one
+  groupBy; the dict stays the bounded serving artifact).
+- **Score** = ONE map-only Arrow pass over the target corpus: for each
+  document, the mean add-k-smoothed bigram log-probability
+  ``ln((c(w1,w2) + k) / (c(w1) + k·V))`` and the derived perplexity.
+  No token-level shuffle — the naive explode→join→groupBy(doc) plan
+  shuffles every token in the corpus; here tokens never leave their
+  document's row.
+
+Cross-engine determinism (the oracle recomputes the LM in SQL): each
+bigram's logp is rounded at 9 dp and summed EXACTLY as integer
+nano-units (equivalent to the DECIMAL routing the relational suite
+uses), so float summation order cannot perturb the mean; ln ulp
+differences are absorbed by the 9 dp round (the tfidf/bm25 precedent).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from readwise_vector_db_spark.functions.text import ws_tokens
+
+
+def train_bigram_lm(
+    ref_docs: DataFrame, text_col: str = "text"
+) -> tuple[dict[str, int], dict[tuple[str, str], int], int]:
+    """(unigram counts, bigram counts, vocab size) from the reference
+    corpus — two distributed counting aggregates, collected because the
+    model is vocabulary-bounded (the artifact CCNet ships)."""
+    toks = ref_docs.select(
+        ws_tokens(F.lower(F.col(text_col))).alias("_t")
+    ).filter(F.size("_t") > 0)
+    uni_rows = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    # bigrams: zip tokens with their tail — stays inside the row until
+    # the (bounded-key) count aggregate
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, F.size("_t") - 1),
+                F.slice("_t", 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    )
+    bi_rows = (
+        pairs.select("p.w1", "p.w2").groupBy("w1", "w2").agg(F.count("*").alias("c"))
+        .collect()
+    )
+    uni = {r["w"]: int(r["c"]) for r in uni_rows}
+    bi = {(r["w1"], r["w2"]): int(r["c"]) for r in bi_rows}
+    return uni, bi, len(uni)
+
+
+def lm_score_docs(
+    docs: DataFrame,
+    uni: dict[str, int],
+    bi: dict[tuple[str, str], int],
+    vocab_size: int,
+    add_k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, avg_logp, ppl): mean smoothed bigram log-prob and
+    perplexity ``exp(-avg_logp)`` per document, one map-only pass with
+    the broadcast LM.  Documents with <2 tokens score NULL (no bigram
+    evidence).  ``avg_logp`` is built from an exact integer sum of
+    9 dp-rounded per-bigram terms; the final 6 dp round and the ``exp``
+    happen JVM-side so HALF_UP rounding matches the SQL twin (Python's
+    ``round`` is half-to-even)."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast((uni, bi, int(vocab_size), float(add_k)))
+
+    schema = T.StructType(
+        [
+            T.StructField("lm_id", T.LongType(), False),
+            T.StructField("n_bigrams", T.IntegerType(), False),
+            T.StructField("raw_avg", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _uni, _bi, v, k = bc.value
+        kv = k * v
+        ws = re.compile(r"\s+")  # the ws_tokens/string_split_regex twin
+        cache: dict[tuple[str, str], int] = {}
+
+        def logp_nano(w1: str, w2: str) -> int:
+            key = (w1, w2)
+            hit = cache.get(key)
+            if hit is not None:
+                return hit
+            p = (_bi.get(key, 0) + k) / (_uni.get(w1, 0) + kv)
+            # 9dp round as integer nano-units: summation stays exact,
+            # ln() engine-ulp differences are absorbed (round() here is
+            # scale-up-then-nearest-int — half-to-even at the 1e-9 grain
+            # only on exact .5 nano boundaries, which ln cannot hit)
+            val = round(math.log(p) * 1e9)
+            cache[key] = val
+            return val
+
+        for pdf in batches:
+            ids, ns, avgs = [], [], []
+            for did, text in zip(pdf["id"], pdf["t"]):
+                w = ws.split(text.lower())
+                n = len(w) - 1
+                ids.append(did)
+                if n < 1:
+                    ns.append(0)
+                    avgs.append(None)
+                    continue
+                total = sum(logp_nano(w[i], w[i + 1]) for i in range(n))
+                # total/1e9 = the double nearest the exact decimal sum —
+                # identical to the oracle's CAST(SUM(DECIMAL) AS DOUBLE)
+                ns.append(n)
+                avgs.append((total / 1e9) / n)
+            yield pd.DataFrame({"lm_id": ids, "n_bigrams": ns, "raw_avg": avgs})
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t")
+    ).filter(F.col("t").isNotNull())
+    scored = base.mapInPandas(run, schema=schema)
+    avg = F.round(F.col("raw_avg"), 6)
+    return scored.select(
+        F.col("lm_id").alias(id_col),
+        "n_bigrams",
+        avg.alias("avg_logp"),
+        F.round(F.exp(-avg), 6).alias("ppl"),
+    )

@@ -415,3 +415,68 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_uni <= 0.3) & (top_bi <= 0.2) & (dup_tri <= 0.3)).alias("keep"),
         )
     )
+
+
+@register_extra(
+    "lm_quality",
+    """
+    WITH ref AS (
+        SELECT string_split_regex(lower(text), '\\s+') AS t
+        FROM documents WHERE lang = 'en' AND text IS NOT NULL
+    ),
+    fref AS (SELECT t FROM ref WHERE len(t) > 0),
+    uni AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(t) AS w FROM fref) GROUP BY w
+    ),
+    vocab AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bi AS (
+        SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c FROM (
+            SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+            FROM fref WHERE len(t) >= 2)
+        GROUP BY 1, 2
+    ),
+    corpus AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cp AS (
+        SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+        FROM corpus WHERE len(t) >= 2
+    ),
+    terms AS (
+        SELECT doc_id,
+               CAST(ROUND(ln((COALESCE(bi.c, 0) + 0.5)
+                             / (COALESCE(uni.c, 0) + 0.5 * v)), 9)
+                    AS DECIMAL(28, 9)) AS lp
+        FROM cp
+        LEFT JOIN bi ON bi.w1 = p[1] AND bi.w2 = p[2]
+        LEFT JOIN uni ON uni.w = p[1]
+        CROSS JOIN vocab
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+               ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_logp,
+           ROUND(exp(-avg_logp), 6) AS ppl
+    FROM agg
+    UNION ALL
+    SELECT doc_id, 0 AS n_bigrams, CAST(NULL AS DOUBLE) AS avg_logp,
+           CAST(NULL AS DOUBLE) AS ppl
+    FROM corpus WHERE len(t) < 2
+    """,
+)
+def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: a bigram LM trained on the
+    English reference slice (two counting aggregates, vocabulary-bounded
+    artifact), then every document scored in ONE map-only Arrow pass —
+    mean add-0.5-smoothed bigram log-prob and perplexity.  The naive
+    plan shuffles every token to a per-doc aggregate; here tokens never
+    leave their row (operators/lm.py)."""
+    from readwise_vector_db_spark.operators import lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni, bi, v = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm.lm_score_docs(docs, uni, bi, v)

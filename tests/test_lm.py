@@ -1,0 +1,87 @@
+"""Bigram LM quality scoring (operators/lm.py) vs a hand-rolled reference."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from readwise_vector_db_spark.operators import lm
+
+REF = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "cats and dogs"),
+]
+TARGETS = REF + [
+    (3, "the cat sat"),          # all seen bigrams — low perplexity
+    (4, "zebra quantum flux"),    # all unseen — high perplexity
+    (5, "single"),                # no bigram evidence -> NULLs
+]
+
+
+def _ref_model(docs):
+    uni, bi = {}, {}
+    for _, t in docs:
+        w = t.lower().split()
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(w, w[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    return uni, bi, len(uni)
+
+
+def _ref_score(text, uni, bi, v, k=0.5):
+    w = text.lower().split()
+    if len(w) < 2:
+        return 0, None, None
+    total = 0
+    for a, b in zip(w, w[1:]):
+        p = (bi.get((a, b), 0) + k) / (uni.get(a, 0) + k * v)
+        total += round(math.log(p) * 1e9)
+    n = len(w) - 1
+    avg = (total / 1e9) / n
+    # JVM-side HALF_UP at 6dp
+    import decimal
+
+    avg_r = float(
+        decimal.Decimal(avg).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+    return n, avg_r, None
+
+
+def test_lm_matches_reference(spark):
+    ref_df = spark.createDataFrame(REF, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(TARGETS, "doc_id long, text string")
+    uni, bi, v = lm.train_bigram_lm(ref_df)
+    r_uni, r_bi, r_v = _ref_model(REF)
+    assert (uni, v) == (r_uni, r_v)
+    assert bi == r_bi
+
+    rows = {r["doc_id"]: r for r in lm.lm_score_docs(tgt_df, uni, bi, v).collect()}
+    assert len(rows) == len(TARGETS)
+    for did, text in TARGETS:
+        n, avg, _ = _ref_score(text, uni, bi, v)
+        got = rows[did]
+        assert got["n_bigrams"] == n
+        if n == 0:
+            assert got["avg_logp"] is None and got["ppl"] is None
+        else:
+            assert got["avg_logp"] == pytest.approx(avg, abs=1e-9)
+            assert got["ppl"] == pytest.approx(
+                round(math.exp(-got["avg_logp"]), 6), abs=1e-6
+            )
+
+
+def test_lm_orders_quality(spark):
+    """Seen-bigram text scores lower perplexity than unseen-vocab text."""
+    ref_df = spark.createDataFrame(REF, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(TARGETS, "doc_id long, text string")
+    uni, bi, v = lm.train_bigram_lm(ref_df)
+    rows = {r["doc_id"]: r for r in lm.lm_score_docs(tgt_df, uni, bi, v).collect()}
+    assert rows[3]["ppl"] < rows[4]["ppl"]
+    # in-reference docs score at least as well as the novel-but-seen one
+    assert rows[0]["ppl"] < rows[4]["ppl"]
