@@ -10,7 +10,10 @@ ONE lazy DataFrame plan plus one pair-join pass:
                                runs FIRST so scoring and dedup see
                                clean text, as the published pipelines
                                order it)
-      → quality filter        (functions/text.py:quality_score)
+      → quality filter        (functions/text.py:quality_score; optional
+                               AND trained classifier, AND a CCNet
+                               bigram-LM perplexity gate — all three
+                               fuse into ONE scoring pass)
       → language filter       (functions/text.py:lang_id)
       → exact dedup           (operators/dedup.py:exact_dedup)
       → near-dup removal      (operators/dedup.py MinHash-LSH pairs;
@@ -57,6 +60,8 @@ def curate_corpus(
     boilerplate_seg_words: int = 8,
     quality_model=None,
     quality_model_tau: float = 0.5,
+    lm_model: tuple[dict, dict, int] | None = None,
+    lm_ppl_max: float | None = None,
 ) -> dict[str, float]:
     """Run the curation funnel over ``documents``; commit survivors to a
     VersionedTable at ``out_root``.  Returns per-stage surviving counts —
@@ -120,6 +125,15 @@ def curate_corpus(
     # map, so it fuses into the same single scoring pass; its
     # probability column is dropped before the funnel continues.
     q_ok = F.round(T.quality_score("text"), 6) >= min_quality
+    # optional CCNet perplexity gate: the LM score is a scalar Arrow UDF
+    # Column, so it rides the SAME single scoring pass as the heuristic
+    # (no extra traversal); docs without bigram evidence score NULL and
+    # fail the gate, the conservative default
+    if lm_model is not None and lm_ppl_max is not None:
+        from readwise_vector_db_spark.operators.lm import lm_ppl_udf
+
+        ppl = lm_ppl_udf(spark, *lm_model)
+        q_ok = q_ok & (ppl(F.col("text")) <= F.lit(float(lm_ppl_max)))
     if quality_model is not None:
         from pyspark.ml.functions import vector_to_array
 

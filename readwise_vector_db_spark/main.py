@@ -87,6 +87,19 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     from readwise_vector_db_spark.jobs.curate import curate_corpus
 
     spark = get_spark("rwv-curate")
+    lm_model = None
+    if args.lm_ppl_max is not None:
+        # CCNet shape: train the reference LM on the target-language
+        # slice of the corpus itself (stand-in for a curated wiki dump)
+        from pyspark.sql import functions as F
+
+        from readwise_vector_db_spark.operators.lm import train_bigram_lm
+        from readwise_vector_db_spark.sources.tables import load_table
+
+        ref = load_table(spark, args.sf_dir, "documents").filter(
+            F.col("lang") == args.lang
+        )
+        lm_model = train_bigram_lm(ref)
     stats = curate_corpus(
         spark,
         args.sf_dir,
@@ -96,6 +109,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         near_dup_threshold=args.near_dup_threshold,
         semantic_threshold=args.semantic_threshold,
         boilerplate_min_df_frac=args.boilerplate_min_df_frac,
+        lm_model=lm_model,
+        lm_ppl_max=args.lm_ppl_max,
     )
     print(json.dumps(stats))
     return 0
@@ -150,6 +165,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--min-quality", type=float, default=0.4)
     c.add_argument("--lang", default="en")
     c.add_argument("--near-dup-threshold", type=float, default=0.6)
+    c.add_argument(
+        "--lm-ppl-max", type=float, default=None,
+        help="enable the CCNet perplexity gate: drop documents whose "
+        "bigram-LM perplexity (trained on the --lang slice) exceeds this",
+    )
     c.add_argument(
         "--semantic-threshold", type=float, default=None,
         help="enable the SemDeDup embedding stage at this cosine threshold",

@@ -73,6 +73,72 @@ def train_bigram_lm(
     return uni, bi, len(uni)
 
 
+def _make_scorer(uni, bi, vocab_size: int, add_k: float):
+    """Per-text closure → (n_bigrams, raw mean logp | None).
+
+    Each bigram's logp is rounded at 9 dp AS INTEGER NANO-UNITS so the
+    per-doc sum is exact (the DECIMAL-routing rule in executable form);
+    ``total/1e9`` is then the double nearest the exact decimal sum —
+    identical to the oracle's ``CAST(SUM(DECIMAL) AS DOUBLE)``.  ln()
+    engine-ulp differences are absorbed by the 9 dp grain (round() here
+    is scale-then-nearest-int; half-to-even applies only on exact .5
+    nano boundaries, which ln cannot hit)."""
+    kv = add_k * vocab_size
+    ws = re.compile(r"\s+")  # the ws_tokens/string_split_regex twin
+    cache: dict[tuple[str, str], int] = {}
+
+    def logp_nano(w1: str, w2: str) -> int:
+        key = (w1, w2)
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        p = (bi.get(key, 0) + add_k) / (uni.get(w1, 0) + kv)
+        val = round(math.log(p) * 1e9)
+        cache[key] = val
+        return val
+
+    def score(text: str) -> tuple[int, float | None]:
+        w = ws.split(text.lower())
+        n = len(w) - 1
+        if n < 1:
+            return 0, None
+        total = sum(logp_nano(w[i], w[i + 1]) for i in range(n))
+        return n, (total / 1e9) / n
+
+    return score
+
+
+def lm_ppl_udf(
+    spark,
+    uni: dict[str, int],
+    bi: dict[tuple[str, str], int],
+    vocab_size: int,
+    add_k: float = 0.5,
+):
+    """Perplexity as a scalar Arrow ``pandas_udf`` Column — the form
+    that FUSES into an existing scoring projection (the curate funnel's
+    single flag pass) instead of wrapping the frame in its own
+    mapInPandas stage.  NULL for texts without bigram evidence (a
+    ``ppl <= max`` gate then fails them, the conservative default)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast((uni, bi, int(vocab_size), float(add_k)))
+
+    @pandas_udf("double")
+    def ppl(texts: pd.Series) -> pd.Series:
+        score = _make_scorer(*bc.value)
+
+        def one(t):
+            if t is None:
+                return None
+            _, raw = score(t)
+            return None if raw is None else math.exp(-raw)
+
+        return texts.map(one)
+
+    return ppl
+
+
 def lm_score_docs(
     docs: DataFrame,
     uni: dict[str, int],
@@ -101,40 +167,14 @@ def lm_score_docs(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _uni, _bi, v, k = bc.value
-        kv = k * v
-        ws = re.compile(r"\s+")  # the ws_tokens/string_split_regex twin
-        cache: dict[tuple[str, str], int] = {}
-
-        def logp_nano(w1: str, w2: str) -> int:
-            key = (w1, w2)
-            hit = cache.get(key)
-            if hit is not None:
-                return hit
-            p = (_bi.get(key, 0) + k) / (_uni.get(w1, 0) + kv)
-            # 9dp round as integer nano-units: summation stays exact,
-            # ln() engine-ulp differences are absorbed (round() here is
-            # scale-up-then-nearest-int — half-to-even at the 1e-9 grain
-            # only on exact .5 nano boundaries, which ln cannot hit)
-            val = round(math.log(p) * 1e9)
-            cache[key] = val
-            return val
-
+        score = _make_scorer(*bc.value)
         for pdf in batches:
             ids, ns, avgs = [], [], []
             for did, text in zip(pdf["id"], pdf["t"]):
-                w = ws.split(text.lower())
-                n = len(w) - 1
+                n, raw = score(text)
                 ids.append(did)
-                if n < 1:
-                    ns.append(0)
-                    avgs.append(None)
-                    continue
-                total = sum(logp_nano(w[i], w[i + 1]) for i in range(n))
-                # total/1e9 = the double nearest the exact decimal sum —
-                # identical to the oracle's CAST(SUM(DECIMAL) AS DOUBLE)
                 ns.append(n)
-                avgs.append((total / 1e9) / n)
+                avgs.append(raw)
             yield pd.DataFrame({"lm_id": ids, "n_bigrams": ns, "raw_avg": avgs})
 
     base = docs.select(

@@ -119,3 +119,25 @@ def test_curate_corpus_quality_model_stage(spark, tmp_path):
         >= gated["after_near_dup"]
         > 0
     )
+
+
+def test_curate_corpus_lm_gate(spark, tmp_path):
+    """The CCNet perplexity gate narrows after_quality monotonically in
+    the threshold and fuses into the scoring pass (no new stage keys)."""
+    from pyspark.sql import functions as F
+
+    from readwise_vector_db_spark.operators.lm import train_bigram_lm
+    from readwise_vector_db_spark.sources.tables import load_table
+
+    ref = load_table(spark, SF_SMOKE, "documents").filter(F.col("lang") == "en")
+    model = train_bigram_lm(ref)
+    base = curate_corpus(spark, SF_SMOKE, str(tmp_path / "b"))
+    loose = curate_corpus(
+        spark, SF_SMOKE, str(tmp_path / "l"), lm_model=model, lm_ppl_max=1e9
+    )
+    tight = curate_corpus(
+        spark, SF_SMOKE, str(tmp_path / "t"), lm_model=model, lm_ppl_max=30.0
+    )
+    assert loose["after_quality"] == base["after_quality"]
+    assert tight["after_quality"] < base["after_quality"]
+    assert set(tight) == set(base)  # gate adds no stage keys of its own
