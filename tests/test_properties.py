@@ -7,6 +7,7 @@ makes per-example cost ~0.5 s, so examples are few but adversarial
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -253,3 +254,93 @@ def test_minhash_and_simhash_always_pair_identical_docs(spark, seed):
     sh = {(r["id_a"], r["id_b"]): r["hamming"]
           for r in simhash_pairs(docs, max_hamming=0).collect()}
     assert sh.get((0, 1)) == 0
+
+
+# small shared-vocab corpora so df/tf collisions and OOV actually happen
+_VOCAB = ["a", "bb", "cat", "dog", "run"]
+_DOCS = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=10),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_DOCS, terms=st.lists(st.sampled_from(_VOCAB + ["zzz"]), min_size=1, max_size=3, unique=True))
+@settings(**SETTINGS)
+def test_bm25_matches_brute_force(spark, docs, terms):
+    """bm25_scores == the literal formula on ANY corpus, including empty
+    documents (whose regex tokenization yields one empty token — part of
+    dl and avgdl, exactly as the SQL twin sees it) and all-OOV queries."""
+    import math
+    import re
+
+    from readwise_vector_db_spark.operators import ranking
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in ranking.bm25_scores(
+            spark.createDataFrame(rows, "doc_id long, text string"), terms
+        ).collect()
+    }
+
+    toks = {i: re.split(r"\s+", t.lower()) for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    want = {}
+    for i, _ in rows:
+        s = 0.0
+        for term in terms:
+            tf = toks[i].count(term)
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += round(
+                idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks[i]) / avgdl)),
+                9,
+            )
+        if round(s, 6) > 0:
+            want[i] = round(s, 6)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=1.1e-6)
+
+
+@given(ref=_DOCS, targets=_DOCS)
+@settings(**SETTINGS)
+def test_lm_matches_brute_force(spark, ref, targets):
+    """lm_score_docs == the literal smoothed-bigram formula for ANY
+    reference/target split, including OOV-only targets and single-token
+    documents (NULL scores)."""
+    import math
+    import re
+
+    from readwise_vector_db_spark.operators import lm
+
+    ref_rows = [(i, " ".join(w)) for i, w in enumerate(ref)]
+    tgt_rows = [(i, " ".join(w)) for i, w in enumerate(targets)]
+    uni, bi, v = lm.train_bigram_lm(
+        spark.createDataFrame(ref_rows, "doc_id long, text string")
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in lm.lm_score_docs(
+            spark.createDataFrame(tgt_rows, "doc_id long, text string"), uni, bi, v
+        ).collect()
+    }
+    for i, t in tgt_rows:
+        w = re.split(r"\s+", t.lower())
+        nb = len(w) - 1
+        if nb < 1:
+            assert got[i] == (0, None)
+            continue
+        total = sum(
+            round(
+                math.log(
+                    (bi.get((w[j], w[j + 1]), 0) + 0.5) / (uni.get(w[j], 0) + 0.5 * v)
+                )
+                * 1e9
+            )
+            for j in range(nb)
+        )
+        assert got[i][0] == nb
+        assert got[i][1] == pytest.approx((total / 1e9) / nb, abs=1.1e-6)
