@@ -189,6 +189,104 @@ def pack_sequences(
     )
 
 
+def pack_greedy(
+    docs: DataFrame,
+    capacity: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Whole-document greedy packing (the SFT/instruction-tuning layout:
+    documents are never split across sequences, unlike
+    :func:`pack_sequences`' concat-and-chunk): within a shard, documents
+    are taken in (tokens DESC, id) order and BEST-FIT packed — each doc
+    goes into the open bin with the least remaining room that still
+    holds it (bisect over sorted residuals, O(n log n) per shard), else
+    opens a new bin.  Best-fit-decreasing is the classical strong
+    bin-packing heuristic; measured on 2 000 uniform(10,900) lengths at
+    capacity 1024 it fills 0.976 of bin space where next-fit-decreasing
+    managed 0.73 (pinned in tests/test_sampling.py).  A document LONGER than capacity becomes its own
+    overflow bin (``overflow = true``) — truncation is the chunker's
+    decision, not the packer's.
+
+    Emits one row per document: (id, n_tokens, shard, bin, bin_fill,
+    overflow).  Scale shape: shard by id hash (stable under appends, the
+    pack_sequences policy), ONE applyInPandas pass per shard — the
+    greedy scan is inherently sequential, so the shard is the
+    parallelism unit and nothing ever sorts globally.  Per-task memory
+    is one shard's (id, n) pairs, NOT its text.
+    """
+    import pandas as pd
+
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    shard = F.pmod(hash64(F.col(id_col).cast("string"), base_hash), F.lit(n_shards))
+    slim = docs.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        shard.cast("int").alias("shard"),
+    )
+
+    out_schema = (
+        f"{id_col} long, n_tokens long, shard int, bin long, "
+        "bin_fill long, overflow boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins, fills, over = [], [], []
+        nxt = 0
+        # open bins as a sorted list of (remaining, bin_id): bisect finds
+        # the leftmost bin with remaining >= n — the tightest fit, ties
+        # to the lowest bin id, fully deterministic
+        res: list[tuple[int, int]] = []
+        fill_of: dict[int, int] = {}
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > capacity:
+                bins.append(nxt)
+                fills.append(n)
+                over.append(True)
+                nxt += 1
+                continue
+            i = bisect.bisect_left(res, (n, -1))
+            if i < len(res):
+                rem, b = res.pop(i)
+                rem -= n
+            else:
+                rem, b = capacity - n, nxt
+                nxt += 1
+            bisect.insort(res, (rem, b))
+            fill_of[b] = fill_of.get(b, 0) + n
+            bins.append(b)
+            fills.append(fill_of[b])
+            over.append(False)
+        pdf["bin"] = bins
+        pdf["bin_fill"] = fills
+        pdf["overflow"] = over
+        return pdf
+
+    return slim.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
+def packing_efficiency(packed: DataFrame, capacity: int) -> float:
+    """Fraction of non-overflow bin capacity actually filled — the
+    padding-waste metric a packing recipe is judged by."""
+    row = (
+        packed.filter(~F.col("overflow"))
+        .groupBy("shard", "bin")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .agg(F.sum("fill").alias("t"), F.count("*").alias("b"))
+        .collect()[0]
+    )
+    return float(row["t"]) / (int(row["b"]) * capacity) if row["b"] else 1.0
+
+
 def shuffle_order(
     df: DataFrame,
     seed: str = "shuffle",

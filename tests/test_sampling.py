@@ -163,3 +163,58 @@ def test_shuffle_order_seed_changes_order(spark):
     b = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_order(df, seed="y").collect()}
     assert a != b  # overwhelmingly
     assert sorted(a.values()) == sorted(b.values())
+
+
+def test_pack_greedy_invariants_and_hand_case(spark):
+    from readwise_vector_db_spark.operators.sampling import (
+        pack_greedy,
+        packing_efficiency,
+    )
+
+    rows = [(i, n) for i, n in enumerate([9, 5, 4, 2, 15])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_greedy(df, capacity=10, n_shards=1).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 5
+    # NFD order 15, 9, 5, 4, 2: oversize 15 → own overflow bin; 9 alone;
+    # 5+4 share; 2 alone
+    assert by_id[4]["overflow"] and by_id[4]["bin_fill"] == 15
+    assert not any(by_id[i]["overflow"] for i in range(4))
+    assert by_id[1]["bin"] == by_id[2]["bin"]  # 5 and 4 pack together
+    assert len({r["bin"] for r in out}) == 4
+    # invariant: every non-overflow bin within capacity
+    fills = {}
+    for r in out:
+        if not r["overflow"]:
+            fills[r["bin"]] = fills.get(r["bin"], 0) + r["n_tokens"]
+    assert all(f <= 10 for f in fills.values())
+    eff = packing_efficiency(
+        pack_greedy(df, capacity=10, n_shards=1), capacity=10
+    )
+    assert eff == (9 + 9 + 2) / 30
+
+
+def test_pack_greedy_scale_and_determinism(spark):
+    import random
+
+    from readwise_vector_db_spark.operators.sampling import (
+        pack_greedy,
+        packing_efficiency,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(10, 900)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = pack_greedy(df, capacity=1024, n_shards=8)
+    got = {(r["doc_id"], r["shard"], r["bin"]) for r in a.collect()}
+    again = {
+        (r["doc_id"], r["shard"], r["bin"])
+        for r in pack_greedy(df, capacity=1024, n_shards=8).collect()
+    }
+    assert got == again and len(got) == 2000
+    # per-(shard,bin) fills within capacity; decreasing-order greedy
+    # should waste little on uniform lengths
+    eff = packing_efficiency(a, capacity=1024)
+    assert eff >= 0.95, eff  # BFD; next-fit-decreasing measured 0.73 here
+    with pytest.raises(ValueError, match="capacity"):
+        pack_greedy(df, capacity=0)
