@@ -76,12 +76,19 @@ def train_pq_codebooks(
     inner products sum to the cosine; d must divide by m.  Returns a
     list of (k, d/m) float32 arrays — the whole model is m·k·(d/m) =
     k·d floats, broadcastable anywhere."""
-    sample = (
-        vecs.select(F.col(vec_col).cast("array<float>").alias("v"))
-        .filter(F.col("v").isNotNull())
-        .limit(sample_rows)
-        .collect()
+    live = vecs.select(F.col(vec_col).cast("array<float>").alias("v")).filter(
+        F.col("v").isNotNull()
     )
+    total = live.count()
+    if total > sample_rows:
+        # map-only random sample, NOT limit(): limit takes the FIRST
+        # partitions, which at 100 TB is a spatially biased slice of the
+        # corpus (one ingest epoch, one source).  1.25× oversample then
+        # trim covers Bernoulli shortfall.
+        live = live.sample(
+            False, min(1.0, 1.25 * sample_rows / total), seed
+        ).limit(sample_rows)
+    sample = live.collect()
     x = np.asarray([r["v"] for r in sample], dtype=np.float32)
     if x.ndim != 2 or x.shape[0] == 0:
         raise ValueError("train_pq_codebooks needs a non-empty vector column")
