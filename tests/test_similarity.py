@@ -242,3 +242,28 @@ def test_ivf_filtered_probe_binds_predicate(spark, embs):
     }
     assert filtered == {qid, qid + 1_000_000}
     assigned.unpersist()
+
+
+def test_ivf_sampled_fit(spark, embs):
+    """fit_sample_rows fits KMeans on a sample but still assigns EVERY
+    corpus row; a planted duplicate pair still co-assigns and is
+    retrievable at distance 0."""
+    q0 = embs.orderBy("vec_id").first()
+    plant = spark.createDataFrame(
+        [(int(q0["vec_id"]) + 1_000_000, list(q0["embedding"]))],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = embs.select("vec_id", "embedding").unionByName(plant)
+    assigned, centroids = sim.build_ivf_index(
+        corpus, n_clusters=8, fit_sample_rows=64
+    )
+    assert len(centroids) == 8
+    assert assigned.count() == corpus.count()
+    rows = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert rows[int(q0["vec_id"])] == rows[int(q0["vec_id"]) + 1_000_000]
+    got = sim.ivf_search(
+        assigned, centroids, [float(x) for x in q0["embedding"]], k=10, nprobe=3
+    ).filter(F.col("cos_dist") == 0.0)
+    assert {r["neighbor_id"] for r in got.collect()} == {
+        int(q0["vec_id"]), int(q0["vec_id"]) + 1_000_000
+    }
