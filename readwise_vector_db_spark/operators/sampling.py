@@ -99,6 +99,44 @@ def dataset_split(
     return df.withColumn(split_col, expr)
 
 
+def dataset_split_stratified(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    base_hash: str = "xxhash64",
+    salt: str = "split",
+) -> DataFrame:
+    """EXACT per-stratum splits: within each stratum, rows are ranked by
+    (id-hash, id) and cut at the cumulative-weight boundaries of the
+    stratum's own row count, so every stratum lands within one row of
+    its target proportion (``dataset_split``'s map-only hash split is
+    proportional only in expectation — ±binomial noise per stratum,
+    which matters for small strata and for eval sets that must be
+    exactly sized).  The honest trade: a row's split now depends on its
+    stratum's membership, so appends can migrate rows between splits —
+    use the stable hash split when contamination-across-versions is the
+    constraint, this when exact stratification is.  One shuffle on the
+    stratum key; weights must sum to ≤ 1 (remainder → NULL holdout).
+    """
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("split weights must sum to <= 1")
+    b = _bucket(id_col, salt, base_hash)
+    w_rank = W.partitionBy(strata_col).orderBy(F.asc(b), F.asc(id_col))
+    w_all = W.partitionBy(strata_col)
+    frac = F.row_number().over(w_rank).cast("double") / F.count("*").over(w_all)
+    bounds, cum = [], 0.0
+    for name, wt in weights.items():
+        cum += wt
+        bounds.append((name, cum))
+    expr = F.lit(None).cast("string")
+    for name, hi in sorted(bounds, key=lambda t: -t[1]):
+        expr = F.when(frac <= F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def quota_sample(
     df: DataFrame,
     quota: int,

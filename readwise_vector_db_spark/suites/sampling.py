@@ -179,3 +179,30 @@ def shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.shuffle_order(
         docs, seed="epoch0", n_buckets=64, base_hash="md5"
     ).select("doc_id", "shuffle_pos")
+
+
+@register_extra(
+    "dataset_split_stratified_q",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN frac <= 0.8 THEN 'train'
+                WHEN frac <= 0.9 THEN 'val'
+                WHEN frac <= 1.0 THEN 'test' END AS split
+    FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_bucket_sql("split")} ASC, doc_id ASC) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY source) AS frac
+        FROM documents)
+    """,
+)
+def dataset_split_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 80/10/10 WITHIN each source: in-stratum hash rank cut at
+    the stratum's own cumulative boundaries — every stratum within one
+    row of its target proportion, where the stable hash split is only
+    proportional in expectation.  One shuffle on the stratum key."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return sp.dataset_split_stratified(
+        docs, _SPLIT_WEIGHTS, strata_col="source", base_hash="md5"
+    ).select("doc_id", "source", "split")

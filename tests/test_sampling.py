@@ -218,3 +218,30 @@ def test_pack_greedy_scale_and_determinism(spark):
     assert eff >= 0.95, eff  # BFD; next-fit-decreasing measured 0.73 here
     with pytest.raises(ValueError, match="capacity"):
         pack_greedy(df, capacity=0)
+
+
+def test_dataset_split_stratified_exact_proportions(spark):
+    from readwise_vector_db_spark.operators.sampling import (
+        dataset_split_stratified,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(300)] + [(1000 + i, "tiny") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = dataset_split_stratified(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, strata_col="source"
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], {}).setdefault(r["split"], 0)
+        per[r["source"]][r["split"]] += 1
+    # exact proportions per stratum (100 rows → 80/10/10; 10 → 8/1/1)
+    for src, counts in per.items():
+        n = sum(counts.values())
+        assert counts["train"] == round(0.8 * n), (src, counts)
+        assert counts["val"] == round(0.1 * n), (src, counts)
+        assert counts["test"] == round(0.1 * n), (src, counts)
+    # weights must be sane
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="sum"):
+        dataset_split_stratified(df, {"a": 0.9, "b": 0.2}, strata_col="source")
