@@ -70,6 +70,11 @@ def train_bigram_lm(
     )
     uni = {r["w"]: int(r["c"]) for r in uni_rows}
     bi = {(r["w1"], r["w2"]): int(r["c"]) for r in bi_rows}
+    if not uni:
+        raise ValueError(
+            "train_bigram_lm: reference corpus has no tokens — an empty "
+            "vocabulary would make every smoothed probability divide by zero"
+        )
     return uni, bi, len(uni)
 
 
@@ -155,6 +160,8 @@ def lm_score_docs(
     9 dp-rounded per-bigram terms; the final 6 dp round and the ``exp``
     happen JVM-side so HALF_UP rounding matches the SQL twin (Python's
     ``round`` is half-to-even)."""
+    if vocab_size <= 0 or add_k <= 0:
+        raise ValueError("lm_score_docs needs vocab_size > 0 and add_k > 0")
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast((uni, bi, int(vocab_size), float(add_k)))
 

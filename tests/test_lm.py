@@ -85,3 +85,14 @@ def test_lm_orders_quality(spark):
     assert rows[3]["ppl"] < rows[4]["ppl"]
     # in-reference docs score at least as well as the novel-but-seen one
     assert rows[0]["ppl"] < rows[4]["ppl"]
+
+
+def test_lm_empty_reference_rejects_loudly(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        lm.train_bigram_lm(empty)
+    with pytest.raises(ValueError, match="vocab_size"):
+        lm.lm_score_docs(
+            spark.createDataFrame([(0, "a b")], "doc_id long, text string"),
+            {}, {}, 0,
+        )
