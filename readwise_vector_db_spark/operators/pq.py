@@ -222,6 +222,8 @@ def ivfpq_encode(
     codes are computed on the l2-normalized vector (not the residual) so
     the same codebooks serve both the flat and the IVF-composed scan and
     ADC sums stay cosines."""
+    if not centroids:
+        raise ValueError("ivfpq_encode needs a non-empty centroid list")
     m = len(codebooks)
     sub = codebooks[0].shape[1]
     books = [np.asarray(b, dtype=np.float32) for b in codebooks]
@@ -560,6 +562,8 @@ def ivfpq_search(
     the code table to the ``nprobe`` nearest cells — partition pruning
     over a :func:`save_ivfpq_index` layout — then ADC-scan only those
     cells.  Pure composition: the scan half IS :func:`pq_search`."""
+    if not centroids:
+        raise ValueError("ivfpq_search needs a non-empty centroid list")
     q = np.asarray(query, dtype=np.float64)
     qn = float(np.linalg.norm(q))
 

@@ -339,3 +339,10 @@ def test_pq_recall_and_rescore(spark, embs, books):
     scores = [r["score"] for r in rescored]
     assert scores == sorted(scores, reverse=True)
     codes.unpersist()
+
+
+def test_ivfpq_rejects_empty_centroids(spark, embs, books):
+    with pytest.raises(ValueError, match="non-empty centroid"):
+        pq.ivfpq_encode(embs, [], books)
+    with pytest.raises(ValueError, match="non-empty centroid"):
+        pq.ivfpq_search(pq.pq_encode(embs, books), [], books, [0.0] * 64)
