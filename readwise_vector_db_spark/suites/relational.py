@@ -33,8 +33,16 @@ DEC = "decimal(28,10)"
 
 
 def _dec_sum(col: Column, alias: str, scale: int = 2) -> Column:
-    """Order-independent SUM of a double expression, rounded to `scale`."""
-    return F.round(F.sum(col.cast(DEC)).cast("double"), scale).alias(alias)
+    """Order-independent SUM of a double expression, rounded to `scale`.
+
+    Round the DECIMAL, then cast — not the reverse: Spark's
+    ``round(double)`` rounds the SHORTEST decimal rendering (Java
+    ``BigDecimal.valueOf``) while DuckDB rounds the exact binary value,
+    so a decimal sum landing exactly on a ``.xx5`` boundary diverges by
+    one unit-in-last-place after a double cast (observed at ×10 scale:
+    a 1.9e9 revenue sum hit ...609.665 and split .67 vs .66).  Decimal
+    HALF_UP rounding is exact and identical in both engines."""
+    return F.round(F.sum(col.cast(DEC)), scale).cast("double").alias(alias)
 
 
 def _dec_avg(col: Column, alias: str, scale: int = 6) -> Column:
@@ -58,10 +66,10 @@ def _revenue() -> Column:
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_base_price,
-           ROUND(CAST(SUM(CAST({_REVENUE} AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST({_REVENUE} * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST({_REVENUE} AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST({_REVENUE} * (1 + l_tax) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
@@ -111,7 +119,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_unshipped",
     f"""
     SELECT l_orderkey,
-           ROUND(CAST(SUM(CAST({_REVENUE} AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+           CAST(ROUND(SUM(CAST({_REVENUE} AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -151,7 +159,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     f"""
     SELECT n_name,
-           ROUND(CAST(SUM(CAST({_REVENUE} AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST({_REVENUE} AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
     FROM region JOIN nation ON n_regionkey = r_regionkey
                 JOIN customer ON c_nationkey = n_nationkey
                 JOIN orders ON o_custkey = c_custkey
@@ -198,7 +206,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_nation_revenue_year",
     f"""
     SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
-           ROUND(CAST(SUM(CAST({_REVENUE} AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
+           CAST(ROUND(SUM(CAST({_REVENUE} AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   JOIN customer ON o_custkey = c_custkey
@@ -329,7 +337,7 @@ def q_brand_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup_returns",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -351,7 +359,7 @@ def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
            COUNT(DISTINCT c_nationkey) AS n_nations,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_bal,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_bal,
            ROUND(MIN(c_acctbal), 2) AS min_bal,
            ROUND(MAX(c_acctbal), 2) AS max_bal
     FROM customer
@@ -492,7 +500,7 @@ def q_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_BIG_SPENDERS = """
     SELECT c.c_custkey, o.o_orderkey,
-           ROUND(CAST(CAST(o.o_totalprice AS DECIMAL(28,10)) AS DOUBLE), 2) AS price
+           CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(28,10)), 2) AS DOUBLE) AS price
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     WHERE c.c_custkey IN (
         SELECT o2.o_custkey FROM orders o2
@@ -586,9 +594,9 @@ def q_customer_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_customer_running_spend",
     """
     SELECT o_custkey, o_orderkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_spend,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS run_spend,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -611,10 +619,9 @@ def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(
-            F.sum(dec).over(order_w.rowsBetween(W.unboundedPreceding, W.currentRow))
-            .cast("double"),
+            F.sum(dec).over(order_w.rowsBetween(W.unboundedPreceding, W.currentRow)),
             2,
-        ).alias("run_spend"),
+        ).cast("double").alias("run_spend"),
         # avg as exact-decimal SUM ÷ COUNT in double, rounded at 6dp: a
         # 3-row avg of cent-scale values adds at most one decimal digit, so
         # 6dp can never land on a rounding boundary — engines' ROUND
@@ -708,7 +715,7 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT k % 10 AS k_mod,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
     FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value FROM events)
     GROUP BY 1
     """,
@@ -742,7 +749,7 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(p_size) AS INT) AS g_size,
            COUNT(*) AS n_parts,
            COUNT(DISTINCT p_type) AS n_types,
-           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_price
     FROM part
     GROUP BY CUBE (p_brand, p_size)
     """,
@@ -771,7 +778,7 @@ def q_part_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS bucket,
            event_type,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -803,7 +810,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_sliding",
     """
     SELECT bucket, event_type, COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
                AS sum_value
     FROM (
         SELECT (epoch_us(ts) // 1000000)
@@ -925,7 +932,7 @@ _RJ_BIN_US = 600_000_000  # bin ≈ interval width → ≤2 bins per interval
              FROM a JOIN ev e ON e.ts_us >= a.lo AND e.ts_us <= a.hi)
     SELECT anchor_id,
            COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE)
                AS sum_value
     FROM hits GROUP BY anchor_id
     """,
@@ -951,6 +958,6 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("anchor_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(
-            F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 2
-        ).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(28,10)")), 2
+        ).cast("double").alias("sum_value"),
     )

@@ -12,6 +12,7 @@ Usage:  python tools/oracle_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 from collections import Counter
 from datetime import date, datetime
@@ -54,9 +55,11 @@ def _normalize(rows, columns):
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written corpora (e.g. the ×10 replica) are DIRECTORIES of
+        # part files under the table name; glob them for DuckDB
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     return con
 
 
