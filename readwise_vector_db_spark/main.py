@@ -99,7 +99,9 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         ref = load_table(spark, args.sf_dir, "documents").filter(
             F.col("lang") == args.lang
         )
-        lm_model = train_bigram_lm(ref)
+        lm_model = train_bigram_lm(
+            ref, min_count=args.lm_min_count, max_vocab=args.lm_max_vocab
+        )
     stats = curate_corpus(
         spark,
         args.sf_dir,
@@ -169,6 +171,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--lm-ppl-max", type=float, default=None,
         help="enable the CCNet perplexity gate: drop documents whose "
         "bigram-LM perplexity (trained on the --lang slice) exceeds this",
+    )
+    c.add_argument(
+        "--lm-min-count", type=int, default=2,
+        help="prune LM n-gram counts below this before the driver collect "
+        "(KenLM --prune analogue; bounds the broadcast artifact)",
+    )
+    c.add_argument(
+        "--lm-max-vocab", type=int, default=None,
+        help="cap the LM vocabulary at the top-N unigrams by frequency",
     )
     c.add_argument(
         "--semantic-threshold", type=float, default=None,

@@ -6,10 +6,16 @@ corpus; low-perplexity documents are "wiki-like".  Re-expressed
 Spark-first with a bigram LM:
 
 - **Train** = two counting aggregates over the reference corpus
-  (unigram and bigram frequencies).  The model is BOUNDED by vocabulary,
-  not corpus size — the CCNet artifact property — so it collects to a
-  driver dict and broadcasts (at web scale the same counts come off one
-  groupBy; the dict stays the bounded serving artifact).
+  (unigram and bigram frequencies), PRUNED before they reach the
+  driver.  The unigram table grows with vocabulary and the bigram
+  table toward O(V²)·corpus-diversity, so an unpruned collect is NOT
+  bounded — real CCNet ships a pruned, quantized KenLM artifact for
+  exactly this reason.  ``min_count`` drops rare entries inside the
+  aggregate (the KenLM ``--prune`` analogue), ``max_vocab`` caps the
+  vocabulary at the top-N by frequency (distributed TakeOrdered), and
+  a ``max_model_rows`` guard on each collect turns "the prune was too
+  weak for this corpus" into a loud error instead of a driver OOM.
+  The pruned dict then broadcasts as the serving artifact.
 - **Score** = ONE map-only Arrow pass over the target corpus: for each
   document, the mean add-k-smoothed bigram log-probability
   ``ln((c(w1,w2) + k) / (c(w1) + k·V))`` and the derived perplexity.
@@ -38,23 +44,69 @@ from pyspark.sql import types as T
 from readwise_vector_db_spark.functions.text import ws_tokens
 
 
+def _collect_bounded(df: DataFrame, guard: int, what: str) -> list:
+    """Collect at most ``guard`` rows; one row over → loud ValueError.
+    ``limit(guard+1)`` bounds driver memory even in the failure case —
+    the guard costs nothing when the prune did its job (limit is a
+    no-op below the threshold) and never OOMs when it didn't."""
+    rows = df.limit(guard + 1).collect()
+    if len(rows) > guard:
+        raise ValueError(
+            f"train_bigram_lm: pruned {what} table still exceeds "
+            f"max_model_rows={guard}; raise min_count or lower max_vocab "
+            "— collecting it would risk a driver OOM"
+        )
+    return rows
+
+
 def train_bigram_lm(
-    ref_docs: DataFrame, text_col: str = "text"
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
+    max_model_rows: int = 2_000_000,
 ) -> tuple[dict[str, int], dict[tuple[str, str], int], int]:
     """(unigram counts, bigram counts, vocab size) from the reference
-    corpus — two distributed counting aggregates, collected because the
-    model is vocabulary-bounded (the artifact CCNet ships)."""
+    corpus — two distributed counting aggregates, pruned BEFORE collect.
+
+    ``min_count``: drop unigrams/bigrams with count < min_count inside
+    the aggregate (KenLM ``--prune``).  Because every bigram occurrence
+    is also a w1 occurrence, c(w1) ≥ c(w1,w2) — so a surviving bigram's
+    head word always survives the same unigram prune; the two HAVING
+    clauses are mutually consistent with one threshold.
+
+    ``max_vocab``: keep only the top-N unigrams by (count desc, word
+    asc — deterministic tie-break), via distributed TakeOrdered; bigrams
+    are then semi-joined (broadcast, vocab ≤ max_vocab rows) so both
+    words are in-vocabulary, bounding the model at max_vocab² keys.
+
+    ``max_model_rows``: hard guard on each collect — exceeding it
+    raises instead of OOMing the driver.  Pruned words score as unseen
+    (the smoothed ``uni.get(w,0)`` / ``bi.get(key,0)`` fallback), so
+    pruning changes scores only through the count floors and the kept
+    vocab size V, exactly as the SQL oracle twin expresses it."""
+    if min_count < 1:
+        raise ValueError("train_bigram_lm: min_count must be >= 1")
     toks = ref_docs.select(
         ws_tokens(F.lower(F.col(text_col))).alias("_t")
     ).filter(F.size("_t") > 0)
-    uni_rows = (
+    uni_counts = (
         toks.select(F.explode("_t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
-        .collect()
     )
+    if min_count > 1:
+        uni_counts = uni_counts.filter(F.col("c") >= min_count)
+    if max_vocab is not None:
+        # TakeOrdered: per-partition top-N, merged on the driver —
+        # never a global sort of the count table
+        uni_counts = uni_counts.orderBy(
+            F.col("c").desc(), F.col("w").asc()
+        ).limit(int(max_vocab))
+    uni_rows = _collect_bounded(uni_counts, max_model_rows, "unigram")
+    uni = {r["w"]: int(r["c"]) for r in uni_rows}
     # bigrams: zip tokens with their tail — stays inside the row until
-    # the (bounded-key) count aggregate
+    # the count aggregate, pruned by the same min_count before collect
     pairs = toks.select(
         F.explode(
             F.zip_with(
@@ -64,16 +116,29 @@ def train_bigram_lm(
             )
         ).alias("p")
     )
-    bi_rows = (
+    bi_counts = (
         pairs.select("p.w1", "p.w2").groupBy("w1", "w2").agg(F.count("*").alias("c"))
-        .collect()
     )
-    uni = {r["w"]: int(r["c"]) for r in uni_rows}
+    if min_count > 1:
+        bi_counts = bi_counts.filter(F.col("c") >= min_count)
+    if max_vocab is not None:
+        # restrict to the capped vocabulary on BOTH positions — the
+        # vocab side is ≤ max_vocab rows, so broadcast semi-joins (no
+        # isin() literal list: the py4j per-element pathology)
+        spark = ref_docs.sparkSession
+        vocab_df = F.broadcast(
+            spark.createDataFrame([(w,) for w in uni], "w string")
+        )
+        bi_counts = bi_counts.join(
+            vocab_df, bi_counts["w1"] == vocab_df["w"], "left_semi"
+        ).join(vocab_df, bi_counts["w2"] == vocab_df["w"], "left_semi")
+    bi_rows = _collect_bounded(bi_counts, max_model_rows, "bigram")
     bi = {(r["w1"], r["w2"]): int(r["c"]) for r in bi_rows}
     if not uni:
         raise ValueError(
-            "train_bigram_lm: reference corpus has no tokens — an empty "
-            "vocabulary would make every smoothed probability divide by zero"
+            "train_bigram_lm: reference corpus has no tokens surviving the "
+            "prune — an empty vocabulary would make every smoothed "
+            "probability divide by zero"
         )
     return uni, bi, len(uni)
 

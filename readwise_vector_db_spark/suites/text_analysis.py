@@ -428,6 +428,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni AS (
         SELECT w, COUNT(*) AS c
         FROM (SELECT unnest(t) AS w FROM fref) GROUP BY w
+        HAVING COUNT(*) >= 2
     ),
     vocab AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
     bi AS (
@@ -435,6 +436,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
             FROM fref WHERE len(t) >= 2)
         GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
     ),
     corpus AS (
         SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
@@ -470,13 +472,16 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring: a bigram LM trained on the
-    English reference slice (two counting aggregates, vocabulary-bounded
-    artifact), then every document scored in ONE map-only Arrow pass —
-    mean add-0.5-smoothed bigram log-prob and perplexity.  The naive
-    plan shuffles every token to a per-doc aggregate; here tokens never
-    leave their row (operators/lm.py)."""
+    English reference slice (two counting aggregates, PRUNED at
+    min_count=2 before the driver collect — the KenLM ``--prune``
+    analogue, mirrored by the HAVING clauses in the oracle), then every
+    document scored in ONE map-only Arrow pass — mean add-0.5-smoothed
+    bigram log-prob and perplexity.  Pruned words score as unseen via
+    the smoothed count floors.  The naive plan shuffles every token to
+    a per-doc aggregate; here tokens never leave their row
+    (operators/lm.py)."""
     from readwise_vector_db_spark.operators import lm
 
     docs = load_table(spark, sf_dir, "documents")
-    uni, bi, v = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    uni, bi, v = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"), min_count=2)
     return lm.lm_score_docs(docs, uni, bi, v)

@@ -87,6 +87,56 @@ def test_lm_orders_quality(spark):
     assert rows[0]["ppl"] < rows[4]["ppl"]
 
 
+def test_lm_min_count_prunes_singletons(spark):
+    """min_count=2 drops every count-1 entry from BOTH tables; survivors
+    keep their full counts; V is the KEPT vocab size; and a surviving
+    bigram's head word always survives (c(w1) >= c(w1,w2))."""
+    ref_df = spark.createDataFrame(REF, "doc_id long, text string")
+    r_uni, r_bi, _ = _ref_model(REF)
+    uni, bi, v = lm.train_bigram_lm(ref_df, min_count=2)
+    assert uni == {w: c for w, c in r_uni.items() if c >= 2}
+    assert bi == {k: c for k, c in r_bi.items() if c >= 2}
+    assert v == len(uni) and 0 < v < len(r_uni)
+    assert all(w1 in uni for (w1, _) in bi)
+    # scoring still works end-to-end with the pruned model; pruned
+    # words score as unseen via the smoothed count floors
+    tgt_df = spark.createDataFrame(TARGETS, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in lm.lm_score_docs(tgt_df, uni, bi, v).collect()}
+    n3, avg3, _ = _ref_score("the cat sat", uni, bi, v)
+    assert rows[3]["n_bigrams"] == n3
+    assert rows[3]["avg_logp"] == pytest.approx(avg3, abs=1e-9)
+    assert rows[5]["ppl"] is None
+
+
+def test_lm_max_vocab_caps_model_size(spark):
+    """A corpus whose vocabulary exceeds the cap yields exactly
+    max_vocab unigrams — top-N by (count desc, word asc) — and bigrams
+    restricted to in-vocab words on both positions (≤ cap² keys)."""
+    ref_df = spark.createDataFrame(REF, "doc_id long, text string")
+    r_uni, r_bi, r_v = _ref_model(REF)
+    cap = 4
+    assert r_v > cap  # the corpus would otherwise exceed the cap
+    uni, bi, v = lm.train_bigram_lm(ref_df, max_vocab=cap)
+    assert len(uni) == cap == v
+    expect = sorted(r_uni.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+    assert uni == dict(expect)
+    assert all(w1 in uni and w2 in uni for (w1, w2) in bi)
+    assert bi == {
+        k: c for k, c in r_bi.items() if k[0] in uni and k[1] in uni
+    }
+
+
+def test_lm_collect_guard_raises_instead_of_oom(spark):
+    """When the prune leaves more rows than max_model_rows, the collect
+    raises loudly (bounded at guard+1 rows) instead of materializing
+    the table on the driver."""
+    ref_df = spark.createDataFrame(REF, "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_model_rows"):
+        lm.train_bigram_lm(ref_df, max_model_rows=3)
+    with pytest.raises(ValueError, match="min_count must be"):
+        lm.train_bigram_lm(ref_df, min_count=0)
+
+
 def test_lm_empty_reference_rejects_loudly(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="no tokens"):
