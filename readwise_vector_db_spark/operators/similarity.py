@@ -300,6 +300,8 @@ def ivf_search(
     vec_col: str = "embedding",
     multi_assigned: bool = False,
     pred=None,
+    est_matches: int | None = None,
+    route_filtered: bool = True,
 ) -> DataFrame:
     """Probe the ``nprobe`` clusters whose centroids are nearest the query,
     then exact top-k within them.
@@ -318,11 +320,21 @@ def ivf_search(
     ``/search`` filter semantics composed with the index.  This is
     post-filtering in ANN terms, but it applies INSIDE the pruned scan
     (cluster IN-list and the predicate both push into the parquet read),
-    before any distance math.  The honest recall caveat at scale: a
-    selective predicate can starve k within the probed cells — matching
-    rows may live in unprobed clusters — so selectivity raises the
-    nprobe a caller should use; the planted-oracle query pins the
-    exactness of the plumbing, not a recall guarantee.
+    before any distance math.
+
+    **Selectivity routing** (round 7 — the SCALING operating rule in
+    code): a selective predicate can STARVE k within the probed cells —
+    matching rows may live in unprobed clusters — so below ~k·n_clusters
+    expected corpus-wide matches the index prunes more recall than cost
+    and the right plan is the exact filtered scan (predicate pushes into
+    the parquet read; at 0.1 % selectivity that scan is tiny).  With
+    ``route_filtered=True`` the probe estimates the match count —
+    ``est_matches`` if the serving layer has per-filter stats, else one
+    ``approx_count_distinct`` aggregate that reads ONLY the filter/id
+    columns (never the vectors) — and routes: ``matches < k·n_clusters``
+    → exact filtered scan (result is exact, not approximate);
+    otherwise → the pruned index probe.  ``route_filtered=False`` pins
+    the index path (what the starvation-curve tooling measures).
     """
     import numpy as np
 
@@ -345,7 +357,21 @@ def ivf_search(
     for x in query_vec:
         acc += float(x) * float(x)
     q_norm = F.lit(acc ** 0.5)
-    pruned = assigned.filter(F.col("cluster").isin(probe_ids))
+    use_index = True
+    if pred is not None and route_filtered:
+        matches = est_matches
+        if matches is None:
+            # approx distinct ids: multi-assigned copies don't inflate
+            # the estimate, and the partial aggregate never shuffles data
+            matches = int(
+                assigned.filter(pred)
+                .agg(F.approx_count_distinct(id_col).alias("m"))
+                .first()["m"]
+            )
+        use_index = matches >= k * len(centroids)
+    pruned = assigned
+    if use_index:
+        pruned = pruned.filter(F.col("cluster").isin(probe_ids))
     if pred is not None:
         pruned = pruned.filter(pred)
     probed = pruned.withColumn(

@@ -244,6 +244,57 @@ def test_ivf_filtered_probe_binds_predicate(spark, embs):
     assigned.unpersist()
 
 
+def test_ivf_filtered_selectivity_routing(spark):
+    """The SCALING operating rule in code: below ~k·n_clusters expected
+    matches a filtered probe must route to the exact filtered scan (the
+    index would starve — matching rows live in unprobed cells); above
+    it, the index path still prunes.  Corpus: 400 'a' rows clustered
+    around the query direction, 4 'r' rows in an orthogonal blob the
+    nprobe=1 probe never visits."""
+    rows = [
+        (i, [10.0 + (i % 7) * 0.01, (i % 5) * 0.01, 0.0, 0.0], "a")
+        for i in range(400)
+    ] + [
+        (1000 + j, [0.0, 0.0, 10.0 + j * 0.01, 1.0], "r") for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    assigned, cents = sim.build_ivf_index(df, n_clusters=8)
+    assigned = assigned.persist()
+    q = [10.0, 0.0, 0.0, 0.0]
+    rare = F.col("label") == "r"
+
+    # 4 matches << k·n_clusters = 40 → the router falls back to the
+    # exact filtered scan and returns EVERY matching row, exactly
+    routed = sim.ivf_search(assigned, cents, q, k=5, nprobe=1, pred=rare)
+    assert {r["neighbor_id"] for r in routed.collect()} == {1000, 1001, 1002, 1003}
+
+    # the pinned index path starves at the same selectivity — proving
+    # the fallback (not luck) produced the exact result above
+    starved = sim.ivf_search(
+        assigned, cents, q, k=5, nprobe=1, pred=rare, route_filtered=False
+    )
+    assert starved.count() < 4
+
+    # caller-supplied stats take precedence over the live estimate
+    forced = sim.ivf_search(
+        assigned, cents, q, k=5, nprobe=1, pred=rare, est_matches=10_000
+    )
+    assert forced.count() == starved.count()
+
+    # ~99% selectivity: the router keeps the index path — identical
+    # rows to the pinned probe, and results span ≤ nprobe clusters
+    common = F.col("label") == "a"
+    auto = sim.ivf_search(assigned, cents, q, k=5, nprobe=2, pred=common).collect()
+    pinned = sim.ivf_search(
+        assigned, cents, q, k=5, nprobe=2, pred=common, route_filtered=False
+    ).collect()
+    assert [(r["neighbor_id"], r["cos_dist"]) for r in auto] == [
+        (r["neighbor_id"], r["cos_dist"]) for r in pinned
+    ]
+    assert len({r["cluster"] for r in auto}) <= 2
+    assigned.unpersist()
+
+
 def test_ivf_sampled_fit(spark, embs):
     """fit_sample_rows fits KMeans on a sample but still assigns EVERY
     corpus row; a planted duplicate pair still co-assigns and is

@@ -170,7 +170,9 @@ def main() -> None:
                     x["neighbor_id"]
                     for x in sim.ivf_search(
                         assigned, centroids, qv, k=10, nprobe=nprobe,
-                        pred=pf(lab),
+                        # pin the INDEX path: this sweep measures the
+                        # starvation curve the router exists to avoid
+                        pred=pf(lab), route_filtered=False,
                     ).collect()
                 }
                 walls.append(time.monotonic() - t0)
