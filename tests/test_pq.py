@@ -322,6 +322,40 @@ def test_pq_knn_join_adc_only_schema(spark, embs, books):
         )
 
 
+def test_pq_string_ids_roundtrip(spark, embs, books):
+    """String/UUID-style ids flow through encode → ADC join → rescore
+    without a long cast (round-6 advice: the qid schema was hardcoded
+    long).  Results must agree with the long-id run modulo the id
+    mapping, on both the ADC-only and rescore paths."""
+    sembs = embs.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("doc_key"), "embedding"
+    )
+    codes = pq.pq_encode(sembs, books, id_col="doc_key").persist()
+    assert dict(codes.dtypes)["doc_key"] == "string"
+    queries = sembs.filter(F.col("doc_key").isin("doc-0", "doc-1")).select(
+        F.col("doc_key").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = pq.pq_knn_join(
+        codes, queries, books, k=3, id_col="doc_key",
+        rescore=sembs, vec_col="embedding", rescore_factor=8,
+    ).collect()
+    assert {r["query_id"] for r in rows} == {"doc-0", "doc-1"}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, lst in by_q.items():
+        # self-match survives the exact rescore at rank 1, distance 0
+        best = min(lst, key=lambda r: (r["cos_dist"], r["rn"]))
+        assert best["neighbor_id"] == qid and best["cos_dist"] == 0.0
+    # single-query path, rescore via IN filter, string ids end-to-end
+    q0 = [float(x) for x in embs.orderBy("vec_id").first()["embedding"]]
+    got = pq.pq_search(
+        codes, q0, books, k=3, id_col="doc_key", rescore=sembs
+    ).collect()
+    assert got[0]["doc_key"] == "doc-0" and got[0]["score"] == 1.0
+    codes.unpersist()
+
+
 def test_pq_recall_and_rescore(spark, embs, books):
     q = list(embs.orderBy("vec_id").first()["embedding"])
     exact = _exact_topk(spark, embs, q, 10)
