@@ -19,10 +19,11 @@ Layout:
 - ``commit`` writes the next snapshot dir, then atomically renames a
   tmp manifest over ``_LATEST`` (POSIX rename; on an object store this
   pointer swap is the job of a commit/catalog service — same protocol).
-- Concurrent writers serialize on an atomic version CLAIM (``os.mkdir``
-  of ``_CLAIM_<v>`` is the CAS): racing commits both land, one after
-  the other, and crash-recovery only ever deletes debris whose claim is
-  provably dead — never a live peer's in-flight segment.  Note this
+- Concurrent writers serialize on an atomic version CLAIM (``os.rename``
+  of a fully-built staging dir onto ``_CLAIM_<v>`` is the CAS, so a
+  visible claim always carries its owner file): racing commits both
+  land, one after the other, and crash-recovery only ever deletes debris
+  whose claim is provably dead — never a live peer's in-flight segment.  Note this
   serializes version ASSIGNMENT, not read-modify-write transactions:
   two concurrent ``merge`` calls both based on snapshot N commit as
   N+1 and N+2, last-writer-wins on content (Delta would reject the
@@ -46,8 +47,9 @@ from readwise_vector_db_spark.operators.upsert import merge_upsert
 _MANIFEST = "_LATEST"
 _SEGMENTS = "_SEGMENTS"
 _CLAIM = "_CLAIM"
-# An ownerless claim younger than this is a writer between mkdir and its
-# owner-file write — treat as live; older, it's mkdir-then-crash debris.
+# Claims land by atomic rename WITH their owner file inside, so this
+# grace window applies only to legacy/foreign ownerless claims (nothing
+# this code creates): younger → treat as live, older → debris.
 _CLAIM_GRACE_SEC = 10.0
 
 
@@ -130,29 +132,61 @@ class VersionedTable:
         except PermissionError:
             return False  # exists, owned by someone else
 
+    def _sweep_stale_claim_tmps(self) -> None:
+        """Remove staging dirs left by writers that crashed between
+        building the claim and renaming it into place.  The staging name
+        embeds the claimant's pid, so liveness is checkable without any
+        grace window; a live peer's staging dir is never touched."""
+        import shutil
+
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if f"{_CLAIM}_" not in name or ".tmp-" not in name:
+                continue
+            try:
+                pid = int(name.rsplit(".tmp-", 1)[1].split("-", 1)[0])
+                os.kill(pid, 0)
+            except (ValueError, IndexError, PermissionError):
+                continue  # unparsable or live-but-foreign: leave it
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
     def _claim_version(self) -> int:
         """Atomically claim the next version number (round-5 verdict
         item 4: two racing committers must not both target v=N+1).
-        ``os.mkdir`` of the claim dir is the CAS: exactly one writer
-        creates it.  Losers wait for the holder to publish (manifest
-        advances past v) or die (claim removed / pid gone), then retry
-        against the NEW latest — both commits succeed, serially.  The
-        caller must release via ``_release_claim`` in a finally."""
+        The CAS is ``os.rename`` of a fully-built staging dir — owner
+        file already inside — onto the claim path: exactly one writer
+        lands (rename onto a non-empty dir fails with ENOTEMPTY), and a
+        visible claim is NEVER ownerless, eliminating the round-6
+        claim-steal window where a writer stalled >grace between mkdir
+        and its owner write looked dead and lost its claim to a peer.
+        Losers wait for the holder to publish (manifest advances past v)
+        or die (claim removed / pid gone), then retry against the NEW
+        latest — both commits succeed, serially.  The caller must
+        release via ``_release_claim`` in a finally."""
+        import shutil
+        import uuid
+
+        self._sweep_stale_claim_tmps()
         while True:
             v = (self.latest_version() or 0) + 1
             claim = self._claim_dir(v)
+            stage = f"{claim}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            os.makedirs(stage)
+            with open(os.path.join(stage, "owner"), "w") as f:
+                json.dump({"pid": os.getpid()}, f)
             try:
-                os.mkdir(claim)
-            except FileExistsError:
+                os.rename(stage, claim)
+            except OSError:
+                shutil.rmtree(stage, ignore_errors=True)
                 if self._claim_is_dead(claim):
-                    import shutil
-
                     shutil.rmtree(claim, ignore_errors=True)
                 else:
                     time.sleep(0.05)  # live peer mid-commit on v — wait
                 continue
-            with open(os.path.join(claim, "owner"), "w") as f:
-                json.dump({"pid": os.getpid()}, f)
             # the peer that published v removes its claim only AFTER the
             # pointer flip, so we may have claimed a version that is
             # already live — never overwrite it, move on to v+1

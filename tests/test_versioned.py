@@ -201,3 +201,42 @@ def test_dead_claim_is_broken_live_claim_respected(spark, table):
     import shutil
 
     shutil.rmtree(claim3)
+
+
+def test_claim_lands_atomically_with_owner(spark, table):
+    """Round-7 claim-steal fix: the CAS is an os.rename of a fully-built
+    staging dir, so (a) a visible claim ALWAYS carries its owner file —
+    there is no ownerless window for a peer to age out and steal; (b) a
+    claim already held (even by a stalled writer that has written
+    nothing else yet) makes the rename fail rather than silently merge;
+    (c) staging debris from a DEAD claimant is swept, a LIVE claimant's
+    staging dir is left alone."""
+    import json
+    import os
+    import shutil
+
+    table.commit(spark.range(2).select("id"))
+    v = table._claim_version()
+    try:
+        claim = table._claim_dir(v)
+        with open(os.path.join(claim, "owner")) as f:
+            assert json.load(f)["pid"] == os.getpid()
+        # (b) a second staging dir cannot rename onto the held claim
+        stage = f"{claim}.tmp-{os.getpid()}-deadbeef"
+        os.makedirs(stage)
+        with open(os.path.join(stage, "owner"), "w") as f:
+            json.dump({"pid": os.getpid()}, f)
+        with pytest.raises(OSError):
+            os.rename(stage, claim)
+        shutil.rmtree(stage)
+    finally:
+        table._release_claim(v)
+    # (c) sweep: dead-pid staging debris removed, live-pid left
+    dead = os.path.join(table.root, f"_CLAIM_{99:08d}.tmp-{2 ** 22 + 13}-aa")
+    live = os.path.join(table.root, f"_CLAIM_{98:08d}.tmp-{os.getpid()}-bb")
+    os.makedirs(dead)
+    os.makedirs(live)
+    table._sweep_stale_claim_tmps()
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
+    shutil.rmtree(live)
