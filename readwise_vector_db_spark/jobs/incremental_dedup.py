@@ -141,12 +141,20 @@ def append_band_index(
     rows: DataFrame,
     store_root: str,
     n_buckets: int = BAND_BUCKETS,
+    synced_version: int | None = None,
 ) -> None:
     """Append one increment's (band hash, signature) rows to the band
-    index, then advance the sync marker to the store's current version.
-    O(increment) write into the bucketed layout; each append adds
-    ≤ n_buckets files (same small-file growth as the versioned
-    segments — compact on the same cadence)."""
+    index, then advance the sync marker to ``synced_version`` — the
+    version whose rows the CALLER just wrote (the just-committed version
+    for appends, the pinned snapshot for rebuilds).  Round-7 fix: the
+    marker used to re-read the store's latest_version at write time,
+    which over-claims coverage of rows committed by a peer mid-call — a
+    probe in that window would skip repair and silently under-drop,
+    violating the marker's "never wrong the optimistic way" contract.
+    ``None`` keeps the legacy re-read for standalone maintenance calls
+    where no snapshot is pinned.  O(increment) write into the bucketed
+    layout; each append adds ≤ n_buckets files (same small-file growth
+    as the versioned segments — compact on the same cadence)."""
     name = ensure_band_index(spark, store_root, n_buckets, repair=False)
     bands = rows.filter(F.col("sig").isNotNull()).select(
         F.explode(band_keys("sig")).alias("bh"), "sig"
@@ -158,7 +166,9 @@ def append_band_index(
         .sortBy("bh")
         .saveAsTable(name)
     )
-    _write_synced_version(store_root, VersionedTable(store_root).latest_version() or 0)
+    if synced_version is None:
+        synced_version = VersionedTable(store_root).latest_version() or 0
+    _write_synced_version(store_root, synced_version)
 
 
 def rebuild_band_index(
@@ -177,8 +187,13 @@ def rebuild_band_index(
     shutil.rmtree(f"{table.root}/_bands", ignore_errors=True)
     if pinned is None:
         return
-    append_band_index(spark, table.read(spark, version=pinned), table.root, n_buckets)
-    _write_synced_version(table.root, pinned)
+    append_band_index(
+        spark,
+        table.read(spark, version=pinned),
+        table.root,
+        n_buckets,
+        synced_version=pinned,
+    )
 
 
 def _with_fp_sig(
@@ -273,12 +288,16 @@ def dedup_batch_against_store(
         # append-only: the commit writes THIS increment's survivors and
         # publishes a segment-sharing snapshot — O(batch) I/O per
         # increment, never a store rewrite
-        table.commit_append(survivors)
+        committed_v = table.commit_append(survivors)
         if batch_join == "bucketed":
             # derived index appends AFTER the commit: a crash between
             # leaves the index lagging (repairable via
-            # rebuild_band_index), never referencing uncommitted rows
-            append_band_index(spark, survivors, table.root)
+            # rebuild_band_index), never referencing uncommitted rows.
+            # The marker advances to exactly the version JUST committed,
+            # never a peer's later one
+            append_band_index(
+                spark, survivors, table.root, synced_version=committed_v
+            )
     stats["store_version"] = table.latest_version() or 0
     survivors.unpersist()
     rows.unpersist()

@@ -285,6 +285,39 @@ def test_broadcast_to_bucketed_migration_rebuilds_index(spark, docs, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_band_marker_stamps_callers_version_not_latest(spark, docs, tmp_path):
+    """The sync marker must advance to the version whose rows the caller
+    wrote — never the store's CURRENT latest (a peer may have committed
+    mid-call; over-claiming makes a probe skip repair and silently
+    under-drop)."""
+    from readwise_vector_db_spark.functions.text import fingerprint_md5
+    from readwise_vector_db_spark.jobs import incremental_dedup as inc
+    from readwise_vector_db_spark.jobs.incremental_dedup import _with_fp_sig
+
+    table = VersionedTable(str(tmp_path / "store_marker"))
+    dedup_batch_against_store(
+        spark, docs.filter(F.col("doc_id") < 20), table, batch_join="bucketed"
+    )
+    v1 = table.latest_version()
+    # a "peer" commit lands that our in-flight append knows nothing about
+    extra = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+    rows = _with_fp_sig(
+        extra.select("doc_id", "text", fingerprint_md5("text").alias("fp")),
+        "doc_id", "text", 3, "xxhash64",
+    ).select("doc_id", "fp", "sig")
+    table.commit_append(rows)
+    assert (table.latest_version() or 0) > v1
+    # replaying v1's index append must stamp v1, NOT the peer's version
+    inc.append_band_index(
+        spark, table.read(spark, version=v1), table.root, synced_version=v1
+    )
+    assert inc._synced_version(table.root) == v1
+    # so the next probe still sees the lag and repairs
+    inc.ensure_band_index(spark, table.root)
+    assert inc._synced_version(table.root) == table.latest_version()
+    spark.sql(f"DROP TABLE IF EXISTS {inc._band_table_name(table.root)}")
+
+
 def test_crash_lag_auto_repaired_on_next_probe(spark, docs, tmp_path):
     """A commit that landed without its index append (crash window) is
     detected via the marker on the next bucketed probe and repaired."""
