@@ -28,9 +28,15 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from readwise_vector_db_spark.functions.text import word_shingles, ws_tokens
 from readwise_vector_db_spark.operators.dedup import hash64
+
+# boilerplate sets up to this size stay an array literal (codegen path);
+# larger sets broadcast + Arrow-filter (the py4j literal pathology starts
+# to bite around 10³ elements)
+_LIT_SET_MAX = 512
 
 
 def decontaminate(
@@ -196,10 +202,18 @@ def remove_boilerplate(
       map-side);
     * ``strategy="map"`` (picked by ``auto`` whenever the boilerplate
       set fits ``max_broadcast_segments``): collect the offending
-      hashes (driver-bounded by the argument above), embed them as an
-      array literal, and rebuild every document MAP-ONLY with
-      ``filter``+``array_join`` — original segment order is preserved
-      for free, and the corpus text crosses no shuffle at all;
+      hashes (driver-bounded by the argument above) and rebuild every
+      document MAP-ONLY — original segment order is preserved for free,
+      and the corpus text crosses no shuffle at all.  Small sets
+      (≤ ``_LIT_SET_MAX``) embed as an array literal tested with
+      ``array_contains`` — pure whole-stage codegen, no Python stage.
+      Larger sets must NOT: ``F.lit(list)`` pays a py4j round-trip per
+      element at plan build (~1.4 s at 3 k elements, the pathology this
+      repo documents in operators/search.py) and ``array_contains``
+      linear-scans the array per segment (O(segments·set) compute).
+      They broadcast as a Python frozenset instead and one Arrow
+      ``pandas_udf`` filters each document's segments with O(1) hash
+      lookups — hashes still computed JVM-side by ``xxhash64``;
     * ``strategy="shuffle"`` (the fallback for degenerate corpora
       where "boilerplate" is most of the text): posexplode → left-anti
       broadcast join against the df table → re-assemble per doc with a
@@ -246,19 +260,54 @@ def remove_boilerplate(
             r["h"] for r in seg_df.limit(max_broadcast_segments + 1).collect()
         ]
         if len(common) <= max_broadcast_segments:
-            if common:
+            if not common:
+                out = base.withColumn("_kept", F.col("_segs"))
+            elif len(common) <= _LIT_SET_MAX:
+                # small set: literal + array_contains stays inside
+                # whole-stage codegen — no Python stage at all
                 lit_common = F.lit(sorted(common))
-                kept_arr = F.filter(
-                    F.col("_segs"),
-                    lambda s: ~F.array_contains(lit_common, F.xxhash64(s)),
+                out = base.withColumn(
+                    "_kept",
+                    F.filter(
+                        F.col("_segs"),
+                        lambda s: ~F.array_contains(lit_common, F.xxhash64(s)),
+                    ),
                 )
             else:
-                kept_arr = F.col("_segs")
-            return base.select(
+                # big set: broadcast a frozenset, filter per document in
+                # ONE Arrow pass with O(1) membership — never an F.lit
+                # literal (py4j per-element round-trip at plan build) or
+                # a per-segment linear array scan
+                from pyspark.sql.pandas.functions import pandas_udf
+
+                bset = docs.sparkSession.sparkContext.broadcast(
+                    frozenset(int(h) for h in common)
+                )
+
+                @pandas_udf(T.ArrayType(T.StringType()))
+                def _keep(segs: pd.Series, hs: pd.Series) -> pd.Series:
+                    s = bset.value
+                    return pd.Series(
+                        [
+                            [seg for seg, h in zip(a, b) if int(h) not in s]
+                            for a, b in zip(segs, hs)
+                        ]
+                    )
+
+                out = base.withColumn(
+                    "_kept",
+                    _keep(
+                        F.col("_segs"),
+                        F.transform("_segs", lambda s: F.xxhash64(s)),
+                    ),
+                )
+            return out.select(
                 F.col(id_col),
-                F.array_join(kept_arr, " ").alias("clean_text"),
-                F.size(kept_arr).cast("long").alias("kept_segs"),
-                (F.size("_segs") - F.size(kept_arr)).cast("long").alias("dropped_segs"),
+                F.array_join("_kept", " ").alias("clean_text"),
+                F.size("_kept").cast("long").alias("kept_segs"),
+                (F.size("_segs") - F.size("_kept")).cast("long").alias(
+                    "dropped_segs"
+                ),
                 *extra,
             )
         if strategy == "map":

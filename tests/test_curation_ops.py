@@ -130,6 +130,43 @@ def test_remove_boilerplate_map_equals_shuffle(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_remove_boilerplate_big_set_broadcast_path(spark):
+    """A boilerplate set larger than _LIT_SET_MAX takes the broadcast +
+    Arrow membership path (no F.lit literal, no per-segment array scan)
+    and must agree exactly with the shuffle strategy; a doc that shares
+    no boilerplate passes through untouched."""
+    from readwise_vector_db_spark.operators.curation import (
+        _LIT_SET_MAX,
+        remove_boilerplate,
+    )
+
+    n_bp = _LIT_SET_MAX + 50  # 562 distinct 1-word boilerplate segments
+    rows = []
+    for d in range(2):  # each bp word appears in BOTH docs → df=2
+        body = " ".join(f"bp{i}" for i in range(n_bp))
+        rows.append((d, body + f" unique{d}a unique{d}b"))
+    rows.append((9, "organic words only here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            docs, seg_words=1, min_df=2, strategy="map"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            docs, seg_words=1, min_df=2, strategy="shuffle"
+        ).collect()
+    }
+    assert a[0]["clean_text"] == "unique0a unique0b"
+    assert a[0]["dropped_segs"] == n_bp
+    assert a[9]["clean_text"] == "organic words only here"
+    assert {k: tuple(v) for k, v in a.items()} == {
+        k: tuple(v) for k, v in b.items()
+    }
+
+
 def test_remove_boilerplate_preserves_order_and_partial_segments(spark):
     from readwise_vector_db_spark.operators.curation import remove_boilerplate
 
