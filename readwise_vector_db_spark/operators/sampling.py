@@ -35,6 +35,10 @@ from readwise_vector_db_spark.operators.dedup import hash64
 # 1/2**20 ≈ 1e-6, plenty for mix weights and exactly representable
 _RATE_BITS = 20
 _RATE_DEN = 1 << _RATE_BITS
+# shuffle_order: bucket-offset maps up to this size stay a create_map
+# literal; larger bucket counts broadcast-join the offsets frame (py4j
+# literal pathology past ~10³ elements)
+_OFFSET_LIT_MAX = 1024
 
 
 def _bucket(col: Column | str, salt: str, base_hash: str) -> Column:
@@ -354,8 +358,14 @@ def shuffle_order(
     function of (data, seed), independent of partitioning, cluster
     size, or execution order, so reruns and the DuckDB oracle agree
     bit-for-bit.  At 100 TB: n_buckets scales with the cluster (each
-    bucket must fit one task's sort), the offsets stay a driver-side
-    array of longs, and everything else is map-only.
+    bucket must fit one task's sort), the offsets stay n_buckets longs,
+    and everything else is map-only.  Below ``_OFFSET_LIT_MAX`` buckets
+    the offsets ride the plan as one ``create_map`` literal; past it —
+    the 10⁴–10⁵-bucket cluster regime — they become a broadcast-joined
+    offsets frame instead, because a create_map of 2·n_buckets ``F.lit``
+    calls re-creates the per-element py4j plan-build pathology this repo
+    has fixed three times (~1.4 s at 3 k elements, and the plan string
+    itself grows O(n_buckets)).
     """
     h = hash64(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")), base_hash)
     keyed = df.withColumn("_h", h).withColumn(
@@ -369,13 +379,25 @@ def shuffle_order(
     for b in range(n_buckets):
         offsets[b] = acc
         acc += counts.get(b, 0)
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
     rn = F.row_number().over(
         W.partitionBy("_b").orderBy(F.col("_h"), F.col(id_col))
     )
-    return keyed.withColumn(
-        "shuffle_pos",
-        (off_map[F.col("_b")] + rn - F.lit(1)).cast("long"),
-    ).drop("_h", "_b")
+    if n_buckets <= _OFFSET_LIT_MAX:
+        off_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        return keyed.withColumn(
+            "shuffle_pos",
+            (off_map[F.col("_b")] + rn - F.lit(1)).cast("long"),
+        ).drop("_h", "_b")
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(b), int(o)) for b, o in offsets.items()], "_b bigint, _off bigint"
+        )
+    )
+    return (
+        keyed.withColumn("_rn", rn)
+        .join(off_df, "_b")
+        .withColumn("shuffle_pos", (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long"))
+        .drop("_h", "_b", "_rn", "_off")
+    )

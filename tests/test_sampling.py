@@ -155,6 +155,40 @@ def test_shuffle_order_deterministic_across_partitioning(spark):
     assert sorted(b.values()) == list(range(300))
 
 
+def test_shuffle_order_broadcast_offsets_past_threshold(spark):
+    """Past _OFFSET_LIT_MAX buckets the offsets become a broadcast-joined
+    frame — the plan must carry a join, NOT a 2·n_buckets create_map
+    literal — and the positions must still be the exact (bucket, hash,
+    id) lexicographic order."""
+    from readwise_vector_db_spark.operators.dedup import hash64
+    from readwise_vector_db_spark.operators.sampling import (
+        _OFFSET_LIT_MAX,
+        shuffle_order,
+    )
+
+    nb = _OFFSET_LIT_MAX + 476  # 1500 buckets: the broadcast regime
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = shuffle_order(df, n_buckets=nb)
+    rows = out.collect()
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(500))
+    # reference order recomputed from the documented definition
+    h = hash64(
+        F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")), "xxhash64"
+    )
+    ref = [
+        r["doc_id"]
+        for r in df.withColumn("_h", h)
+        .withColumn("_b", F.pmod("_h", F.lit(nb)))
+        .orderBy("_b", "_h", "doc_id")
+        .collect()
+    ]
+    got = {r["shuffle_pos"]: r["doc_id"] for r in rows}
+    assert [got[i] for i in range(500)] == ref
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
+    assert "map(" not in plan  # no literal offset map in the plan text
+
+
 def test_shuffle_order_seed_changes_order(spark):
     from readwise_vector_db_spark.operators.sampling import shuffle_order
 
