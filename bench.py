@@ -3,7 +3,8 @@
 Prints TWO JSON lines: first the FULL artifact (medians + minima +
 serving/HTTP/curate-stage sections), then a compact headline line —
   {"metric": "total_wall_sec", "value": N, "unit": "sec",
-   "queries": {name: min_sec, ...}, "sf": 0.1, "stat": "min_of_5"}
+   "queries": {name: min_sec, ...}, "sf": 0.1,
+   "stat": "min_over_2_runs", "n_runs": 2}
 The compact line is LAST because the driver captures only the tail of
 stdout and parses the final JSON line; round 5's single giant line
 outgrew that window and the canonical artifact landed "parsed": null.
@@ -11,16 +12,20 @@ outgrew that window and the canonical artifact landed "parsed": null.
 Each query runs through a full action — ``noop`` format write forces
 complete execution of every partition without driver collection, so the
 timing covers scan → shuffle → sink, not just the driver-side head.
-Per-query statistics over ``SPARK_GRAFT_BENCH_REPS`` runs (default 5):
-``queries`` carries the median (the first rep pays plan codegen),
-``queries_min`` the minimum.  **Trend on the min**: this host shows
-multi-second hypervisor-level stalls — round-4 measurements caught
-3→20 s outliers on identical warm reps with zero guest-side
-CPU/IO/memory pressure, and the r4 artifact's medians came out a
-uniform 1.2–1.6× slower than r3 on queries no commit touched.  A stall
-can only ADD time, so min-of-N is the stall-robust statistic (the
-SCALING.md methodology, promoted into the per-round artifact);
-the median stays for cross-checking variance.
+
+Statistics (round 7): the WHOLE measurement sequence runs
+``SPARK_GRAFT_BENCH_RUNS`` complete passes (default 2), each taking
+``SPARK_GRAFT_BENCH_REPS`` reps per query (default 3), and the artifact
+carries the CROSS-RUN fold — per-query min-of-medians in ``queries``,
+min-of-mins in ``queries_min``, min per serving percentile, max per
+throughput — plus ``n_runs``.  **Why**: this host shows multi-second
+hypervisor-level stalls (round-4: 3→20 s outliers on identical warm
+reps with zero guest-side pressure), and round 6 proved a SINGLE pass
+is not trustworthy even with min-of-5 — BENCH_r06.json landed in one
+bad window and read 8 phantom regressions that the same session's other
+full runs showed flat.  A stall can only ADD time, so minima folded
+across temporally-separated passes are the stall-robust statistic; the
+median stays for cross-checking variance.
 """
 
 from __future__ import annotations
@@ -144,13 +149,95 @@ def main() -> None:
 
     planted_ivf_artifact(spark, SF_DIR)
 
-    def median(sorted_samples: list[float]) -> float:
-        n = len(sorted_samples)
-        return (
-            sorted_samples[n // 2]
-            if n % 2
-            else (sorted_samples[n // 2 - 1] + sorted_samples[n // 2]) / 2
-        )
+    # --- measurement: N full passes, cross-run minima --------------------
+    # Round-7 change (r6 verdict item 2): ONE pass on this host can land
+    # in a multi-second hypervisor-stall window and manufacture phantom
+    # regressions (BENCH_r06 did: 8 rows ≥1.4× that the same session's
+    # other full runs showed flat).  The canonical artifact now folds
+    # minima across ≥2 temporally-separated complete passes — a stall can
+    # only ADD time, so the cross-run min is the stall-robust statistic —
+    # and carries ``n_runs`` so the reader knows what the numbers are
+    # without consulting SCALING.md footnotes.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    runs = [_measure(spark, qs, i) for i in range(n_runs)]
+    out = _merge_runs(runs)
+    out["n_runs"] = n_runs
+    out["per_run_value_min"] = [r["value_min"] for r in runs]
+
+    # Two-line emission (round-6 fix for BENCH_r05.json "parsed": null):
+    # the driver captures only the TAIL of stdout and parses the last
+    # JSON line.  Round 5's single line carried every section and
+    # outgrew the capture window, truncating its own front half.  So:
+    # full artifact first (for humans / local tooling), then a compact
+    # headline line LAST — minima only, well under any tail window.
+    print(json.dumps(out))
+    sys.stdout.flush()
+    compact = {
+        "metric": "total_wall_sec",
+        "value": out["value_min"],
+        "unit": "sec",
+        "queries": out["queries_min"],
+        "sf": out["sf"],
+        "stat": "min_over_%d_runs" % n_runs,
+        "n_runs": n_runs,
+    }
+    print(json.dumps(compact))
+
+
+def _median(sorted_samples: list[float]) -> float:
+    n = len(sorted_samples)
+    return (
+        sorted_samples[n // 2]
+        if n % 2
+        else (sorted_samples[n // 2 - 1] + sorted_samples[n // 2]) / 2
+    )
+
+
+def _pct(sorted_lat: list[float], q: float) -> float:
+    return sorted_lat[min(len(sorted_lat) - 1, int(round(q * len(sorted_lat))) - 1)]
+
+
+# throughput fields: a stall LOWERS them, so cross-run max is the
+# stall-robust direction; everything else timing-shaped merges by min
+_MAX_FIELDS = {
+    "search_warm_conc_qps",
+    "search_http_conc_qps",
+    "streaming_events_per_sec",
+    "embed_docs_per_sec",
+}
+_FIRST_FIELDS = {"metric", "unit", "sf", "search_warm_reps", "search_warm_conc_users"}
+
+
+def _merge_scalar(key: str, vals: list):
+    if key in _FIRST_FIELDS or isinstance(vals[0], str):
+        return vals[0]
+    if key in _MAX_FIELDS:
+        return max(vals)
+    return min(vals)
+
+
+def _merge_runs(runs: list[dict]) -> dict:
+    """Fold N complete measurement passes into one artifact: per-key min
+    for times (max for throughputs), recursed one level into the section
+    dicts; totals recomputed from the merged per-query maps."""
+    if len(runs) == 1:
+        return dict(runs[0])
+    out: dict = {}
+    for k, v in runs[0].items():
+        if isinstance(v, dict):
+            out[k] = {
+                kk: _merge_scalar(kk, [r[k][kk] for r in runs]) for kk in v
+            }
+        else:
+            out[k] = _merge_scalar(k, [r[k] for r in runs])
+    out["value"] = round(sum(out["queries"].values()), 3)
+    out["value_min"] = round(sum(out["queries_min"].values()), 3)
+    return out
+
+
+def _measure(spark, qs, run_idx: int) -> dict:
+    median = _median
+    pct = _pct
 
     # --- warm-path serving tails ----------------------------------------
     # The reference's latency gate is a P95 over warm searches from 20
@@ -164,9 +251,6 @@ def main() -> None:
     # process does not run 30 analytics queries concurrently, and the
     # GC/heap pressure those accumulate was measurably inflating the
     # tail percentiles of a loop run after them.
-    def pct(sorted_lat: list[float], q: float) -> float:
-        return sorted_lat[min(len(sorted_lat) - 1, int(round(q * len(sorted_lat))) - 1)]
-
     spark._jvm.System.gc()
     p95_reps = int(os.environ.get("SPARK_GRAFT_P95_REPS", "100"))
     warm_fn = qs["search_topk_warm"]
@@ -255,7 +339,10 @@ def main() -> None:
         _server.shutdown()
         _server.server_close()  # release the listening fd, not just the loop
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # 3 reps per pass × ≥2 passes = ≥6 samples per query spread across
+    # temporally-separated windows — better stall coverage than 5 samples
+    # in one window at similar total cost
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for name in HEADLINE:
@@ -467,7 +554,7 @@ def main() -> None:
     t0 = time.perf_counter()
     run_to_memory(
         tumbling_counts(read_event_stream(spark, ev_dir, max_files=4)),
-        "bench_stream",
+        f"bench_stream_r{run_idx}",  # unique per pass: memory-sink names collide
     )
     stream_wall = time.perf_counter() - t0
     shutil.rmtree(ev_dir, ignore_errors=True)
@@ -544,23 +631,7 @@ def main() -> None:
         "streaming_events_per_sec": int(n_events / stream_wall),
         "embed_docs_per_sec": int(n_docs / emb_wall),
     }
-    # Two-line emission (round-6 fix for BENCH_r05.json "parsed": null):
-    # the driver captures only the TAIL of stdout and parses the last
-    # JSON line.  Round 5's single line carried every section and
-    # outgrew the capture window, truncating its own front half.  So:
-    # full artifact first (for humans / local tooling), then a compact
-    # headline line LAST — minima only, well under any tail window.
-    print(json.dumps(out))
-    sys.stdout.flush()
-    compact = {
-        "metric": "total_wall_sec",
-        "value": round(sum(timings_min.values()), 3),
-        "unit": "sec",
-        "queries": timings_min,
-        "sf": sf,
-        "stat": "min_of_%d" % reps,
-    }
-    print(json.dumps(compact))
+    return out
 
 
 if __name__ == "__main__":
