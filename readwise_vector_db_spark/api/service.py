@@ -54,6 +54,15 @@ class SearchService:
             self.metadata, self.vectors = warm_tables(spark, sf_dir)
         else:
             self.metadata, self.vectors = corpus_split(spark, sf_dir)
+        # Query-embedding width follows the CORPUS (one narrow head at
+        # open time — index-open cost, like the reference reading its
+        # model config), so the same HTTP surface serves the 64-d
+        # fixture and the reference's 3072-d width without a deploy
+        # flag; the reference hardcodes 3072 (core/embedding.py:9-11).
+        first = self.vectors.select("embedding").filter(
+            self.vectors["embedding"].isNotNull()
+        ).head(1)
+        self._embed_dim = len(first[0]["embedding"]) if first else None
         # observability: same metric families the reference exports via
         # prometheus_client (api/routes.py:237-243), rendered in the
         # Prometheus text exposition format at GET /metrics
@@ -72,7 +81,11 @@ class SearchService:
         )
 
     def _plan(self, req: SearchRequest):
-        qv = embed_text_local(req.q)
+        qv = (
+            embed_text_local(req.q, dim=self._embed_dim)
+            if self._embed_dim
+            else embed_text_local(req.q)
+        )
         if self.warm:
             from readwise_vector_db_spark.sources.search_index import (
                 served_search_ivf_sql,

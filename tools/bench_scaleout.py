@@ -47,9 +47,12 @@ def pct(xs: list[float], p: float) -> float:
     return xs[min(len(xs) - 1, int(p * len(xs)))]
 
 
-def _spawn_http(sf_dir: str, port: int, cores: int) -> subprocess.Popen:
+def _spawn_http(
+    sf_dir: str, port: int, cores: int, variant: str = "exact"
+) -> subprocess.Popen:
     proc = subprocess.Popen(
-        [sys.executable, f"{REPO}/tools/serving_worker.py", "http", sf_dir, str(port), str(cores)],
+        [sys.executable, f"{REPO}/tools/serving_worker.py", "http", sf_dir,
+         str(port), str(cores), variant],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     )
     deadline = time.time() + 180
@@ -73,14 +76,14 @@ def _post(url: str, q: str) -> None:
 
 def bench_http(
     n_workers: int, cores: int, users: int = 20, reps: int = 15,
-    via_proxy: bool = False,
+    via_proxy: bool = False, sf_dir: str = SF01, variant: str = "exact",
 ) -> dict:
     ports = [18600 + i for i in range(n_workers)]
     procs = []
     proxy = None
     try:
         for p in ports:  # sequential: first worker builds, rest attach
-            procs.append(_spawn_http(SF01, p, cores))
+            procs.append(_spawn_http(sf_dir, p, cores, variant))
         urls = [f"http://127.0.0.1:{p}/search" for p in ports]
         if via_proxy:
             # a REAL balancer hop (tools/rr_proxy.py): every user hits
@@ -240,6 +243,24 @@ def main() -> None:
         ensure_sf3072()
         print("inproc 3072-d 6-user 1 proc ivf nprobe=4/16: "
               + json.dumps(bench_inproc(1, variant="ivf")), flush=True)
+    if which in ("composed", "all"):
+        # BOTH serving levers at the reference config (r6 verdict item
+        # 5): reference width (3072-d corpus), reference concurrency
+        # (20 HTTP users), 2 worker JVMs AND the IVF probe mode, every
+        # request through the real round-robin proxy hop.  The exact-
+        # mode twin on the same corpus isolates what the index buys at
+        # this width; run nothing else concurrently (host-stall
+        # methodology — compare bands, not points).
+        sf3072 = ensure_sf3072()
+        for variant in ("ivf:4", "exact"):
+            print(
+                f"http 3072-d 20-user 2x local[16] via proxy {variant}: "
+                + json.dumps(bench_http(
+                    2, 16, users=20, via_proxy=True,
+                    sf_dir=sf3072, variant=variant,
+                )),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -6,8 +6,11 @@ open it; this script is what "add an executor behind the balancer"
 means on one box.
 
 Modes:
-  http <sf_dir> <port> <cores>
+  http <sf_dir> <port> <cores> [exact|ivf[:nprobe[:cells]]]
       Open the warm layout, serve POST /search on <port>, print READY.
+      ``ivf`` serves every unfiltered request through the IVF probe
+      path (SearchService ann_nprobe) — the composed two-lever config:
+      processes × approximate index.
   inproc <sf_dir> <users> <reps> <cores> [exact|ivf]
       Run <users> concurrent threads x <reps> warm served_search_sql
       requests (stored query vectors, k=10) and print one JSON line of
@@ -44,7 +47,15 @@ def main() -> None:
         from readwise_vector_db_spark.api.http_server import serve
         from readwise_vector_db_spark.api.service import SearchService
 
-        service = SearchService(spark, sf_dir, warm=True)
+        variant = sys.argv[5] if len(sys.argv) > 5 else "exact"
+        nprobe = None
+        if variant.startswith("ivf"):
+            # "ivf" = nprobe 4 (of served_search_ivf_sql's 16 cells);
+            # "ivf:8" = nprobe 8 — the cell count stays the serving
+            # default so the artifact is shared across workers
+            parts = variant.split(":")
+            nprobe = int(parts[1]) if len(parts) > 1 else 4
+        service = SearchService(spark, sf_dir, warm=True, ann_nprobe=nprobe)
         server = serve(service, port=port)
         print(f"READY {server.server_address[1]}", flush=True)
         server.serve_forever()
