@@ -1097,7 +1097,10 @@ def train_semantic_quantizer(
 
 
 def _within_cell_candidates_blas(
-    assigned: DataFrame, threshold: float
+    assigned: DataFrame,
+    threshold: float,
+    max_cell_rows: int = 65_536,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """CANDIDATE half of the BLAS within-cell pair scorer: for each
     cluster, one Arrow batch → one (blocked) numpy gemm over the
@@ -1112,10 +1115,26 @@ def _within_cell_candidates_blas(
     Scale shape: the gemm is O(Σ c_i²·d) FLOPs — the same arithmetic
     the interpreted fold path performs, but vectorized (measured sf0.1
     probe: 1.4 M interpreted folds dominated the 3.9 s apply wall).
-    Memory per task is bounded by the 2048-row block × cell size; cells
-    are ~√n by the SemDeDup k≈√n sizing, and one cell = one pandas
-    group, so a pathologically hot cell is the same skew exposure the
-    equi-join path has on its shuffle key.
+
+    **Hot-cell split (round 7).**  One cell = one pandas group, and
+    applyInPandas materializes the WHOLE group in the worker — so one
+    hot cell (a 50 %-of-corpus blob; crawl corpora produce these) used
+    to put c rows × d float64 ×~3 copies in a single task.  Cells past
+    ``max_cell_rows`` are now salted into ``s = ceil(c / cap)`` blocks
+    by id hash and every block PAIR (t1 ≤ t2) becomes its own group:
+    each row replicates into the s groups containing its block, the
+    group key becomes (cluster, t1, t2), and the scorer masks to
+    cross-block pairs when t1 ≠ t2 (same-block pairs belong to the
+    (t, t) group), so every within-cell pair is emitted EXACTLY once —
+    the candidate set is identical to the unsplit path (pinned in
+    tests/test_skew.py).  Costs: per-task rows drop to ≤ 2·cap; the
+    hot cell's rows replicate ×s through the one shuffle; cross-block
+    gemms score both triangles so the split cell pays ≈2× the FLOPs —
+    the classic blocked all-pairs trade, and only on cells that
+    overflow the cap.  Cold cells have s=1 and take the identical
+    single-group path, so the cap changes nothing until a cell
+    actually overflows.  Sizing needs one extra aggregate over
+    (cluster) only — column-pruned, never touches vectors.
 
     Zero-norm vectors are dropped up front: the fold path scores them
     NULL (no direction), which the threshold filter discards anyway.
@@ -1140,11 +1159,12 @@ def _within_cell_candidates_blas(
         {c: pd.Series([], dtype=object) for c in ("id_a", "id_b", "va", "vb")}
     )
 
-    def score_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def score_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
         if len(pdf) < 2:
             return empty
+        cross = bool(pdf["t1"].iloc[0] != pdf["t2"].iloc[0])
         # sort by id so emitted (i, j) index pairs ARE id_a < id_b pairs
         # (pandas str sort = code-point order = Spark's UTF-8 byte order)
         pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
@@ -1158,22 +1178,59 @@ def _within_cell_candidates_blas(
         unit = mat / norms[:, None]
         ids = pdf["id"].tolist()
         vecs = [list(v) for v in pdf["v"]]
+        tarr = pdf["t"].to_numpy()
         n, block = len(ids), 2048
         rows = []
         for s in range(0, n, block):
             e = min(s + block, n)
             sims = unit[s:e] @ unit[s:].T  # (e-s) × (n-s), cols j ≥ s
             for i in range(s, e):
-                hits = np.nonzero(sims[i - s, i - s + 1 :] >= cut)[0] + i + 1
+                tail = sims[i - s, i - s + 1 :] >= cut
+                if cross:
+                    # cross-pair group: same-block pairs belong to the
+                    # (t, t) group — masking here is what makes every
+                    # pair land exactly once
+                    tail &= tarr[i + 1 :] != tarr[i]
+                hits = np.nonzero(tail)[0] + i + 1
                 rows.extend((ids[i], ids[j], vecs[i], vecs[j]) for j in hits)
         if not rows:
             return empty
         return pd.DataFrame(rows, columns=["id_a", "id_b", "va", "vb"])
 
+    # s blocks per cluster from one column-pruned sizing aggregate;
+    # broadcast-joined (never a literal map — the py4j plan pathology)
+    sizes = F.broadcast(
+        assigned.groupBy("cluster").agg(
+            F.ceil(F.count("*") / F.lit(int(max_cell_rows)))
+            .cast("int")
+            .alias("_s")
+        )
+    )
+    t = F.pmod(hash64(F.col("id").cast("string"), base_hash), F.col("_s")).cast(
+        "int"
+    )
+    groups = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.col("_s") - 1),
+            lambda u: F.struct(
+                F.least(F.col("_t"), u).alias("t1"),
+                F.greatest(F.col("_t"), u).alias("t2"),
+            ),
+        )
+    )
     return (
         assigned.select("id", "v", "cluster")
-        .groupBy("cluster")
-        .applyInPandas(score_cell, schema=out_schema)
+        .join(sizes, "cluster")
+        .withColumn("_t", t)
+        .withColumn("_g", groups)
+        .select(
+            "id", "v", "cluster",
+            F.col("_t").alias("t"),
+            F.col("_g.t1").alias("t1"),
+            F.col("_g.t2").alias("t2"),
+        )
+        .groupBy("cluster", "t1", "t2")
+        .applyInPandas(score_group, schema=out_schema)
     )
 
 
@@ -1191,6 +1248,10 @@ def semantic_dedup_pairs(
     max_iter: int = 4,
     quantizer: list[tuple[int, list[float]]] | None = None,
     pair_scorer: str = "blas",
+    # per-task row bound for the BLAS scorer's pandas groups; cells past
+    # it split into salted block-pairs (identical pair set, see
+    # _within_cell_candidates_blas).  Cold cells are untouched.
+    max_cell_rows: int = 65_536,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     pairs found by KMeans-clustering the embedding space and comparing
@@ -1263,7 +1324,9 @@ def semantic_dedup_pairs(
                 max_iter=max_iter,
             )
         if pair_scorer == "blas":
-            cand = _within_cell_candidates_blas(assigned, threshold)
+            cand = _within_cell_candidates_blas(
+                assigned, threshold, max_cell_rows=max_cell_rows
+            )
             cos = F.round(
                 cosine_similarity(F.col("va"), F.col("vb")), 6
             )
