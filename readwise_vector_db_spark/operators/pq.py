@@ -326,18 +326,63 @@ def ivfpq_encode(
     )
 
 
+def coarse_distortion(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    sample_rows: int = 2_000,
+    seed: int = 7,
+) -> float:
+    """Mean cosine distance from a vector sample to its NEAREST coarse
+    centroid — the quantizer-fit statistic that detects distribution
+    drift.  A sample drawn from the training distribution reproduces
+    the train-time value; a shifted source reads higher, BEFORE any
+    recall is lost to a user.  Bounded work: ``sample_rows`` vectors
+    collected (serving-bounded, like the centroid list itself), one
+    numpy gemm against the k×d centroid matrix on the driver."""
+    sample = [
+        r["_v"]
+        for r in vecs.select(F.col(vec_col).cast("array<float>").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .sample(False, 1.0, seed)
+        .limit(int(sample_rows))
+        .collect()
+    ]
+    if not sample:
+        raise ValueError("coarse_distortion: no non-null vectors to sample")
+    x = np.asarray([list(v) for v in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = np.asarray([vec for _, vec in centroids], dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return float(np.mean(1.0 - (x @ c.T).max(axis=1)))
+
+
 def save_ivfpq_index(
     codes: DataFrame,
     centroids: list[tuple[int, list[float]]],
     codebooks: list[np.ndarray],
     path: str,
+    base_vecs: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> None:
     """Persist the composed index: codes ``partitionBy("cluster")`` (a
     probe's cluster IN-filter becomes partition pruning — nprobe/k of
     the directories are read, each row m bytes instead of d floats),
-    plus the centroid and codebook tables (driver-side metadata)."""
+    plus the centroid and codebook tables (driver-side metadata).
+
+    ``base_vecs`` (the training corpus) additionally records the
+    train-time :func:`coarse_distortion` in ``{path}/distortion.json``,
+    arming :func:`append_to_ivfpq_index`'s staleness guard."""
+    import json as _json
+    import os as _os
+
     spark = codes.sparkSession
     codes.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/codes")
+    if base_vecs is not None:
+        base = coarse_distortion(base_vecs, centroids, vec_col=vec_col)
+        _os.makedirs(path, exist_ok=True)
+        with open(f"{path}/distortion.json", "w") as f:
+            _json.dump({"base_coarse_distortion": base}, f)
     spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
         "cluster int, centroid array<double>",
@@ -572,6 +617,7 @@ def append_to_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_distortion_ratio: float | None = 2.0,
 ) -> int:
     """Incrementally add vectors to a :func:`save_ivfpq_index` layout:
     encode the increment against the FROZEN centroids and codebooks and
@@ -582,16 +628,51 @@ def append_to_ivfpq_index(
     Postgres INSERT, here it's a layout property).  Returns the number
     of appended codes.
 
+    **Staleness guard & retrain cadence (round 7, measured).**  Codes
+    use the frozen model, so recall on a DRIFTED increment degrades —
+    measured on the overlapping-mixture fixture
+    (tools/bench_ann_recall.py drift, 768-d, 32-blob base vs shifted
+    blobs): shifted-query recall@10 through the frozen model sits flat
+    at 0.31 while a same-corpus retrain reads 0.46–1.00, and the gap is
+    already 0.69 when the drifted source is only 25 % of the corpus —
+    so an increment-FRACTION cadence is the wrong rule (the damage is
+    per-source, not proportional).  The detectable pre-recall signal is
+    :func:`coarse_distortion`: the increment's mean distance to its
+    nearest frozen centroid vs the train-time value recorded by
+    ``save_ivfpq_index(base_vecs=...)``.  When that file exists and
+    ``max_distortion_ratio`` is set, an increment whose ratio exceeds
+    it REJECTS loudly (retrain, or pass ``max_distortion_ratio=None``
+    to force-append); same-distribution increments ratio ≈1 and sail
+    through.  Probes see appended rows immediately either way.
+
     Honesty notes: (a) duplicate ids are NOT deduplicated — the caller
     owns id uniqueness (same contract as upsert vs append elsewhere);
-    (b) codes use the frozen model, so recall on a DRIFTED increment
-    distribution degrades until a retrain — the same staleness/compact
-    cadence question the versioned store measures; probes see appended
-    rows immediately either way.  Deletes go through a rebuild (or a
-    probe-side exclusion filter), exactly like parquet compaction.
+    (b) the guard samples 2 k rows — a drifted NEEDLE inside a mostly
+    in-distribution increment dilutes below detection; per-source
+    appends (the ingest shape) are the granularity that makes the
+    signal sharp.  Deletes go through a rebuild (or a probe-side
+    exclusion filter), exactly like parquet compaction.
     """
+    import json as _json
+
     spark = new_vecs.sparkSession
     _, centroids, books = load_ivfpq_index(spark, path)
+    if max_distortion_ratio is not None:
+        try:
+            with open(f"{path}/distortion.json") as f:
+                base = float(_json.load(f)["base_coarse_distortion"])
+        except (FileNotFoundError, KeyError, ValueError):
+            base = None
+        if base is not None and base > 0:
+            inc = coarse_distortion(new_vecs, centroids, vec_col=vec_col)
+            if inc / base > max_distortion_ratio:
+                raise ValueError(
+                    f"append_to_ivfpq_index: increment coarse distortion "
+                    f"{inc:.4f} is {inc / base:.1f}x the train-time "
+                    f"{base:.4f} (limit {max_distortion_ratio}x) — the "
+                    "frozen model is stale for this source; retrain the "
+                    "index (or pass max_distortion_ratio=None to force)"
+                )
     # persist: count + write are two actions — uncached they would each
     # run the encode pass, doubling the increment's cost
     codes = ivfpq_encode(

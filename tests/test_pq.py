@@ -380,3 +380,57 @@ def test_ivfpq_rejects_empty_centroids(spark, embs, books):
         pq.ivfpq_encode(embs, [], books)
     with pytest.raises(ValueError, match="non-empty centroid"):
         pq.ivfpq_search(pq.pq_encode(embs, books), [], books, [0.0] * 64)
+
+
+def test_append_staleness_guard(spark, books, tmp_path):
+    """Round-7 retrain-cadence rule in code: save_ivfpq_index(base_vecs=)
+    records the train-time coarse distortion, and append_to_ivfpq_index
+    rejects an increment whose distortion ratio exceeds the limit (a
+    drifted source), while a same-distribution increment sails through
+    and max_distortion_ratio=None force-appends."""
+    import numpy as np
+
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(41)
+    hubs = rng.standard_normal((4, 64)).astype(np.float64)
+    base_rows = [
+        (i, [float(x) for x in hubs[i % 4] + 0.05 * rng.standard_normal(64)])
+        for i in range(200)
+    ]
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<float>")
+    _, centroids = sim.build_ivf_index(base, n_clusters=4)
+    path = str(tmp_path / "ivfpq_stale")
+    pq.save_ivfpq_index(
+        pq.ivfpq_encode(base, centroids, books), centroids, books, path,
+        base_vecs=base,
+    )
+    import os
+
+    assert os.path.exists(f"{path}/distortion.json")
+
+    # same-distribution increment: ratio ~1, accepted
+    ok_rows = [
+        (1_000 + i, [float(x) for x in hubs[i % 4] + 0.05 * rng.standard_normal(64)])
+        for i in range(20)
+    ]
+    ok = spark.createDataFrame(ok_rows, "vec_id long, embedding array<float>")
+    assert pq.append_to_ivfpq_index(ok, path) == 20
+
+    # drifted source: new hubs nowhere near the frozen centroids
+    drift_hub = rng.standard_normal(64)
+    bad_rows = [
+        (2_000 + i, [float(x) for x in drift_hub + 0.05 * rng.standard_normal(64)])
+        for i in range(20)
+    ]
+    bad = spark.createDataFrame(bad_rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="stale"):
+        pq.append_to_ivfpq_index(bad, path)
+    # force-append is the caller's explicit decision
+    assert pq.append_to_ivfpq_index(bad, path, max_distortion_ratio=None) == 20
+
+    # coarse_distortion itself: tight blobs near centroids read smaller
+    # than the drifted blob
+    d_base = pq.coarse_distortion(base, centroids)
+    d_bad = pq.coarse_distortion(bad, centroids)
+    assert d_bad > 2 * d_base
