@@ -102,9 +102,33 @@ class SearchService:
             self.metadata, self.vectors, qv, self._params(req)
         )
 
+    def _rows_fast(self, req: SearchRequest) -> list[dict[str, Any]] | None:
+        """Warm low-latency path: one Spark statement for the winners,
+        driver-side layout fetch for their metadata (no second job —
+        sources/search_index.py:served_search_rows).  None = fall back
+        to the DataFrame path (cold service, extra filters, layout
+        mid-rebuild); both return identical rows (tests/test_api.py)."""
+        if not self.warm:
+            return None
+        from readwise_vector_db_spark.sources.search_index import (
+            served_search_rows,
+        )
+
+        qv = (
+            embed_text_local(req.q, dim=self._embed_dim)
+            if self._embed_dim
+            else embed_text_local(req.q)
+        )
+        return served_search_rows(
+            self.spark, self.sf_dir, qv, self._params(req), nprobe=self.ann_nprobe
+        )
+
     def search(self, req: SearchRequest) -> list[dict[str, Any]]:
-        df = self._plan(req)
-        results = [shape_result(r.asDict(recursive=True)) for r in df.collect()]
+        rows = self._rows_fast(req)
+        if rows is None:
+            df = self._plan(req)
+            rows = [r.asDict(recursive=True) for r in df.collect()]
+        results = [shape_result(r) for r in rows]
         self._searches.inc()
         self._results.inc(len(results))
         return results
@@ -112,8 +136,14 @@ class SearchService:
     def stream(self, req: SearchRequest) -> Iterator[dict[str, Any]]:
         """Per-row iterator (SSE / MCP framing consumes this).  k ≤ 100, so
         toLocalIterator never holds more than one small partition."""
-        df = self._plan(req)
+        rows = self._rows_fast(req)
         self._searches.inc()
+        if rows is not None:
+            for row in rows:
+                self._results.inc()
+                yield shape_result(row)
+            return
+        df = self._plan(req)
         for row in df.toLocalIterator():
             self._results.inc()
             yield shape_result(row.asDict(recursive=True))

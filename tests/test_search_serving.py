@@ -242,3 +242,32 @@ def test_service_ann_mode_routes_through_ivf(spark):
     ann = SearchService(spark, SF_SMOKE, warm=True, ann_nprobe=16)
     req = SearchRequest(q="vector search over highlights", k=5)
     assert ann.search(req) == exact.search(req)
+
+
+def test_served_rows_match_dataframe_path(spark, warm):
+    """Round-7 driver-side winner fetch: served_search_rows must return
+    the SAME rows in the SAME order as the two-statement SQL path —
+    unfiltered, filtered, and through the IVF probe — and decline
+    (None) on extra_filters so the caller falls back."""
+    meta, vecs, qv = warm
+
+    def want(df):
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+    for params in (
+        SearchParams(k=10),
+        SearchParams(k=20, lang="en", tags=["the", "spark", "fast"]),
+        SearchParams(k=10, source_type="no-such-source"),
+    ):
+        rows = si.served_search_rows(spark, SF_SMOKE, qv, params)
+        assert rows == want(si.served_search_sql(spark, SF_SMOKE, qv, params))
+
+    # IVF probe winners, same local fetch
+    rows = si.served_search_rows(spark, SF_SMOKE, qv, SearchParams(k=10), nprobe=16)
+    assert rows == want(
+        si.served_search_ivf_sql(spark, SF_SMOKE, qv, SearchParams(k=10), nprobe=16)
+    )
+
+    # extra_filters: not SQL-renderable -> the fast path declines
+    params = SearchParams(k=10, extra_filters=[F.col("n_chars") > 0])
+    assert si.served_search_rows(spark, SF_SMOKE, qv, params) is None
