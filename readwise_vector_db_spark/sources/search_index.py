@@ -394,7 +394,10 @@ def _winner_rows_local(sf_dir: str, winners) -> list[dict] | None:
             _META_CON_CACHE.clear()  # one layout generation per process
             _META_CON_CACHE[key] = con
     ids = [r["id"] for r in winners]
-    score_of = {r["id"]: float(r["score"]) for r in winners}
+    score_of = {
+        r["id"]: (float(r["score"]) if r["score"] is not None else None)
+        for r in winners
+    }
     marks = ", ".join("?" for _ in ids)
     try:
         cur = con.cursor()
@@ -411,7 +414,10 @@ def _winner_rows_local(sf_dir: str, winners) -> list[dict] | None:
         row["tags"] = list(row["tags"]) if row["tags"] is not None else None
         row["n_chars"] = int(row["n_chars"]) if row["n_chars"] is not None else None
         row["score"] = score_of[row["id"]]
-    rows.sort(key=lambda r: (r["score"], r["id"]))
+    # Spark ORDER BY score ASC, id ASC puts NULL scores first
+    rows.sort(
+        key=lambda r: (r["score"] is not None, r["score"] or 0.0, r["id"])
+    )
     return rows
 
 
@@ -539,6 +545,189 @@ def ivf_warm_index(
     return _IVF_RELS[key]
 
 
+# --- RAM-resident IVF probe (round 7) --------------------------------------
+#
+# The reference's serving index is pgvector HNSW: an IN-PROCESS,
+# IN-RAM structure scanned without any job scheduler in the request
+# path.  The Spark-statement IVF mode above is the honest DISTRIBUTED
+# analogue — right when the index exceeds one process — but the r7
+# composed study showed its 20-user floor is per-request job scheduling
+# (~40 ms serialized per JVM; P95 band 0.51–0.64 at 3072-d), not
+# scoring.  This mode is the like-for-like serving shape: the probed
+# cells live in the serving process as one float32 matrix per cell
+# (loaded once from the SAME persisted ivf layout Spark builds and
+# maintains), a request BLAS-scores nprobe cells, and a margin-guarded
+# exact refold reproduces the SQL path's scores BIT-FOR-BIT (python
+# left-to-right float64 fold = the aggregate() fold; Spark's
+# round(…, 6) = BigDecimal-of-shortest-repr HALF_UP, replicated with
+# decimal on repr).  Parity across paths is pinned in
+# tests/test_search_serving.py.
+#
+# Memory honesty: RAM = the corpus vector bytes, gated by
+# SPARK_GRAFT_LOCAL_IVF_MB (default 512).  Past the budget the loader
+# declines and serving stays on the Spark statement — at 100 TB each
+# serving node holds its SHARD's cells (the scale-out unit measured in
+# tools/bench_scaleout.py), exactly how the reference would shard
+# pgvector.
+
+_LOCAL_IVF_CACHE: dict[tuple[str, str, int], object] = {}
+_LOCAL_IVF_LOCK = threading.Lock()
+
+
+class _LocalIvfScorer:
+    def __init__(self, ids, mats, norms, centroids):
+        self.ids = ids          # cluster -> list[str]
+        self.mats = mats        # cluster -> float32 (c, d)
+        self.norms = norms      # cluster -> float64 (c,)
+        self.centroids = centroids  # [(cid, [float...])], sorted
+
+    def probe_ids(self, query_vec, nprobe: int) -> list[int]:
+        """Same nearest-centroid rule (and tie-break) as the SQL mode."""
+        import numpy as np
+
+        qv = np.asarray(list(query_vec), dtype=float)
+        qn = float(np.linalg.norm(qv))
+        cents = np.asarray([c for _, c in self.centroids], dtype=float)
+        denoms = np.linalg.norm(cents, axis=1) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dists = np.where(denoms > 0, 1.0 - (cents @ qv) / denoms, 1.0)
+        order = sorted(
+            range(len(self.centroids)),
+            key=lambda i: (dists[i], self.centroids[i][0]),
+        )
+        return [self.centroids[i][0] for i in order[: max(1, nprobe)]]
+
+    def topk(self, query_vec, k: int, nprobe: int):
+        """[(id, score)] — winners identical to the SQL statement's.
+
+        One float64 gemm scores every probed row; rounding to 6 dp is
+        vectorized (floor(b+0.5) on b = score·10⁶, valid off-boundary)
+        and only rows within 10⁻⁹ of a rounding half-point — where the
+        gemm's pairwise summation (error ≤ ~d·ε ≈ 7·10⁻¹³) or the
+        repr-based HALF_UP could disagree with the engine — take the
+        exact sequential-fold + decimal path, which is provably the
+        same arithmetic the SQL ``aggregate``/``round`` performs.  The
+        boundary window is ~2·10⁻³ of uniform mass, so the slow path
+        is a handful of rows per request even on adversarial corpora."""
+        import numpy as np
+
+        from readwise_vector_db_spark.operators.search import query_norm
+
+        probe = self.probe_ids(query_vec, nprobe)
+        cells = [c for c in probe if c in self.mats]
+        if not cells:
+            return []
+        ids = [i for c in cells for i in self.ids[c]]
+        mat = (
+            self.mats[cells[0]]
+            if len(cells) == 1
+            else np.vstack([self.mats[c] for c in cells])
+        )
+        norms = np.concatenate([self.norms[c] for c in cells])
+        qn = query_norm(query_vec)
+        qv64 = np.asarray(list(query_vec), dtype=np.float64)
+        dots = mat @ qv64
+        # Spark sorts ASC NULLS FIRST: zero-denominator rows (score NULL)
+        # lead the SQL result — replicate, ordered by id
+        null_rows = sorted(
+            (ids[i], None) for i in np.nonzero(~(norms > 0))[0]
+        )[:k]
+        live = np.nonzero(norms > 0)[0]
+        need = min(len(live), max(0, k - len(null_rows)))
+        if need == 0:
+            return null_rows
+        score = 1.0 - dots[live] / (norms[live] * qn)
+        b = score * 1e6
+        s6 = np.floor(b + 0.5) / 1e6
+        # boundary window: |b - (floor(b) + 0.5)| < 1e-3 ⇒ the exact
+        # value could round either way under gemm-vs-fold drift
+        near = np.nonzero(np.abs(b - np.floor(b) - 0.5) < 1e-3)[0]
+        for j in near:
+            i = int(live[j])
+            acc = 0.0
+            for x, y in zip(mat[i], qv64):
+                acc += float(x) * float(y)
+            s6[j] = _spark_round6(1.0 - acc / (float(norms[i]) * qn))
+        kth = np.partition(s6, need - 1)[need - 1]
+        cand = np.nonzero(s6 <= kth)[0]
+        ranked = sorted((float(s6[j]), ids[int(live[j])]) for j in cand)
+        return null_rows + [(i, s) for s, i in ranked[:need]]
+
+
+def _spark_round6(x: float) -> float:
+    """Spark's round(double, 6): BigDecimal.valueOf (= shortest decimal
+    repr of the double) quantized HALF_UP.  Python's repr is the same
+    shortest round-trip decimal, so Decimal(repr(x)) reproduces it."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def local_ivf_scorer(
+    spark: SparkSession, sf_dir: str, n_clusters: int = 16
+) -> _LocalIvfScorer | None:
+    """The process-resident probe scorer over the persisted IVF layout,
+    or None when the corpus exceeds SPARK_GRAFT_LOCAL_IVF_MB (default
+    512) — the caller then serves through the Spark statement.  Built
+    once per (layout, fingerprint); ensures the Spark-side artifact
+    exists first (first process builds, the rest attach)."""
+    fp = _source_fingerprint(sf_dir)
+    tag = _tag(sf_dir)
+    key = (tag, fp, n_clusters)
+    with _LOCAL_IVF_LOCK:
+        hit = _LOCAL_IVF_CACHE.get(key)
+    if hit is not None:
+        return hit or None
+    # ensure the persisted artifact + centroids exist (Spark build path)
+    _, centroids = ivf_warm_index(spark, sf_dir, n_clusters=n_clusters)
+    base = _INDEX_ROOT / tag / f"ivf{n_clusters}" / "assigned"
+    budget = int(os.environ.get("SPARK_GRAFT_LOCAL_IVF_MB", "512")) << 20
+    try:
+        vec_bytes = _dir_bytes(base)
+    except OSError:
+        return None
+    scorer: _LocalIvfScorer | bool
+    if vec_bytes * 2 > budget:  # ×2: cells live as float64 in RAM
+        scorer = False  # cache the decline too
+    else:
+        try:
+            import duckdb
+            import numpy as np
+
+            rows = (
+                duckdb.connect()
+                .execute(
+                    "SELECT cluster, id, embedding, emb_norm FROM "
+                    f"read_parquet('{base}/*/*.parquet', "
+                    "hive_partitioning=true) ORDER BY cluster, id"
+                )
+                .fetchall()
+            )
+            ids: dict[int, list] = {}
+            vecs: dict[int, list] = {}
+            nrm: dict[int, list] = {}
+            for cl, rid, emb, en in rows:
+                c = int(cl)
+                ids.setdefault(c, []).append(rid)
+                vecs.setdefault(c, []).append(emb)
+                nrm.setdefault(c, []).append(float(en) if en is not None else 0.0)
+            # float64 residency: the per-request gemm then needs no
+            # upcast copy of the probed cells; RAM = 2× the parquet
+            # vector bytes, which the budget check above accounts for
+            scorer = _LocalIvfScorer(
+                ids,
+                {c: np.asarray(v, dtype=np.float64) for c, v in vecs.items()},
+                {c: np.asarray(v, dtype=np.float64) for c, v in nrm.items()},
+                centroids,
+            )
+        except Exception:
+            scorer = False
+    with _LOCAL_IVF_LOCK:
+        _LOCAL_IVF_CACHE.clear()
+        _LOCAL_IVF_CACHE[key] = scorer
+    return scorer or None
+
+
 def served_search_ivf_sql(
     spark: SparkSession,
     sf_dir: str,
@@ -632,6 +821,20 @@ def served_search_rows(
         return None
     meta, _ = warm_tables(spark, sf_dir)
     if nprobe is not None:
+        # unfiltered probe: the RAM-resident scorer (when the corpus
+        # fits the budget) removes the job scheduler from the request
+        # path entirely — winner selection AND fetch both driver-side
+        if search_ops.meta_filter_sql(params, meta.columns) is None:
+            scorer = local_ivf_scorer(spark, sf_dir, n_clusters=n_clusters)
+            if scorer is not None:
+                top = scorer.topk(query_vec, params.clamped_k(), nprobe)
+                if not top:
+                    return []
+                rows = _winner_rows_local(
+                    sf_dir, [{"id": i, "score": s} for i, s in top]
+                )
+                if rows is not None:
+                    return rows
         winners = _select_winners_ivf(
             spark, sf_dir, query_vec, params, meta, nprobe, n_clusters
         )

@@ -271,3 +271,36 @@ def test_served_rows_match_dataframe_path(spark, warm):
     # extra_filters: not SQL-renderable -> the fast path declines
     params = SearchParams(k=10, extra_filters=[F.col("n_chars") > 0])
     assert si.served_search_rows(spark, SF_SMOKE, qv, params) is None
+
+
+def test_local_ivf_scorer_engaged_and_budget_gated(spark, warm, monkeypatch):
+    """The RAM-resident probe scorer must (a) actually be the serving
+    path at fixture scale (not a silent fallback), (b) agree with the
+    SQL statement bit-for-bit at PRUNED nprobe (same cells, same rounded
+    scores, same order), and (c) decline when the corpus exceeds the
+    memory budget so serving stays on the Spark statement."""
+    meta, vecs, qv = warm
+    scorer = si.local_ivf_scorer(spark, SF_SMOKE)
+    assert scorer is not None
+    # pruned probes: local rows == SQL rows (cells chosen by the same
+    # tie-broken rule, scores from the exact refold)
+    for nprobe in (1, 4):
+        rows = si.served_search_rows(
+            spark, SF_SMOKE, qv, SearchParams(k=10), nprobe=nprobe
+        )
+        want = [
+            r.asDict(recursive=True)
+            for r in si.served_search_ivf_sql(
+                spark, SF_SMOKE, qv, SearchParams(k=10), nprobe=nprobe
+            ).collect()
+        ]
+        assert rows == want
+    # budget gate: 0 MB declines (fresh cache key via env + cleared memo)
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_IVF_MB", "0")
+    si._LOCAL_IVF_CACHE.clear()
+    assert si.local_ivf_scorer(spark, SF_SMOKE) is None
+    # and the serving entrypoint still answers through the Spark path
+    rows = si.served_search_rows(spark, SF_SMOKE, qv, SearchParams(k=10), nprobe=4)
+    assert rows is not None and len(rows) == 10
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_IVF_MB")
+    si._LOCAL_IVF_CACHE.clear()
