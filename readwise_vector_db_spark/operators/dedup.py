@@ -1133,8 +1133,13 @@ def _within_cell_candidates_blas(
     the classic blocked all-pairs trade, and only on cells that
     overflow the cap.  Cold cells have s=1 and take the identical
     single-group path, so the cap changes nothing until a cell
-    actually overflows.  Sizing needs one extra aggregate over
-    (cluster) only — column-pruned, never touches vectors.
+    actually overflows.  Sizing is one count aggregate over the
+    PERSISTED narrow frame (assignment is usually a computed gemm per
+    row — uncached, the sizing pass re-ran it and the r7 bench read a
+    1.9× wall regression on dedup_semantic_probe), collected
+    driver-side bounded by n_clusters; the join+explode plan is built
+    only when some cell actually overflows, so cold corpora keep the
+    r6 single-group plan.
 
     Zero-norm vectors are dropped up front: the fold path scores them
     NULL (no direction), which the threshold filter discards anyway.
@@ -1197,40 +1202,63 @@ def _within_cell_candidates_blas(
             return empty
         return pd.DataFrame(rows, columns=["id_a", "id_b", "va", "vb"])
 
-    # s blocks per cluster from one column-pruned sizing aggregate;
-    # broadcast-joined (never a literal map — the py4j plan pathology)
-    sizes = F.broadcast(
-        assigned.groupBy("cluster").agg(
-            F.ceil(F.count("*") / F.lit(int(max_cell_rows)))
-            .cast("int")
-            .alias("_s")
-        )
-    )
-    t = F.pmod(hash64(F.col("id").cast("string"), base_hash), F.col("_s")).cast(
-        "int"
-    )
-    groups = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.col("_s") - 1),
-            lambda u: F.struct(
-                F.least(F.col("_t"), u).alias("t1"),
-                F.greatest(F.col("_t"), u).alias("t2"),
-            ),
-        )
-    )
-    return (
-        assigned.select("id", "v", "cluster")
-        .join(sizes, "cluster")
-        .withColumn("_t", t)
-        .withColumn("_g", groups)
-        .select(
+    # Sizing: the per-cell counts are bounded by n_clusters, so they
+    # collect driver-side (the centroid-list policy).  The narrow frame
+    # persists first — `assigned` is usually a COMPUTED assignment (a
+    # gemm per row), and an uncached sizing pass would re-run it,
+    # doubling the call's dominant cost (caught by the r7 bench:
+    # dedup_semantic_probe 1.7 → 3.3 s before this cache).  Tracked in
+    # the detector cache registry, drained on the next detector call.
+    narrow = assigned.select("id", "v", "cluster").persist()
+    _register_cached(narrow)
+    counts = {
+        r["cluster"]: int(r["c"])
+        for r in narrow.groupBy("cluster").agg(F.count("*").alias("c")).collect()
+    }
+    hot = {c: -(-n // int(max_cell_rows)) for c, n in counts.items()
+           if n > max_cell_rows}
+    if not hot:
+        # no overflowing cell: the r6 single-group-per-cell plan,
+        # byte-identical grouping (constant block columns)
+        grouped = narrow.select(
             "id", "v", "cluster",
-            F.col("_t").alias("t"),
-            F.col("_g.t1").alias("t1"),
-            F.col("_g.t2").alias("t2"),
+            F.lit(0).alias("t"), F.lit(0).alias("t1"), F.lit(0).alias("t2"),
         )
-        .groupBy("cluster", "t1", "t2")
-        .applyInPandas(score_group, schema=out_schema)
+    else:
+        # s blocks per cluster ride a tiny broadcast frame (n_clusters
+        # rows — never a literal map, the py4j plan pathology)
+        spark = assigned.sparkSession
+        sizes = F.broadcast(
+            spark.createDataFrame(
+                [(int(c), int(hot.get(c, 1))) for c in counts],
+                "cluster int, _s int",
+            )
+        )
+        t = F.pmod(
+            hash64(F.col("id").cast("string"), base_hash), F.col("_s")
+        ).cast("int")
+        groups = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_s") - 1),
+                lambda u: F.struct(
+                    F.least(F.col("_t"), u).alias("t1"),
+                    F.greatest(F.col("_t"), u).alias("t2"),
+                ),
+            )
+        )
+        grouped = (
+            narrow.join(sizes, "cluster")
+            .withColumn("_t", t)
+            .withColumn("_g", groups)
+            .select(
+                "id", "v", "cluster",
+                F.col("_t").alias("t"),
+                F.col("_g.t1").alias("t1"),
+                F.col("_g.t2").alias("t2"),
+            )
+        )
+    return grouped.groupBy("cluster", "t1", "t2").applyInPandas(
+        score_group, schema=out_schema
     )
 
 
