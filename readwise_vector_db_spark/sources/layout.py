@@ -146,7 +146,20 @@ def write_zordered(
     )
     if rowgroup_bytes is not None:
         writer = writer.option("parquet.block.size", rowgroup_bytes)
-    writer.parquet(path)
+    # Range-partition boundary quality IS layout quality: the sampler's
+    # default 100 points/partition occasionally draws degenerate
+    # boundaries (its seed varies with session history via the RDD id),
+    # which silently produces an unclustered layout — observed as a
+    # rare pruning-fraction collapse.  A denser sample costs one cheap
+    # extra pass fraction at write time and makes boundaries stable.
+    spark = df.sparkSession
+    conf_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(conf_key, "100")
+    try:
+        spark.conf.set(conf_key, "1000")
+        writer.parquet(path)
+    finally:
+        spark.conf.set(conf_key, old)
 
 
 def _depth_bucketed(

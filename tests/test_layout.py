@@ -71,13 +71,23 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     )
     zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
     L.write_zordered(df, zpath, ["x", "y"], bits=10, num_files=8, rowgroup_bytes=1 << 14)
-    (
-        df.repartitionByRange(8, "x")
-        .sortWithinPartitions("x")
-        .write.mode("overwrite")
-        .option("parquet.block.size", 1 << 14)
-        .parquet(spath)
-    )
+    # the comparison layout gets the same dense boundary sampling the
+    # operator uses — the default 100-point sampler's seed varies with
+    # session history and rarely draws degenerate range boundaries,
+    # which reads as a pruning collapse unrelated to what's under test
+    conf_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(conf_key, "100")
+    try:
+        spark.conf.set(conf_key, "1000")
+        (
+            df.repartitionByRange(8, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 1 << 14)
+            .parquet(spath)
+        )
+    finally:
+        spark.conf.set(conf_key, old)
     zr = L.rowgroup_ranges(zpath, ["x", "y"])
     sr = L.rowgroup_ranges(spath, ["x", "y"])
     assert len(zr) > 8 and len(sr) > 8  # rowgroup knob took effect
