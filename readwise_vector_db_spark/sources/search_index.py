@@ -597,7 +597,7 @@ class _LocalIvfScorer:
         )
         return [self.centroids[i][0] for i in order[: max(1, nprobe)]]
 
-    def topk(self, query_vec, k: int, nprobe: int):
+    def topk(self, query_vec, k: int, nprobe: int, allowed=None):
         """[(id, score)] — winners identical to the SQL statement's.
 
         One float64 gemm scores every probed row; rounding to 6 dp is
@@ -624,6 +624,15 @@ class _LocalIvfScorer:
             else np.vstack([self.mats[c] for c in cells])
         )
         norms = np.concatenate([self.norms[c] for c in cells])
+        if allowed is not None:
+            # metadata filter as an id mask — same semantics as the SQL
+            # statement's `id IN (SELECT …)` applied INSIDE the probed
+            # cells (post-filtering in ANN terms, parity-pinned)
+            keep = np.fromiter((i in allowed for i in ids), bool, len(ids))
+            if not keep.any():
+                return []
+            ids = [i for i, f in zip(ids, keep) if f]
+            mat, norms = mat[keep], norms[keep]
         qn = query_norm(query_vec)
         qv64 = np.asarray(list(query_vec), dtype=np.float64)
         dots = mat @ qv64
@@ -661,6 +670,39 @@ def _spark_round6(x: float) -> float:
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+# Per-filter id sets for the RAM-resident probe: a serving filter
+# (source_type / lang / tags / date range) is resolved ONCE through one
+# Spark statement and cached as a frozenset keyed by (fingerprint,
+# rendered WHERE) — the filter-bitmap pattern; repeat requests with the
+# same filter then run fully in-process.  Sets past the cap (default
+# 100k ids) cache a decline and keep serving on the Spark statement —
+# the driver never holds an unbounded id list.
+_FILTER_IDS_CACHE: dict[tuple[str, str], frozenset | None] = {}
+_FILTER_IDS_LOCK = threading.Lock()
+_FILTER_IDS_MAX_ENTRIES = 32
+
+
+def _filter_id_set(
+    spark: SparkSession, sf_dir: str, where_sql: str
+) -> frozenset | None:
+    cap = int(os.environ.get("SPARK_GRAFT_FILTER_IDS_MAX", "100000"))
+    fp = _source_fingerprint(sf_dir)
+    key = (fp, where_sql)
+    with _FILTER_IDS_LOCK:
+        if key in _FILTER_IDS_CACHE:
+            return _FILTER_IDS_CACHE[key]
+    tag = _tag(sf_dir)
+    rows = spark.sql(
+        f"SELECT id FROM rw_warm_meta_{tag} WHERE {where_sql}"
+    ).limit(cap + 1).collect()
+    ids = frozenset(r["id"] for r in rows) if len(rows) <= cap else None
+    with _FILTER_IDS_LOCK:
+        if len(_FILTER_IDS_CACHE) >= _FILTER_IDS_MAX_ENTRIES:
+            _FILTER_IDS_CACHE.clear()
+        _FILTER_IDS_CACHE[key] = ids
+    return ids
 
 
 def local_ivf_scorer(
@@ -821,13 +863,21 @@ def served_search_rows(
         return None
     meta, _ = warm_tables(spark, sf_dir)
     if nprobe is not None:
-        # unfiltered probe: the RAM-resident scorer (when the corpus
-        # fits the budget) removes the job scheduler from the request
-        # path entirely — winner selection AND fetch both driver-side
-        if search_ops.meta_filter_sql(params, meta.columns) is None:
-            scorer = local_ivf_scorer(spark, sf_dir, n_clusters=n_clusters)
-            if scorer is not None:
-                top = scorer.topk(query_vec, params.clamped_k(), nprobe)
+        # the RAM-resident scorer (when the corpus fits the budget)
+        # removes the job scheduler from the request path — winner
+        # selection AND fetch both driver-side.  Metadata filters ride
+        # as cached id sets (one Spark statement per DISTINCT filter,
+        # then fully local; oversized sets decline to the Spark path)
+        mf = search_ops.meta_filter_sql(params, meta.columns)
+        scorer = local_ivf_scorer(spark, sf_dir, n_clusters=n_clusters)
+        if scorer is not None:
+            allowed = (
+                _filter_id_set(spark, sf_dir, mf) if mf is not None else None
+            )
+            if mf is None or allowed is not None:
+                top = scorer.topk(
+                    query_vec, params.clamped_k(), nprobe, allowed=allowed
+                )
                 if not top:
                     return []
                 rows = _winner_rows_local(

@@ -295,6 +295,42 @@ def test_local_ivf_scorer_engaged_and_budget_gated(spark, warm, monkeypatch):
             ).collect()
         ]
         assert rows == want
+    # filtered probes: the filter rides as a cached id set and the
+    # local rows still match the SQL statement exactly (which applies
+    # the same filter as an id IN-subquery inside the probed cells) —
+    # including a no-match filter returning empty
+    for params in (
+        SearchParams(k=10, lang="en"),
+        SearchParams(k=20, lang="en", tags=["the", "spark", "fast"]),
+        SearchParams(k=10, source_type="no-such-source"),
+    ):
+        rows = si.served_search_rows(spark, SF_SMOKE, qv, params, nprobe=4)
+        want = [
+            r.asDict(recursive=True)
+            for r in si.served_search_ivf_sql(
+                spark, SF_SMOKE, qv, params, nprobe=4
+            ).collect()
+        ]
+        assert rows == want
+    assert len(si._FILTER_IDS_CACHE) > 0  # the id sets actually cached
+    # oversized id sets decline and serving falls back to the statement
+    monkeypatch.setenv("SPARK_GRAFT_FILTER_IDS_MAX", "1")
+    si._FILTER_IDS_CACHE.clear()
+    rows = si.served_search_rows(
+        spark, SF_SMOKE, qv, SearchParams(k=10, lang="en"), nprobe=4
+    )
+    assert si._FILTER_IDS_CACHE.get(
+        (si._source_fingerprint(SF_SMOKE), "lang = 'en'")
+    ) is None
+    assert rows == [
+        r.asDict(recursive=True)
+        for r in si.served_search_ivf_sql(
+            spark, SF_SMOKE, qv, SearchParams(k=10, lang="en"), nprobe=4
+        ).collect()
+    ]
+    monkeypatch.delenv("SPARK_GRAFT_FILTER_IDS_MAX")
+    si._FILTER_IDS_CACHE.clear()
+
     # budget gate: 0 MB declines (fresh cache key via env + cleared memo)
     monkeypatch.setenv("SPARK_GRAFT_LOCAL_IVF_MB", "0")
     si._LOCAL_IVF_CACHE.clear()
