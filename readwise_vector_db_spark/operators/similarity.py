@@ -18,6 +18,9 @@ Spark-native decomposition is:
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -25,6 +28,37 @@ from pyspark.sql import functions as F
 from readwise_vector_db_spark.functions.vector import cosine_distance, l2_norm
 
 SCORE_DECIMALS = 6
+
+# Selectivity estimates for ivf_search's filtered-probe router, keyed on
+# (corpus plan semantic hash, rendered predicate): the metadata-only
+# approx_count_distinct scan runs once per distinct (corpus, filter),
+# not once per request.  LRU-evicted (move_to_end on hit) so a burst of
+# distinct filters can't flush the hot entries.
+_EST_MATCHES_CACHE: OrderedDict[tuple[int, str], int] = OrderedDict()
+_EST_MATCHES_LOCK = threading.Lock()
+_EST_MATCHES_MAX = 64
+
+
+def _cached_match_estimate(assigned: DataFrame, pred, id_col: str) -> int:
+    key = (assigned.semanticHash(), str(pred))
+    with _EST_MATCHES_LOCK:
+        if key in _EST_MATCHES_CACHE:
+            _EST_MATCHES_CACHE.move_to_end(key)
+            return _EST_MATCHES_CACHE[key]
+    # approx distinct ids: multi-assigned copies don't inflate the
+    # estimate, and the partial aggregate never shuffles data; reads
+    # ONLY the filter/id columns (column pruning drops the vectors)
+    matches = int(
+        assigned.filter(pred)
+        .agg(F.approx_count_distinct(id_col).alias("m"))
+        .first()["m"]
+    )
+    with _EST_MATCHES_LOCK:
+        _EST_MATCHES_CACHE[key] = matches
+        _EST_MATCHES_CACHE.move_to_end(key)
+        while len(_EST_MATCHES_CACHE) > _EST_MATCHES_MAX:
+            _EST_MATCHES_CACHE.popitem(last=False)
+    return matches
 
 
 def knn_join(
@@ -301,7 +335,7 @@ def ivf_search(
     multi_assigned: bool = False,
     pred=None,
     est_matches: int | None = None,
-    route_filtered: bool = True,
+    route_filtered: bool = False,
 ) -> DataFrame:
     """Probe the ``nprobe`` clusters whose centroids are nearest the query,
     then exact top-k within them.
@@ -333,8 +367,17 @@ def ivf_search(
     ``approx_count_distinct`` aggregate that reads ONLY the filter/id
     columns (never the vectors) — and routes: ``matches < k·n_clusters``
     → exact filtered scan (result is exact, not approximate);
-    otherwise → the pruned index probe.  ``route_filtered=False`` pins
-    the index path (what the starvation-curve tooling measures).
+    otherwise → the pruned index probe.
+
+    Routing is OPT-IN (round 8, advisor): the default ``False`` keeps
+    every existing filtered caller on the bounded nprobe/n_clusters
+    read — turning it on puts an eager corpus-metadata aggregate (and
+    possibly a full exact scan) inside the request path, a latency
+    contract the CALLER must accept, the way the serving layer does
+    with its cached per-filter stats.  The live estimate is memoized
+    per (corpus plan, rendered predicate) in a small LRU, so repeated
+    probes with the same filter pay the metadata scan once — the same
+    discipline as the serving layer's ``_filter_id_set`` cache.
     """
     import numpy as np
 
@@ -361,13 +404,7 @@ def ivf_search(
     if pred is not None and route_filtered:
         matches = est_matches
         if matches is None:
-            # approx distinct ids: multi-assigned copies don't inflate
-            # the estimate, and the partial aggregate never shuffles data
-            matches = int(
-                assigned.filter(pred)
-                .agg(F.approx_count_distinct(id_col).alias("m"))
-                .first()["m"]
-            )
+            matches = _cached_match_estimate(assigned, pred, id_col)
         use_index = matches >= k * len(centroids)
     pruned = assigned
     if use_index:

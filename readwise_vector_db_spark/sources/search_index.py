@@ -634,6 +634,12 @@ class _LocalIvfScorer:
             ids = [i for i, f in zip(ids, keep) if f]
             mat, norms = mat[keep], norms[keep]
         qn = query_norm(query_vec)
+        if not qn > 0:
+            # zero query vector (embed of whitespace-only text): the SQL
+            # statement's divide-by-zero is NULL for EVERY row, ordered
+            # ASC NULLS FIRST by (score, id) — replicate, or this path
+            # would emit NaN scores and drop rows the SQL path returns
+            return sorted((i, None) for i in ids)[:k]
         qv64 = np.asarray(list(query_vec), dtype=np.float64)
         dots = mat @ qv64
         # Spark sorts ASC NULLS FIRST: zero-denominator rows (score NULL)

@@ -271,3 +271,22 @@ def test_embed_input_truncates_to_token_cap(spark):
     # default cap leaves short inputs untouched (text + note joined)
     short = embed_input(df).first()["embed_text"]
     assert short == long_text + " note"
+
+
+def test_write_merged_bounded_collect(spark, tmp_path):
+    """r7 verdict nit 3: write_merged's driver materialization is scoped
+    to small control tables — the scope is now enforced with a limit
+    guard, loud error past max_rows."""
+    from readwise_vector_db_spark.operators.upsert import write_merged
+
+    path = str(tmp_path / "ctl")
+    spark.range(10).select("id", F.lit("a").alias("v")).write.parquet(path)
+    updates = spark.range(5).select("id", F.lit("b").alias("v"))
+    write_merged(spark, path, updates, "id")  # well under the default cap
+    out = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert out[0] == "b" and out[9] == "a" and len(out) == 10
+
+    with pytest.raises(ValueError, match="max_rows"):
+        write_merged(spark, path, updates, "id", max_rows=5)
+    # failed guard leaves the table untouched
+    assert spark.read.parquet(path).count() == 10

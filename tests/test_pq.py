@@ -434,3 +434,122 @@ def test_append_staleness_guard(spark, books, tmp_path):
     d_base = pq.coarse_distortion(base, centroids)
     d_bad = pq.coarse_distortion(bad, centroids)
     assert d_bad > 2 * d_base
+
+
+def test_coarse_distortion_samples_uniformly_not_first_partitions(spark):
+    """ADVICE r8 (medium): the old sample(1.0).limit(n) took the FIRST
+    partitions — on a source-ordered corpus, one ingest epoch.  Corpus:
+    low ids (the first range-partitions) sit ON the centroid, high ids
+    sit far away.  A first-partitions slice reads ~0 distortion; the
+    uniform sample must see both populations."""
+    import numpy as np
+
+    near = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(2_000)]
+    far = [(2_000 + i, [0.0, 0.0, 1.0, 0.0]) for i in range(2_000)]
+    df = spark.createDataFrame(
+        near + far, "vec_id long, embedding array<float>"
+    ).repartitionByRange(8, "vec_id")  # ordered partitions: near first
+    centroids = [(0, [1.0, 0.0, 0.0, 0.0])]
+    d = pq.coarse_distortion(df, centroids, sample_rows=400, seed=3)
+    # uniform: ~half the sample at distance 1.0 → mean ≈ 0.5.
+    # first-partitions slice: 0.0.  Wide tolerance, binomial noise only.
+    assert 0.35 < d < 0.65, d
+
+
+def test_pq_knn_join_shortlist_registered_for_drain(spark, embs, books):
+    """ADVICE r8: the rescore path's persisted shortlist must land in the
+    shared drain registry so it is unpersisted on the next detector call
+    instead of leaking an InMemoryRelation per join for process life."""
+    from readwise_vector_db_spark.operators import dedup as dd
+
+    dd.release_detector_cache()
+    codes = pq.pq_encode(embs, books, id_col="vec_id")
+    queries = (
+        embs.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+    )
+    before = len(dd._CACHED_FRAMES)
+    out = pq.pq_knn_join(
+        codes, queries, books, k=3, id_col="vec_id", rescore=embs
+    )
+    assert out.count() > 0
+    assert len(dd._CACHED_FRAMES) == before + 1
+    dd.release_detector_cache()
+    assert not dd._CACHED_FRAMES
+
+
+def test_append_drift_gate_per_source_catches_needle(spark, books, tmp_path):
+    """r7 verdict item 6: a drifted needle (10% of the batch, its own
+    source) DILUTES below the aggregate gate but must trip the grouped
+    gate — per-source distortion is the granularity drift happens at."""
+    import numpy as np
+
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(43)
+    hubs = rng.standard_normal((4, 64)).astype(np.float64)
+    base_rows = [
+        (i, [float(x) for x in hubs[i % 4] + 0.05 * rng.standard_normal(64)])
+        for i in range(200)
+    ]
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<float>")
+    _, centroids = sim.build_ivf_index(base, n_clusters=4)
+    path = str(tmp_path / "ivfpq_needle")
+    pq.save_ivfpq_index(
+        pq.ivfpq_encode(base, centroids, books), centroids, books, path,
+        base_vecs=base,
+    )
+
+    # MILD drift: distinguishable per-source, dilutable in aggregate
+    drift_hub = hubs[0] + 0.35 * rng.standard_normal(64)
+    mixed_rows = [
+        (
+            1_000 + i,
+            [float(x) for x in hubs[i % 4] + 0.05 * rng.standard_normal(64)],
+            "healthy",
+        )
+        for i in range(90)
+    ] + [
+        (
+            2_000 + i,
+            [float(x) for x in drift_hub + 0.05 * rng.standard_normal(64)],
+            "drifted",
+        )
+        for i in range(10)
+    ]
+    mixed = spark.createDataFrame(
+        mixed_rows, "vec_id long, embedding array<float>, source string"
+    )
+
+    # grouped statistic separates the populations
+    per = pq.coarse_distortion_by(mixed, centroids, "source")
+    assert set(per) == {"healthy", "drifted"}
+    assert per["drifted"] > 3 * per["healthy"]
+
+    # pick the gate limit BETWEEN the diluted aggregate ratio and the
+    # worst-group ratio — the window where the r7 aggregate gate is
+    # provably blind and the grouped gate provably isn't
+    import json
+
+    with open(f"{path}/distortion.json") as f:
+        base_d = json.load(f)["base_coarse_distortion"]
+    agg_ratio = pq.coarse_distortion(mixed, centroids) / base_d
+    worst_ratio = max(per.values()) / base_d
+    assert agg_ratio < worst_ratio / 2, (agg_ratio, worst_ratio)
+    limit = (agg_ratio * worst_ratio) ** 0.5
+
+    # aggregate gate: the 10% needle dilutes through (documented residue)
+    n = pq.append_to_ivfpq_index(mixed, path, max_distortion_ratio=limit)
+    assert n == 100
+    # grouped gate: the SAME batch is rejected, error names the source
+    with pytest.raises(ValueError, match="drifted"):
+        pq.append_to_ivfpq_index(
+            mixed, path, max_distortion_ratio=limit, source_col="source"
+        )
+
+    # max_groups guard is loud, not a silent collect
+    with pytest.raises(ValueError, match="max_groups"):
+        pq.coarse_distortion_by(mixed, centroids, "vec_id", max_groups=10)

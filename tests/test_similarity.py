@@ -265,7 +265,10 @@ def test_ivf_filtered_selectivity_routing(spark):
 
     # 4 matches << k·n_clusters = 40 → the router falls back to the
     # exact filtered scan and returns EVERY matching row, exactly
-    routed = sim.ivf_search(assigned, cents, q, k=5, nprobe=1, pred=rare)
+    # (routing is opt-in since round 8: route_filtered=True)
+    routed = sim.ivf_search(
+        assigned, cents, q, k=5, nprobe=1, pred=rare, route_filtered=True
+    )
     assert {r["neighbor_id"] for r in routed.collect()} == {1000, 1001, 1002, 1003}
 
     # the pinned index path starves at the same selectivity — proving
@@ -277,14 +280,17 @@ def test_ivf_filtered_selectivity_routing(spark):
 
     # caller-supplied stats take precedence over the live estimate
     forced = sim.ivf_search(
-        assigned, cents, q, k=5, nprobe=1, pred=rare, est_matches=10_000
+        assigned, cents, q, k=5, nprobe=1, pred=rare,
+        est_matches=10_000, route_filtered=True,
     )
     assert forced.count() == starved.count()
 
     # ~99% selectivity: the router keeps the index path — identical
     # rows to the pinned probe, and results span ≤ nprobe clusters
     common = F.col("label") == "a"
-    auto = sim.ivf_search(assigned, cents, q, k=5, nprobe=2, pred=common).collect()
+    auto = sim.ivf_search(
+        assigned, cents, q, k=5, nprobe=2, pred=common, route_filtered=True
+    ).collect()
     pinned = sim.ivf_search(
         assigned, cents, q, k=5, nprobe=2, pred=common, route_filtered=False
     ).collect()
@@ -292,6 +298,51 @@ def test_ivf_filtered_selectivity_routing(spark):
         (r["neighbor_id"], r["cos_dist"]) for r in pinned
     ]
     assert len({r["cluster"] for r in auto}) <= 2
+
+    # default is the pinned index path: no routing, no estimate job —
+    # identical rows to route_filtered=False at the same selectivity
+    default_rows = sim.ivf_search(
+        assigned, cents, q, k=5, nprobe=1, pred=rare
+    ).collect()
+    assert [(r["neighbor_id"], r["cos_dist"]) for r in default_rows] == [
+        (r["neighbor_id"], r["cos_dist"]) for r in starved.collect()
+    ]
+    assigned.unpersist()
+
+
+def test_ivf_routing_estimate_is_cached(spark):
+    """The live selectivity estimate is memoized per (corpus plan,
+    rendered pred): a second identical filtered probe consults the
+    cache instead of re-scanning.  Proven by poisoning the cached value
+    after the first call — the second call's routing decision follows
+    the poisoned number, so no fresh estimate can have run."""
+    rows = [
+        (i, [10.0 + (i % 7) * 0.01, (i % 5) * 0.01, 0.0, 0.0], "a")
+        for i in range(400)
+    ] + [
+        (1000 + j, [0.0, 0.0, 10.0 + j * 0.01, 1.0], "r") for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    assigned, cents = sim.build_ivf_index(df, n_clusters=8)
+    assigned = assigned.persist()
+    q = [10.0, 0.0, 0.0, 0.0]
+    rare = F.col("label") == "r"
+    sim._EST_MATCHES_CACHE.clear()
+    routed = sim.ivf_search(
+        assigned, cents, q, k=5, nprobe=1, pred=rare, route_filtered=True
+    )
+    assert routed.count() == 4  # exact-scan route (4 matches << 40)
+    assert len(sim._EST_MATCHES_CACHE) == 1
+    key = next(iter(sim._EST_MATCHES_CACHE))
+    sim._EST_MATCHES_CACHE[key] = 10_000  # poison: "plenty of matches"
+    second = sim.ivf_search(
+        assigned, cents, q, k=5, nprobe=1, pred=rare, route_filtered=True
+    )
+    # index path starves at nprobe=1 → the poisoned estimate was used,
+    # i.e. the second call ran no estimate job of its own
+    assert second.count() < 4
+    assert sim._EST_MATCHES_CACHE[key] == 10_000
+    sim._EST_MATCHES_CACHE.clear()
     assigned.unpersist()
 
 

@@ -240,3 +240,132 @@ def test_claim_lands_atomically_with_owner(spark, table):
     assert not os.path.exists(dead)
     assert os.path.exists(live)
     shutil.rmtree(live)
+
+def test_merge_conflict_detected_not_last_writer_wins(spark, table):
+    """r7 verdict item 5: two merges racing from the SAME base snapshot
+    must produce one winner and one loud VersionConflictError — not a
+    silent last-writer-wins on content."""
+    from readwise_vector_db_spark.sources.versioned import VersionConflictError
+
+    table.commit(spark.range(3).select("id", F.lit("base").alias("v")))
+    base_v = table.latest_version()
+    # writer A: read base, merge, commit — wins
+    merged_a = table.read(spark, version=base_v)
+    a_updates = spark.range(1, 2).select("id", F.lit("A").alias("v"))
+    from readwise_vector_db_spark.operators.upsert import merge_upsert
+
+    assert table.commit(merge_upsert(merged_a, a_updates, "id"), expected_base=base_v) == 2
+
+    # writer B: ALSO read base (stale), tries to commit → conflict
+    merged_b = merge_upsert(
+        table.read(spark, version=base_v),
+        spark.range(2, 3).select("id", F.lit("B").alias("v")),
+        "id",
+    )
+    with pytest.raises(VersionConflictError):
+        table.commit(merged_b, expected_base=base_v)
+    # store untouched by the loser: A's write is still the latest
+    assert table.latest_version() == 2
+    out = {r["id"]: r["v"] for r in table.read(spark).collect()}
+    assert out[1] == "A" and "B" not in out.values()
+    # no claim debris from the failed conditional commit
+    import os
+
+    assert not [n for n in os.listdir(table.root) if n.startswith("_CLAIM")]
+
+
+def test_merge_retry_mode_preserves_both_writers(spark, table):
+    """on_conflict='retry' re-reads the new latest and re-merges: both
+    racing writers' keys survive."""
+    import threading
+
+    table.commit(spark.range(3).select("id", F.lit("base").alias("v")))
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def do_merge(tag, lo, hi):
+        try:
+            barrier.wait(timeout=30)
+            table.merge(
+                spark,
+                spark.range(lo, hi).select("id", F.lit(tag).alias("v")),
+                "id",
+                on_conflict="retry",
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=do_merge, args=("A", 10, 13)),
+        threading.Thread(target=do_merge, args=("B", 20, 23)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    out = {r["id"]: r["v"] for r in table.read(spark).collect()}
+    # both increments present regardless of commit order
+    assert all(out[i] == "A" for i in (10, 11, 12))
+    assert all(out[i] == "B" for i in (20, 21, 22))
+    assert all(out[i] == "base" for i in (0, 1, 2))
+
+
+def test_merge_force_mode_is_blind_write(spark, table):
+    """on_conflict='force' restores the pre-round-8 unconditional commit."""
+    table.commit(spark.range(2).select("id", F.lit("base").alias("v")))
+    v = table.merge(
+        spark, spark.range(1).select("id", F.lit("F").alias("v")), "id",
+        on_conflict="force",
+    )
+    assert v == 2
+    with pytest.raises(ValueError):
+        table.merge(spark, spark.range(1).select("id"), "id", on_conflict="nope")
+
+
+def test_compact_conflicts_instead_of_rollback(spark, table):
+    """A writer landing between compact's read and its commit must raise,
+    not silently publish pre-compaction content over the writer."""
+    from readwise_vector_db_spark.sources.versioned import VersionConflictError
+
+    table.commit(spark.range(5).select("id"))
+    df = table.read(spark)  # what compact would re-publish
+    table.commit(spark.range(50).select("id"))  # concurrent writer lands
+    with pytest.raises(VersionConflictError):
+        table.commit(df.coalesce(1), expected_base=1)
+    assert table.read(spark).count() == 50
+
+
+def test_empty_legacy_claim_not_clobbered(spark, table):
+    """ADVICE r8: POSIX rename atomically swaps onto an EMPTY target dir,
+    so a legacy writer's just-mkdir'd (ownerless) claim could be silently
+    replaced, double-assigning the version.  A pre-existing empty claim
+    must take the dead/wait branch: fresh → wait for it; past the grace
+    window → swept as debris, then claimed normally."""
+    import os
+    import threading
+    import time as _time
+
+    table.commit(spark.range(2).select("id"))
+    claim = table._claim_dir(2)
+    os.mkdir(claim)  # legacy-style empty claim, fresh mtime → LIVE
+
+    got = []
+    t = threading.Thread(
+        target=lambda: got.append(table.commit(spark.range(4).select("id")))
+    )
+    t.start()
+    _time.sleep(0.4)
+    # the committer must still be waiting — the claim was not stolen
+    assert not got and os.path.isdir(claim)
+    os.rmdir(claim)  # legacy writer releases
+    t.join(timeout=120)
+    assert got == [2]
+    assert table.read(spark).count() == 4
+
+    # an empty claim OLDER than the grace window is debris: swept, no wait
+    stale = table._claim_dir(3)
+    os.mkdir(stale)
+    old = _time.time() - 3600
+    os.utime(stale, (old, old))
+    assert table.commit(spark.range(6).select("id")) == 3
