@@ -41,10 +41,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _kmeans_np(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
-    """Deterministic Lloyd's k-means (numpy): k centroids of x."""
+def _kmeans_np(
+    x: np.ndarray, k: int, iters: int, seed: int, init: np.ndarray | None = None
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means (numpy): k centroids of x.
+    ``init`` warm-starts from given centroids (the OPQ alternation
+    refreshes codebooks incrementally instead of re-seeding)."""
     rng = np.random.RandomState(seed)
     n = x.shape[0]
+    if init is not None:
+        cents = init.copy()
+        for _ in range(iters):
+            d2 = ((x**2).sum(1)[:, None] - 2 * x @ cents.T + (cents**2).sum(1)[None, :])
+            assign = d2.argmin(1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = x[mask].mean(0)
+        return cents
     if n <= k:
         # degenerate: every point its own centroid, pad by repeating
         reps = x[rng.choice(n, size=k, replace=True)]
@@ -63,8 +77,12 @@ def _kmeans_np(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
 
 
 def _uniform_vector_sample(
-    vecs: DataFrame, vec_col: str, sample_rows: int, seed: int
-) -> list:
+    vecs: DataFrame,
+    vec_col: str,
+    sample_rows: int,
+    seed: int,
+    with_total: bool = False,
+):
     """Uniform sample (without replacement) of a vector column in a
     SINGLE map-only pass — the bottom-k sketch shared by
     :func:`train_pq_codebooks` and :func:`coarse_distortion`.  Each row
@@ -76,7 +94,12 @@ def _uniform_vector_sample(
     vector tables under ``maxPartitionBytes`` splitting are
     row-balanced, so the sketch loses nothing.  NOT ``limit()`` (and
     not ``sample(fraction).limit()``): limit takes the first partitions
-    — a spatially biased slice (one ingest epoch, one source)."""
+    — a spatially biased slice (one ingest epoch, one source).
+
+    ``with_total=True`` returns ``(sample, total_rows)`` — each
+    partition also emits its non-null row count in the SAME pass, so
+    callers needing the population size (e.g. the rescore-factor
+    probe's corpus/sample scaling) pay no extra scan."""
     live = vecs.select(F.col(vec_col).cast("array<float>").alias("v")).filter(
         F.col("v").isNotNull()
     )
@@ -87,9 +110,11 @@ def _uniform_vector_sample(
         rng = None
         kept_k: np.ndarray | None = None
         kept_v: list | None = None
+        seen = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            seen += len(pdf)
             if rng is None:
                 rng = np.random.default_rng(
                     seed * 1_000_003 + int(pdf["pid"].iloc[0])
@@ -106,15 +131,25 @@ def _uniform_vector_sample(
             else:
                 kept_k, kept_v = kk, kv
         if kept_k is not None:
-            yield pd.DataFrame({"k": kept_k.astype(float), "v": kept_v})
+            # summary row (k=2.0 > any U(0,1) key — never in the bottom-k)
+            yield pd.DataFrame(
+                {
+                    "k": list(kept_k.astype(float)) + [2.0],
+                    "v": kept_v + [None],
+                    "cnt": [0] * len(kept_v) + [seen],
+                }
+            )
 
     rows = (
         live.withColumn("pid", F.spark_partition_id())
-        .mapInPandas(bottomk, schema="k double, v array<float>")
+        .mapInPandas(bottomk, schema="k double, v array<float>, cnt long")
         .collect()
     )
+    total = sum(r["cnt"] for r in rows)
+    rows = [r for r in rows if r["v"] is not None]
     rows.sort(key=lambda r: r["k"])  # global bottom-k = the uniform sample
-    return [r["v"] for r in rows[:sample_rows]]
+    sample = [r["v"] for r in rows[:sample_rows]]
+    return (sample, total) if with_total else sample
 
 
 def train_pq_codebooks(
@@ -155,20 +190,205 @@ def train_pq_codebooks(
     ]
 
 
+def train_opq(
+    vecs: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    vec_col: str = "embedding",
+    sample_rows: int = 20_000,
+    iters: int = 12,
+    opq_iters: int = 10,
+    inner_iters: int = 2,
+    seed: int = 7,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """OPQ: learn an orthogonal rotation R that minimizes quantization
+    error BEFORE subspace splitting, then the codebooks on the rotated
+    sample — the non-parametric alternation of Ge, He, Ke, Sun,
+    "Optimized Product Quantization" (CVPR 2013, public).  Plain PQ
+    quantizes each d/m-dim slice independently, so when variance/
+    correlation is unevenly spread across the NATIVE axes (every real
+    embedding model; the margin-concentrated regime where the round-7
+    curves measured raw ADC at 0.06–0.24 recall@10) some subspaces
+    carry most of the error.  The alternation:
+
+        repeat: codebooks ← Lloyd refresh on X·R (warm-started)
+                Y ← per-subspace reconstruction of X·R
+                R ← argmin_R ||X·R − Y||_F  =  U·Vᵀ of SVD(Xᵀ·Y)
+                (orthogonal Procrustes — the closed-form step)
+
+    Returns ``(rotation, codebooks)``; encode/search take ``rotation=``
+    and apply it to rows and queries symmetrically — R is orthogonal so
+    rotated inner products EQUAL original inner products, and ADC scores
+    remain approximate cosines of the ORIGINAL vectors.  Everything is
+    driver-side on the same bottom-k uniform sample as
+    :func:`train_pq_codebooks` (model fitting is sample-bounded; the
+    corpus pass stays one vectorized encode).  Cost at 3072-d/20 k rows:
+    the XᵀY gemm + d×d SVD per alternation — seconds, offline."""
+    sample = _uniform_vector_sample(vecs, vec_col, sample_rows, seed)
+    x = np.asarray(sample, dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError("train_opq needs a non-empty vector column")
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    sub = d // m
+    rot = np.eye(d)
+    books: list[np.ndarray] | None = None
+    for _ in range(max(1, opq_iters)):
+        xr = x @ rot
+        books = [
+            _kmeans_np(
+                np.ascontiguousarray(xr[:, j * sub : (j + 1) * sub]),
+                k,
+                inner_iters,
+                seed + j,
+                init=books[j] if books is not None else None,
+            )
+            for j in range(m)
+        ]
+        y = np.empty_like(xr)
+        for j, b in enumerate(books):
+            xs = xr[:, j * sub : (j + 1) * sub]
+            d2 = (xs**2).sum(1)[:, None] - 2 * xs @ b.T + (b**2).sum(1)[None, :]
+            y[:, j * sub : (j + 1) * sub] = b[d2.argmin(1)]
+        u, _, vt = np.linalg.svd(x.T @ y)
+        rot = u @ vt
+    # final polish: full Lloyd budget on the converged rotation
+    xr = x @ rot
+    books = [
+        _kmeans_np(
+            np.ascontiguousarray(xr[:, j * sub : (j + 1) * sub]),
+            k,
+            iters,
+            seed + j,
+            init=books[j],
+        ).astype(np.float32)
+        for j in range(m)
+    ]
+    return rot.astype(np.float32), books
+
+
+def quantization_error(
+    x: np.ndarray, codebooks: list[np.ndarray], rotation: np.ndarray | None = None
+) -> float:
+    """Mean squared reconstruction error of (rotated) rows against the
+    codebooks — the objective both trainers minimize; used to verify
+    OPQ's rotation actually helps on a given sample."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if rotation is not None:
+        x = x @ np.asarray(rotation, dtype=np.float64)
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    err = 0.0
+    for j, b in enumerate(codebooks):
+        b = np.asarray(b, dtype=np.float64)
+        xs = x[:, j * sub : (j + 1) * sub]
+        d2 = (xs**2).sum(1)[:, None] - 2 * xs @ b.T + (b**2).sum(1)[None, :]
+        err += float(np.maximum(d2.min(1), 0.0).sum())
+    return err / x.shape[0]
+
+
+def estimate_rescore_factor(
+    vecs: DataFrame,
+    codebooks: list[np.ndarray],
+    rotation: np.ndarray | None = None,
+    k: int = 10,
+    target_recall: float = 0.9,
+    sample_corpus: int = 8_192,
+    n_queries: int = 32,
+    max_factor: int = 64,
+    pct: float = 0.9,
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> int:
+    """Size ``rescore_factor`` from a sampled margin-hardness probe
+    (round 8 — r7 verdict item 1's second half): the right rf is a
+    property of the CORPUS (how far below the true-neighbor margin the
+    ADC error sits), not a constant — the round-7 curves measured rf=8
+    reaching 0.24 recall@10 on an easy fixture's budget but only ~0.39
+    on the margin-concentrated one, so documented defaults silently
+    under-fetch on hard corpora.
+
+    Procedure (driver-side, bounded): draw a uniform ``sample_corpus``
+    sample, self-encode it against the codebooks (with ``rotation`` if
+    the model is OPQ), take the first ``n_queries`` sample rows as
+    queries, and for each query find the ADC rank needed to capture
+    ``target_recall`` of its exact top-``k``; rf is the ``pct``
+    percentile of ceil(needed_rank · corpus/sample / k), clamped to
+    [1, max_factor].  The corpus/sample scaling (measured in the SAME
+    sketch pass, no extra scan) is what makes the probe transfer: the
+    distractor count above the k-th true neighbor's ADC score is
+    proportional to population size at a fixed score-error
+    distribution, so an unscaled 8k-row probe read rf=8 on a 20k-row
+    corpus whose measured rf=8 recall was 0.31 — first-order in n, and
+    conservative only to the extent full-corpus true neighbors carry
+    HIGHER adc signal than sample ones.  Returning ``max_factor`` is
+    itself a signal: ADC cannot rank this corpus at the target —
+    rescore everything or switch index family.  Cost: one bottom-k
+    sample pass + numpy gemms on (sample × d) — seconds; run it once
+    per trained model, next to the training job."""
+    if not 0 < target_recall <= 1:
+        raise ValueError("target_recall must be in (0, 1]")
+    sample, total = _uniform_vector_sample(
+        vecs, vec_col, sample_corpus, seed, with_total=True
+    )
+    x = np.asarray(sample, dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError("estimate_rescore_factor needs a non-empty vector column")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n = x.shape[0]
+    nq = min(n_queries, n)
+    k = min(k, n)
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    xr = x @ np.asarray(rotation, dtype=np.float64) if rotation is not None else x
+    codes = np.empty((n, m), dtype=np.int64)
+    for j, b in enumerate(codebooks):
+        b = np.asarray(b, dtype=np.float64)
+        xs = xr[:, j * sub : (j + 1) * sub]
+        d2 = (xs**2).sum(1)[:, None] - 2 * xs @ b.T + (b**2).sum(1)[None, :]
+        codes[:, j] = d2.argmin(1)
+    exact = x @ x[:nq].T  # (n, nq) true cosines
+    adc = np.zeros((n, nq), dtype=np.float64)
+    for j, b in enumerate(codebooks):
+        lut = np.asarray(b, dtype=np.float64) @ xr[:nq, j * sub : (j + 1) * sub].T
+        adc += lut[codes[:, j], :]
+    need = max(1, int(np.ceil(target_recall * k)))
+    scale = max(1.0, float(total) / n)
+    factors = []
+    for qx in range(nq):
+        true_top = np.argpartition(-exact[:, qx], k - 1)[:k]
+        # rank of each true neighbor under the ADC ordering (0-based)
+        order = np.argsort(-adc[:, qx], kind="stable")
+        pos = np.empty(n, dtype=np.int64)
+        pos[order] = np.arange(n)
+        needed_rank = int(np.sort(pos[true_top])[need - 1]) + 1
+        factors.append(int(np.ceil(needed_rank * scale / k)))
+    factors.sort()
+    rf = factors[min(len(factors) - 1, int(np.ceil(pct * len(factors))) - 1)]
+    return int(min(max(1, rf), max_factor))
+
+
 def pq_encode(
     vecs: DataFrame,
     codebooks: list[np.ndarray],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, pq_code array<int>): each vector l2-normalized, split into
     m subvectors, each assigned its nearest codebook centroid — one
     vectorized gemm per subspace per Arrow batch, map-only.  The id
     column keeps its input type (long, string, UUID — anything Arrow
-    round-trips)."""
+    round-trips).  ``rotation`` (from :func:`train_opq`) is applied
+    after normalization and before splitting; it ships to executors
+    once (d² float32 — 36 MB at 3072-d, broadcast-sized)."""
     m = len(codebooks)
     sub = codebooks[0].shape[1]
     books = [np.asarray(b, dtype=np.float32) for b in codebooks]
+    rot32 = None if rotation is None else np.asarray(rotation, dtype=np.float32)
 
     schema = T.StructType(
         [
@@ -193,6 +413,8 @@ def pq_encode(
                 )
             x = np.asarray(list(pdf["v"]), dtype=np.float32)
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            if rot32 is not None:
+                x = x @ rot32
             codes = np.empty((x.shape[0], m), dtype=np.int32)
             for j, b in enumerate(books):
                 xs = x[:, j * sub : (j + 1) * sub]
@@ -219,15 +441,18 @@ def save_pq_index(
     codes: DataFrame,
     codebooks: list[np.ndarray],
     path: str,
+    rotation: np.ndarray | None = None,
 ) -> None:
     """Persist the PQ index as a serving artifact: the byte codes as
     parquet (the whole scannable corpus state — m ints per row) plus the
     codebooks as one (subspace, centroid, vec) table.  Mirrors
     ``save_ivf_index`` (similarity.py): the train+encode pass is the
-    offline job; serving processes only ever ``load_pq_index`` and pay
-    ADC probe cost."""
+    offline job; serving processes only ever ``load_pq_index`` (and
+    :func:`load_rotation` when OPQ-trained) and pay ADC probe cost."""
     spark = codes.sparkSession
     codes.write.mode("overwrite").parquet(f"{path}/codes")
+    if rotation is not None:
+        save_rotation(spark, rotation, path)
     rows = [
         (j, c, [float(x) for x in b[c]])
         for j, b in enumerate(codebooks)
@@ -236,6 +461,29 @@ def save_pq_index(
     spark.createDataFrame(
         rows, "subspace int, centroid int, vec array<float>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def save_rotation(spark, rotation: np.ndarray, path: str) -> None:
+    """Persist an OPQ rotation next to an index layout: one (row_idx,
+    vec) parquet table — d rows of d floats, driver-side metadata like
+    the codebooks."""
+    rows = [(i, [float(x) for x in rotation[i]]) for i in range(rotation.shape[0])]
+    spark.createDataFrame(rows, "row_idx int, vec array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/rotation")
+
+
+def load_rotation(spark, path: str) -> np.ndarray | None:
+    """The OPQ rotation saved by :func:`save_rotation`, or None when the
+    layout was built without one (plain PQ) — callers pass the result
+    straight to the ``rotation=`` params."""
+    import os as _os
+
+    if not _os.path.isdir(f"{path}/rotation"):
+        return None
+    rows = spark.read.parquet(f"{path}/rotation").collect()
+    ordered = sorted((r["row_idx"], r["vec"]) for r in rows)
+    return np.asarray([v for _, v in ordered], dtype=np.float32)
 
 
 def load_pq_index(spark, path: str) -> tuple[DataFrame, list[np.ndarray]]:
@@ -260,6 +508,7 @@ def ivfpq_encode(
     codebooks: list[np.ndarray],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, cluster, pq_code): coarse-quantizer cell + PQ byte code in
     ONE map-only Arrow pass (a gemm against the centroid matrix for the
@@ -270,12 +519,16 @@ def ivfpq_encode(
     This is FAISS IVF-PQ's layout half (Jégou et al. 2011) over parquet:
     codes are computed on the l2-normalized vector (not the residual) so
     the same codebooks serve both the flat and the IVF-composed scan and
-    ADC sums stay cosines."""
+    ADC sums stay cosines.  ``rotation`` (OPQ) applies to the CODE side
+    only — the coarse cell stays in the original space, so the probe's
+    centroid ranking, the persisted layout, and the drift statistics
+    are all rotation-invariant."""
     if not centroids:
         raise ValueError("ivfpq_encode needs a non-empty centroid list")
     m = len(codebooks)
     sub = codebooks[0].shape[1]
     books = [np.asarray(b, dtype=np.float32) for b in codebooks]
+    rot32 = None if rotation is None else np.asarray(rotation, dtype=np.float32)
     ordered = sorted(centroids)
     cell_ids = np.asarray([int(c) for c, _ in ordered], dtype=np.int64)
     cmat = np.asarray([v for _, v in ordered], dtype=np.float64)
@@ -309,6 +562,8 @@ def ivfpq_encode(
             cells = cell_ids[np.argmin(c_sq[None, :] - 2.0 * (raw @ cmat.T), 1)]
             x = raw.astype(np.float32)
             x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            if rot32 is not None:
+                x = x @ rot32
             codes = np.empty((x.shape[0], m), dtype=np.int32)
             for j, b in enumerate(books):
                 xs = x[:, j * sub : (j + 1) * sub]
@@ -434,6 +689,7 @@ def save_ivfpq_index(
     path: str,
     base_vecs: DataFrame | None = None,
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> None:
     """Persist the composed index: codes ``partitionBy("cluster")`` (a
     probe's cluster IN-filter becomes partition pruning — nprobe/k of
@@ -442,12 +698,18 @@ def save_ivfpq_index(
 
     ``base_vecs`` (the training corpus) additionally records the
     train-time :func:`coarse_distortion` in ``{path}/distortion.json``,
-    arming :func:`append_to_ivfpq_index`'s staleness guard."""
+    arming :func:`append_to_ivfpq_index`'s staleness guard.
+    ``rotation`` (OPQ) persists alongside so appends/probes encode
+    queries and increments in the SAME frame the codes were built in —
+    a rotation mismatch silently destroys recall, so it lives with the
+    layout, not with the caller."""
     import json as _json
     import os as _os
 
     spark = codes.sparkSession
     codes.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/codes")
+    if rotation is not None:
+        save_rotation(spark, rotation, path)
     if base_vecs is not None:
         base = coarse_distortion(base_vecs, centroids, vec_col=vec_col)
         _os.makedirs(path, exist_ok=True)
@@ -495,6 +757,7 @@ def pq_knn_join(
     vec_col: str = "embedding",
     rescore_factor: int = 4,
     local_margin: int = 8,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Batch k-NN join over byte codes — the many-query twin of
     ``pq_search`` and the PQ analogue of ``knn_join_blocked``.
@@ -519,6 +782,10 @@ def pq_knn_join(
     qids = [r[0] for r in q_rows]
     qmat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float32)
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    if rotation is not None:
+        # OPQ frame for the LUTs only; the rescore joins run on the
+        # ORIGINAL query/corpus vectors, untouched below
+        qmat = (qmat @ np.asarray(rotation, dtype=np.float32)).astype(np.float32)
     # (m, 256, Q): per-subspace LUTs for every query at once
     luts = np.stack(
         [codebooks[j] @ qmat[:, j * sub : (j + 1) * sub].T for j in range(m)]
@@ -770,9 +1037,16 @@ def append_to_ivfpq_index(
                     "index (or pass max_distortion_ratio=None to force)"
                 )
     # persist: count + write are two actions — uncached they would each
-    # run the encode pass, doubling the increment's cost
+    # run the encode pass, doubling the increment's cost.  The layout's
+    # OPQ rotation (if any) rides along: increment codes must live in
+    # the same rotated frame as the base codes.
     codes = ivfpq_encode(
-        new_vecs, centroids, books, id_col=id_col, vec_col=vec_col
+        new_vecs,
+        centroids,
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        rotation=load_rotation(spark, path),
     ).persist()
     try:
         n = codes.count()
@@ -793,12 +1067,15 @@ def ivfpq_search(
     rescore: DataFrame | None = None,
     vec_col: str = "embedding",
     rescore_factor: int = 4,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ probe: rank centroids by cosine distance to the query
     driver-side (index metadata, same policy as ``ivf_search``), filter
     the code table to the ``nprobe`` nearest cells — partition pruning
     over a :func:`save_ivfpq_index` layout — then ADC-scan only those
-    cells.  Pure composition: the scan half IS :func:`pq_search`."""
+    cells.  Pure composition: the scan half IS :func:`pq_search`.
+    ``rotation`` (OPQ) affects only the ADC half — centroid ranking is
+    original-space, matching :func:`ivfpq_encode`'s cell assignment."""
     if not centroids:
         raise ValueError("ivfpq_search needs a non-empty centroid list")
     q = np.asarray(query, dtype=np.float64)
@@ -821,6 +1098,7 @@ def ivfpq_search(
         rescore=rescore,
         vec_col=vec_col,
         rescore_factor=rescore_factor,
+        rotation=rotation,
     )
 
 
@@ -833,6 +1111,7 @@ def pq_search(
     rescore: DataFrame | None = None,
     vec_col: str = "embedding",
     rescore_factor: int = 4,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Top-k by ADC over the byte codes: (id, score) with score =
     approximate cosine similarity (sum of per-subspace LUT entries).
@@ -841,10 +1120,17 @@ def pq_search(
     ``k * rescore_factor`` ADC candidates are re-ranked by the exact
     JVM cosine fold and the returned ``score`` is the TRUE cosine —
     ADC then only has to get the right vectors into the candidate set,
-    the standard two-stage PQ serving shape."""
+    the standard two-stage PQ serving shape.  ``rotation`` must be the
+    one the codes were encoded with (:func:`train_opq`): the query
+    rotates into the same frame, and because R is orthogonal the LUT
+    sums still approximate ORIGINAL-space cosines — rescore stays on
+    the raw vectors untouched."""
     m = len(codebooks)
     q = np.asarray(query, dtype=np.float32)
     q = q / max(float(np.linalg.norm(q)), 1e-12)
+    q_unrot = q  # rescore ranks against the ORIGINAL-space vectors
+    if rotation is not None:
+        q = (q @ np.asarray(rotation, dtype=np.float32)).astype(np.float32)
     sub = codebooks[0].shape[1]
     lut = np.stack(
         [codebooks[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
@@ -894,7 +1180,7 @@ def pq_search(
     # serving pathology operators/search.py documents)
     from readwise_vector_db_spark.operators.search import vector_literal
 
-    qlit = vector_literal([float(x) for x in q.tolist()])
+    qlit = vector_literal([float(x) for x in q_unrot.tolist()])
     exact = (
         rescore.filter(F.col(id_col).isin(cand_ids))
         .select(

@@ -553,3 +553,124 @@ def test_append_drift_gate_per_source_catches_needle(spark, books, tmp_path):
     # max_groups guard is loud, not a silent collect
     with pytest.raises(ValueError, match="max_groups"):
         pq.coarse_distortion_by(mixed, centroids, "vec_id", max_groups=10)
+
+
+def _correlated_fixture(spark, n=3000, d=64, seed=5):
+    """Energy concentrated in a few latent dims, then spread across all
+    native axes by a fixed rotation — the regime where independent
+    per-subspace quantization wastes its budget and OPQ's learned
+    rotation wins (Ge et al. 2013's motivating case)."""
+    rng = np.random.default_rng(seed)
+    scales = np.concatenate([np.full(8, 4.0), np.full(d - 8, 0.25)])
+    z = rng.standard_normal((n, d)) * scales
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    x = z @ q.T
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_opq_rotation_orthogonal_and_reduces_error(spark):
+    df = _correlated_fixture(spark)
+    plain = pq.train_pq_codebooks(df, m=8, k=16, sample_rows=2000, iters=8)
+    rot, books = pq.train_opq(
+        df, m=8, k=16, sample_rows=2000, iters=8, opq_iters=6
+    )
+    d = rot.shape[0]
+    assert rot.shape == (d, d)
+    assert np.allclose(rot @ rot.T, np.eye(d), atol=1e-4)  # orthogonal
+    sample = np.asarray(
+        [r["embedding"] for r in df.limit(1500).collect()], dtype=np.float64
+    )
+    err_plain = pq.quantization_error(sample, plain)
+    err_opq = pq.quantization_error(sample, books, rotation=rot)
+    # the rotation must buy a real reduction on the correlated corpus
+    assert err_opq < 0.9 * err_plain, (err_opq, err_plain)
+
+
+def test_opq_encode_search_roundtrip(spark):
+    """Rotated codes + rotated query: a planted duplicate pair must rank
+    at the top of the ADC scan, and the rescore path must return TRUE
+    original-space cosines (rotation never leaks into output scores)."""
+    df = _correlated_fixture(spark, n=800)
+    rot, books = pq.train_opq(df, m=8, k=16, sample_rows=800, iters=6, opq_iters=4)
+    codes = pq.pq_encode(df, books, id_col="vec_id", rotation=rot)
+    q_row = df.filter(F.col("vec_id") == 7).first()
+    q = [float(v) for v in q_row["embedding"]]
+    top = pq.pq_search(codes, q, books, k=5, id_col="vec_id", rotation=rot).collect()
+    assert top[0]["vec_id"] == 7  # self comes back first under ADC
+    # rescored: exact cosine of the self-match is 1.0
+    rescored = pq.pq_search(
+        codes, q, books, k=5, id_col="vec_id", rescore=df,
+        rescore_factor=8, rotation=rot,
+    ).collect()
+    assert rescored[0]["vec_id"] == 7 and abs(rescored[0]["score"] - 1.0) < 1e-6
+
+
+def test_opq_rotation_persists_and_appends_in_frame(spark, tmp_path):
+    """The rotation lives WITH the layout: save/load round-trips it and
+    append_to_ivfpq_index encodes increments in the rotated frame (a
+    frame mismatch would silently destroy recall)."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    df = _correlated_fixture(spark, n=600)
+    rot, books = pq.train_opq(df, m=8, k=16, sample_rows=600, iters=6, opq_iters=4)
+    _, centroids = sim.build_ivf_index(df, n_clusters=4)
+    codes = pq.ivfpq_encode(df, centroids, books, rotation=rot)
+    path = str(tmp_path / "opq_idx")
+    pq.save_ivfpq_index(codes, centroids, books, path, rotation=rot)
+
+    loaded = pq.load_rotation(spark, path)
+    assert loaded is not None and np.allclose(loaded, rot, atol=1e-6)
+    # plain layout → None
+    path2 = str(tmp_path / "plain_idx")
+    pq.save_ivfpq_index(pq.ivfpq_encode(df, centroids, books), centroids, books, path2)
+    assert pq.load_rotation(spark, path2) is None
+
+    inc = _correlated_fixture(spark, n=50, seed=9).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    assert pq.append_to_ivfpq_index(inc, path, max_distortion_ratio=None) == 50
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in spark.read.parquet(f"{path}/codes")
+        .filter(F.col("vec_id") >= 10_000)
+        .collect()
+    }
+    want = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq.ivfpq_encode(inc, centroids, books, rotation=rot).collect()
+    }
+    assert got == want  # appended codes are in the rotated frame
+
+
+def test_estimate_rescore_factor_tracks_margin_hardness(spark):
+    """rf sizing follows measured corpus hardness: a well-separated
+    corpus needs a small factor; a margin-concentrated corpus (every
+    vector near one direction, margins within ADC error) needs more."""
+    rng = np.random.default_rng(17)
+    d = 64
+    hubs = rng.standard_normal((16, d)) * 3.0
+    easy_rows = [
+        (i, [float(v) for v in hubs[i % 16] + 0.02 * rng.standard_normal(d)])
+        for i in range(2000)
+    ]
+    easy = spark.createDataFrame(easy_rows, "vec_id long, embedding array<float>")
+    base = rng.standard_normal(d) * 5.0
+    hard_rows = [
+        (i, [float(v) for v in base + 0.05 * rng.standard_normal(d)])
+        for i in range(2000)
+    ]
+    hard = spark.createDataFrame(hard_rows, "vec_id long, embedding array<float>")
+
+    books_e = pq.train_pq_codebooks(easy, m=8, k=16, sample_rows=1500, iters=6)
+    books_h = pq.train_pq_codebooks(hard, m=8, k=16, sample_rows=1500, iters=6)
+    rf_easy = pq.estimate_rescore_factor(
+        easy, books_e, k=10, sample_corpus=1500, n_queries=16
+    )
+    rf_hard = pq.estimate_rescore_factor(
+        hard, books_h, k=10, sample_corpus=1500, n_queries=16
+    )
+    assert 1 <= rf_easy <= pq.estimate_rescore_factor.__defaults__[5]  # max clamp
+    assert rf_hard > rf_easy, (rf_easy, rf_hard)
+    # the hard corpus needs a materially bigger fetch
+    assert rf_hard >= 4, rf_hard

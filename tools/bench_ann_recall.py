@@ -15,10 +15,16 @@ cells — and publishes recall@10 curves that actually bend:
                come from a SHIFTED mixture and the IVF-PQ model stays
                frozen (append_to_ivfpq_index's documented staleness
                question), against a same-corpus retrain control.
+  opq mode:    (round 8 — the published fix for the r7 0.39 floor)
+               plain-PQ vs OPQ-rotated codebooks, and fixed rf=8 vs the
+               margin-probe-sized rescore factor, on the SAME hard
+               fixture the floor was measured on — plus each model's
+               quantization error, the mechanism the rotation improves.
 
 Usage:
   python tools/bench_ann_recall.py sweep  [n] [d] [centers] [sigma]
   python tools/bench_ann_recall.py drift  [n] [d] [centers] [sigma]
+  python tools/bench_ann_recall.py opq    [n] [d] [centers] [sigma]
 
 Methodology: ground truth is the exact cosine top-10 computed in numpy
 on the driver (the corpus fits by construction); recall is id-set
@@ -223,6 +229,74 @@ def run_sweep(n: int, d: int, n_centers: int, sigma: float) -> None:
     icodes.unpersist()
 
 
+def run_opq(n: int, d: int, n_centers: int, sigma: float) -> None:
+    """Plain PQ vs OPQ, fixed vs auto rescore factor — same corpus,
+    queries, and truth construction as sweep mode (seeds 3/17), so the
+    rows compare directly against the round-7 floor measurements."""
+    from readwise_vector_db_spark.operators import pq
+    from readwise_vector_db_spark.session import get_spark
+
+    spark = get_spark("ann_recall_opq")
+    x, centers = make_mixture(n, d, n_centers, sigma, seed=3)
+    n_q = 16
+    q, _ = make_mixture(n_q, d, n_centers, sigma, seed=17, centers=centers)
+    truth = exact_topk_ids(x, q)
+    corpus_path = f"{WORK}/opq_corpus"
+    write_corpus(x, corpus_path)
+    embs = spark.read.parquet(corpus_path)
+    q_rows = [(int(1_000_000 + i), [float(v) for v in q[i]]) for i in range(n_q)]
+    q_df = spark.createDataFrame(q_rows, "query_id long, query_vec array<double>")
+    m = max(8, d // 48)
+    err_sample = x[:4000]
+    emit(corpus="clustered", mode="opq", n=n, d=d, centers=n_centers,
+         sigma=sigma, m=m)
+
+    models = {}
+    t0 = time.monotonic()
+    models["plain"] = (None, pq.train_pq_codebooks(embs, m=m, k=256, sample_rows=8000))
+    t_plain = time.monotonic() - t0
+    t0 = time.monotonic()
+    rot, obooks = pq.train_opq(embs, m=m, k=256, sample_rows=8000, opq_iters=8)
+    models["opq"] = (rot, obooks)
+    t_opq = time.monotonic() - t0
+
+    for label, (rotation, books) in models.items():
+        qe = pq.quantization_error(err_sample, books, rotation=rotation)
+        codes = pq.pq_encode(embs, books, rotation=rotation).persist()
+        codes.count()
+        t0 = time.monotonic()
+        rf_auto = pq.estimate_rescore_factor(
+            embs, books, rotation=rotation, k=10, sample_corpus=8000,
+            n_queries=24,
+        )
+        probe_s = time.monotonic() - t0
+        for rf in sorted({0, 8, rf_auto}):
+            got_join = pq.pq_knn_join(
+                codes, q_df, books, k=10,
+                rescore=None if rf == 0 else embs,
+                rescore_factor=rf or 4,
+                rotation=rotation,
+            ).collect()
+            per_q: dict[int, set] = {}
+            for r in got_join:
+                per_q.setdefault(int(r["query_id"]) - 1_000_000, set()).add(
+                    int(r["neighbor_id"])
+                )
+            recalls = [recall(per_q.get(i, set()), truth[i]) for i in range(n_q)]
+            emit(
+                config=f"{label}_m{m}_rf{rf}",
+                model=label, rescore_factor=rf,
+                rf_is_auto=rf == rf_auto and rf != 8,
+                rf_auto=rf_auto,
+                quant_err=round(qe, 5),
+                recall_at_10=round(float(np.mean(recalls)), 3),
+                recall_min=round(float(np.min(recalls)), 3),
+                train_s=round(t_plain if label == "plain" else t_opq, 1),
+                rf_probe_s=round(probe_s, 1),
+            )
+        codes.unpersist()
+
+
 def run_drift(n: int, d: int, n_centers: int, sigma: float) -> None:
     """Staleness: frozen IVF-PQ model vs increments from a SHIFTED
     mixture.  Emits recall on shifted-distribution queries after each
@@ -331,8 +405,14 @@ def main() -> None:
         c = int(sys.argv[4]) if len(sys.argv) > 4 else 32
         s = float(sys.argv[5]) if len(sys.argv) > 5 else 0.9
         run_drift(n, d, c, s)
+    elif mode == "opq":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+        d = int(sys.argv[3]) if len(sys.argv) > 3 else 3072
+        c = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+        s = float(sys.argv[5]) if len(sys.argv) > 5 else 0.9
+        run_opq(n, d, c, s)
     else:
-        raise SystemExit(f"unknown mode {mode!r}: use sweep|drift")
+        raise SystemExit(f"unknown mode {mode!r}: use sweep|drift|opq")
 
 
 if __name__ == "__main__":
