@@ -987,7 +987,14 @@ def served_search_rows(
         if scorer is not None:
             allowed = None
             mask_params = None
-            if mf is not None and scorer.supports_params(params):
+            # SPARK_GRAFT_DISABLE_FILTER_MASKS=1 pins the id-set
+            # fallback — measurement knob for comparing the mask path
+            # against the round-7 design (tools/bench_scaleout.py
+            # filtered mode), not a serving configuration
+            masks_on = os.environ.get(
+                "SPARK_GRAFT_DISABLE_FILTER_MASKS", "0"
+            ) != "1"
+            if mf is not None and masks_on and scorer.supports_params(params):
                 mask_params = params
             elif mf is not None:
                 allowed = _filter_id_set(

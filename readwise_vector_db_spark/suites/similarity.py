@@ -272,7 +272,7 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _planted_pq_rows(
-    spark: SparkSession, sf_dir: str, codes: DataFrame, books
+    spark: SparkSession, sf_dir: str, codes: DataFrame, books, rotation=None
 ) -> DataFrame:
     """Shared probe loop: 5 queries through ADC + exact rescore over the
     planted corpus, keeping only the similarity-1.0 rows the oracle
@@ -292,6 +292,7 @@ def _planted_pq_rows(
             k=10,
             rescore=corpus,
             rescore_factor=8,
+            rotation=rotation,
         )
         parts.append(
             res.filter(F.col("score") == 1.0).select(
@@ -363,6 +364,25 @@ def pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = planted_pq_artifact(spark, sf_dir)
     codes, books = pq.load_pq_index(spark, path)
     return _planted_pq_rows(spark, sf_dir, codes, books)
+
+
+@register_extra("opq_planted", _PQ_PLANTED_SQL)
+def opq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ end-to-end under the exact planted oracle (round 8): learn
+    the rotation + codebooks (``train_opq`` — Ge et al.'s alternation),
+    encode the planted corpus in the rotated frame, probe with the
+    rotated query.  Because the rotation is orthogonal the ADC sums
+    still approximate ORIGINAL-space cosines, so the rescored
+    duplicate pair must come back at similarity exactly 1.0 — the same
+    byte-exact expectation as ``pq_planted``, proving the rotated
+    encode/search frames agree (a frame mismatch would hash-mismatch
+    immediately)."""
+    from readwise_vector_db_spark.operators import pq
+
+    corpus = _planted_corpus(spark, sf_dir)
+    rotation, books = pq.train_opq(corpus, m=8, k=256, opq_iters=4)
+    codes = pq.pq_encode(corpus, books, rotation=rotation)
+    return _planted_pq_rows(spark, sf_dir, codes, books, rotation=rotation)
 
 
 @register_extra("ann_ivf_filtered", _PLANTED_SQL)

@@ -22,7 +22,12 @@ warm layout and the rest attach (no build race).  Run nothing else
 while this runs (host-stall methodology: report P50/P95 + QPS; compare
 runs by band, not point).
 
-Usage: python tools/bench_scaleout.py [http|inproc|all]
+Part 3 (round 8) — FILTERED composed serving at the reference config
+(2 JVMs x local[16], 20 HTTP users, 3072-d, real proxy, IVF probe):
+mask-hit / mask-cold (the round-8 in-process mask path) vs idset-hit /
+decline (the round-7 fallback paths, pinned via measurement env knobs).
+
+Usage: python tools/bench_scaleout.py [http|inproc|ivf|composed|filtered|all]
 """
 
 from __future__ import annotations
@@ -48,12 +53,14 @@ def pct(xs: list[float], p: float) -> float:
 
 
 def _spawn_http(
-    sf_dir: str, port: int, cores: int, variant: str = "exact"
+    sf_dir: str, port: int, cores: int, variant: str = "exact",
+    env: dict | None = None,
 ) -> subprocess.Popen:
     proc = subprocess.Popen(
         [sys.executable, f"{REPO}/tools/serving_worker.py", "http", sf_dir,
          str(port), str(cores), variant],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env={**os.environ, **(env or {})},
     )
     deadline = time.time() + 180
     while time.time() < deadline:
@@ -65,25 +72,51 @@ def _spawn_http(
     raise TimeoutError("worker did not become ready")
 
 
-def _post(url: str, q: str) -> None:
+def _post(url: str, q: str, extra: dict | None = None) -> None:
+    body = {"q": q, "k": 10}
+    if extra:
+        body.update(extra)
     req = urllib.request.Request(
-        url, data=json.dumps({"q": q, "k": 10}).encode(),
+        url, data=json.dumps(body).encode(),
         headers={"Content-Type": "application/json"},
     )
     with urllib.request.urlopen(req, timeout=120) as resp:
         resp.read()
 
 
+# Filter mixes for the FILTERED composed study (r7 verdict item 3).
+# Values are real sf0.1 metadata: lang 'en' ≈ 41 % of the corpus (the
+# broad filter that always exceeded the round-7 100k-id cap at scale),
+# source_type 'src3' ≈ 5 %, the tag words ≈ 4 % each.
+_FILTER_HIT_SET = [
+    {"lang": "en"},
+    {"source_type": "src3"},
+    {"tags": ["spark", "hash"]},
+    {"lang": "en", "tags": ["stream"]},
+]
+
+
+def _filter_for(mode: str | None, wave: int, uid: int, i: int) -> dict | None:
+    if mode is None:
+        return None
+    if mode == "hit":  # small repeating set → steady-state cache/mask hits
+        return _FILTER_HIT_SET[(uid + i) % len(_FILTER_HIT_SET)]
+    if mode == "cold":  # DISTINCT filter per request → every one a miss
+        return {"tags": ["spark", f"nonce-{wave}-{uid}-{i}"]}
+    raise ValueError(mode)
+
+
 def bench_http(
     n_workers: int, cores: int, users: int = 20, reps: int = 15,
     via_proxy: bool = False, sf_dir: str = SF01, variant: str = "exact",
+    filters_mode: str | None = None, worker_env: dict | None = None,
 ) -> dict:
     ports = [18600 + i for i in range(n_workers)]
     procs = []
     proxy = None
     try:
         for p in ports:  # sequential: first worker builds, rest attach
-            procs.append(_spawn_http(sf_dir, p, cores, variant))
+            procs.append(_spawn_http(sf_dir, p, cores, variant, env=worker_env))
         urls = [f"http://127.0.0.1:{p}/search" for p in ports]
         if via_proxy:
             # a REAL balancer hop (tools/rr_proxy.py): every user hits
@@ -103,8 +136,13 @@ def bench_http(
             url = urls[uid % len(urls)]  # pinned = ideal sticky balancer
             out = []
             for i in range(reps):
+                extra = _filter_for(filters_mode, wave, uid, i)
                 t0 = time.perf_counter()
-                _post(url, f"w{wave} client {uid} request {i} semantic vector search")
+                _post(
+                    url,
+                    f"w{wave} client {uid} request {i} semantic vector search",
+                    extra=extra,
+                )
                 out.append(time.perf_counter() - t0)
             return out
 
@@ -258,6 +296,45 @@ def main() -> None:
                 + json.dumps(bench_http(
                     2, 16, users=20, via_proxy=True,
                     sf_dir=sf3072, variant=variant,
+                )),
+                flush=True,
+            )
+    if which in ("filtered", "all"):
+        # FILTERED composed serving at the reference config (r7 verdict
+        # item 3): same 2 JVMs × local[16], 20 HTTP users, 3072-d
+        # corpus, real proxy, IVF probe — but every request carries a
+        # metadata filter.  Four regimes:
+        #   mask-hit   small repeating filter set → per-cell masks
+        #              cached after first touch (the round-8 primary
+        #              path: zero Spark statements at any selectivity)
+        #   mask-cold  DISTINCT filter per request → every request
+        #              builds fresh masks in-process
+        #   idset-hit  masks disabled (measurement knob) → the round-7
+        #              cached-id-set fallback, one Spark statement per
+        #              DISTINCT filter then local
+        #   decline    masks disabled + id cap 0 → EVERY request falls
+        #              back to a full Spark statement (what any broad
+        #              filter paid before round 8)
+        sf3072 = ensure_sf3072()
+        regimes = [
+            ("mask-hit", "hit", {}),
+            ("mask-cold", "cold", {}),
+            ("idset-hit", "hit", {"SPARK_GRAFT_DISABLE_FILTER_MASKS": "1"}),
+            (
+                "decline",
+                "hit",
+                {
+                    "SPARK_GRAFT_DISABLE_FILTER_MASKS": "1",
+                    "SPARK_GRAFT_FILTER_IDS_MAX": "0",
+                },
+            ),
+        ]
+        for name, mode, env in regimes:
+            print(
+                f"http-filtered 3072-d 20-user 2x local[16] via proxy ivf:4 {name}: "
+                + json.dumps(bench_http(
+                    2, 16, users=20, via_proxy=True, sf_dir=sf3072,
+                    variant="ivf:4", filters_mode=mode, worker_env=env,
                 )),
                 flush=True,
             )
