@@ -32,6 +32,8 @@ vectors) — north-star scope, SURVEY §2.7.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
 from typing import Iterator
 
 import numpy as np
@@ -369,6 +371,57 @@ def estimate_rescore_factor(
     factors.sort()
     rf = factors[min(len(factors) - 1, int(np.ceil(pct * len(factors))) - 1)]
     return int(min(max(1, rf), max_factor))
+
+
+# rescore_factor="auto" memo: the probe costs seconds (a sample pass +
+# driver gemms), so identical (corpus, model, k) calls reuse the sized
+# factor.  Keyed on the corpus PLAN hash + model bytes — a retrained
+# codebook or different corpus re-probes.
+_RF_CACHE: "OrderedDict[tuple, int]" = OrderedDict()
+_RF_CACHE_MAX = 16
+_RF_LOCK = threading.Lock()
+
+
+def _resolve_rescore_factor(
+    rescore_factor,
+    rescore: DataFrame | None,
+    codebooks: list[np.ndarray],
+    rotation: np.ndarray | None,
+    k: int,
+    vec_col: str,
+) -> int:
+    """``rescore_factor="auto"`` → :func:`estimate_rescore_factor` over
+    the rescore corpus, memoized per (corpus plan, model, k).  The
+    explicit-int path is untouched."""
+    if rescore_factor != "auto":
+        return int(rescore_factor)
+    if rescore is None:
+        raise ValueError(
+            "rescore_factor='auto' sizes the fetch from the raw-vector "
+            "corpus — pass rescore= (or call estimate_rescore_factor "
+            "yourself and pass the int)"
+        )
+    import hashlib
+
+    h = hashlib.md5()
+    for b in codebooks:
+        h.update(np.ascontiguousarray(b, dtype=np.float32).tobytes())
+    if rotation is not None:
+        h.update(np.ascontiguousarray(rotation, dtype=np.float32).tobytes())
+    key = (rescore.semanticHash(), h.hexdigest(), k, vec_col)
+    with _RF_LOCK:
+        if key in _RF_CACHE:
+            _RF_CACHE.move_to_end(key)
+            return _RF_CACHE[key]
+    rf = estimate_rescore_factor(
+        rescore, codebooks, rotation=rotation, k=k, vec_col=vec_col
+    )
+    with _RF_LOCK:
+        _RF_CACHE[key] = rf
+        _RF_CACHE.move_to_end(key)
+        while len(_RF_CACHE) > _RF_CACHE_MAX:
+            _RF_CACHE.popitem(last=False)
+    return rf
 
 
 def pq_encode(
@@ -755,7 +808,7 @@ def pq_knn_join(
     id_col: str = "vec_id",
     rescore: DataFrame | None = None,
     vec_col: str = "embedding",
-    rescore_factor: int = 4,
+    rescore_factor: int | str = 4,
     local_margin: int = 8,
     rotation: np.ndarray | None = None,
 ) -> DataFrame:
@@ -774,6 +827,9 @@ def pq_knn_join(
     neighbor_id, cos_dist, rn).  Without rescore: (query_id,
     neighbor_id, score, rn) on the raw ADC inner product.
     """
+    rescore_factor = _resolve_rescore_factor(
+        rescore_factor, rescore, codebooks, rotation, k, vec_col
+    )
     m = len(codebooks)
     sub = codebooks[0].shape[1]
     q_rows = queries.select(query_id, query_vec).collect()
@@ -1066,7 +1122,7 @@ def ivfpq_search(
     id_col: str = "vec_id",
     rescore: DataFrame | None = None,
     vec_col: str = "embedding",
-    rescore_factor: int = 4,
+    rescore_factor: int | str = 4,
     rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ probe: rank centroids by cosine distance to the query
@@ -1110,7 +1166,7 @@ def pq_search(
     id_col: str = "vec_id",
     rescore: DataFrame | None = None,
     vec_col: str = "embedding",
-    rescore_factor: int = 4,
+    rescore_factor: int | str = 4,
     rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Top-k by ADC over the byte codes: (id, score) with score =
@@ -1124,7 +1180,14 @@ def pq_search(
     one the codes were encoded with (:func:`train_opq`): the query
     rotates into the same frame, and because R is orthogonal the LUT
     sums still approximate ORIGINAL-space cosines — rescore stays on
-    the raw vectors untouched."""
+    the raw vectors untouched.  ``rescore_factor="auto"`` sizes the
+    fetch from the measured margin hardness of the rescore corpus
+    (:func:`estimate_rescore_factor`, memoized per corpus+model) —
+    the round-8 answer to fixed factors silently under-fetching on
+    hard corpora."""
+    rescore_factor = _resolve_rescore_factor(
+        rescore_factor, rescore, codebooks, rotation, k, vec_col
+    )
     m = len(codebooks)
     q = np.asarray(query, dtype=np.float32)
     q = q / max(float(np.linalg.norm(q)), 1e-12)

@@ -670,7 +670,33 @@ def test_estimate_rescore_factor_tracks_margin_hardness(spark):
     rf_hard = pq.estimate_rescore_factor(
         hard, books_h, k=10, sample_corpus=1500, n_queries=16
     )
-    assert 1 <= rf_easy <= pq.estimate_rescore_factor.__defaults__[5]  # max clamp
+    assert 1 <= rf_easy <= 64  # within the documented max_factor clamp
     assert rf_hard > rf_easy, (rf_easy, rf_hard)
     # the hard corpus needs a materially bigger fetch
     assert rf_hard >= 4, rf_hard
+
+    # rescore_factor="auto" at the operator API resolves through the
+    # same probe, memoized per (corpus plan, model, k): poisoning the
+    # cached value steers the second call, proving no re-probe ran
+    pq._RF_CACHE.clear()
+    books_h2 = books_h
+    codes_h = pq.pq_encode(hard, books_h2, id_col="vec_id").persist()
+    q = [float(v) for v in hard_rows[7][1]]
+    out = pq.pq_search(
+        codes_h, q, books_h2, k=10, rescore=hard, rescore_factor="auto"
+    ).collect()
+    assert len(out) == 10 and len(pq._RF_CACHE) == 1
+    key = next(iter(pq._RF_CACHE))
+    assert pq._RF_CACHE[key] == pq.estimate_rescore_factor(
+        hard, books_h2, k=10
+    )
+    pq._RF_CACHE[key] = 1  # poison: second call must hit the cache
+    pq.pq_search(
+        codes_h, q, books_h2, k=10, rescore=hard, rescore_factor="auto"
+    ).collect()
+    assert pq._RF_CACHE[key] == 1 and len(pq._RF_CACHE) == 1
+    pq._RF_CACHE.clear()
+    codes_h.unpersist()
+    # auto without rescore is a loud error, not a silent default
+    with pytest.raises(ValueError, match="auto"):
+        pq.pq_search(codes_h, q, books_h2, k=10, rescore_factor="auto")
