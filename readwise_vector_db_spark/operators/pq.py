@@ -674,26 +674,18 @@ def coarse_distortion(
     return float(np.mean(1.0 - (x @ c.T).max(axis=1)))
 
 
-def coarse_distortion_by(
+def grouped_distortion_frame(
     vecs: DataFrame,
     centroids: list[tuple[int, list[float]]],
     group_col: str,
     vec_col: str = "embedding",
-    max_groups: int = 10_000,
-) -> dict:
-    """Per-group :func:`coarse_distortion` — mean cosine distance to the
-    nearest coarse centroid, grouped by ``group_col`` (a source / ingest
-    label).  The aggregate statistic dilutes a drifted NEEDLE inside a
-    mostly in-distribution batch below detection; grouping makes the
-    signal sharp at the granularity drift actually happens (per SOURCE —
-    the round-7 staleness study showed damage is per-source, not
-    per-volume).
-
-    Shape: ONE vectorized map pass over the increment (centroid matrix
-    rides in the closure — k·d floats, broadcast-sized) + one tiny
-    shuffle of (group, partial sums).  Output is n_groups rows, guarded
-    by ``max_groups`` so a high-cardinality grouping column fails loudly
-    instead of collecting unbounded rows."""
+) -> DataFrame:
+    """(``_g``, ``_d``) DataFrame of per-group mean cosine distance to
+    the nearest coarse centroid — the distributed plan behind
+    :func:`coarse_distortion_by` (which collects it) and the
+    ``drift_by_source`` oracle query (which returns it).  ONE vectorized
+    map pass (centroid matrix rides in the closure — k·d floats,
+    broadcast-sized) + one tiny shuffle of (group, partial sums)."""
     c = np.asarray([vec for _, vec in centroids], dtype=np.float64)
     c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
 
@@ -713,7 +705,7 @@ def coarse_distortion_by(
             d = 1.0 - (x @ c.T).max(axis=1)
             yield pd.DataFrame({"_g": pdf["_g"].values, "_cd": d})
 
-    agg = (
+    return (
         vecs.select(
             F.col(group_col).alias("_g"),
             F.col(vec_col).cast("array<float>").alias("_v"),
@@ -723,6 +715,27 @@ def coarse_distortion_by(
         .groupBy("_g")
         .agg(F.avg("_cd").alias("_d"))
     )
+
+
+def coarse_distortion_by(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    group_col: str,
+    vec_col: str = "embedding",
+    max_groups: int = 10_000,
+) -> dict:
+    """Per-group :func:`coarse_distortion` — mean cosine distance to the
+    nearest coarse centroid, grouped by ``group_col`` (a source / ingest
+    label).  The aggregate statistic dilutes a drifted NEEDLE inside a
+    mostly in-distribution batch below detection; grouping makes the
+    signal sharp at the granularity drift actually happens (per SOURCE —
+    the round-7 staleness study showed damage is per-source, not
+    per-volume).
+
+    Output is n_groups rows, guarded by ``max_groups`` so a
+    high-cardinality grouping column fails loudly instead of collecting
+    unbounded rows."""
+    agg = grouped_distortion_frame(vecs, centroids, group_col, vec_col=vec_col)
     rows = agg.limit(max_groups + 1).collect()
     if len(rows) > max_groups:
         raise ValueError(

@@ -366,6 +366,62 @@ def pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_pq_rows(spark, sf_dir, codes, books)
 
 
+# Grouped coarse-quantizer distortion — the round-8 drift statistic as
+# a VALUE-CHECKED query.  The "frozen quantizer" is the first four
+# embeddings (index metadata both engines read identically from the
+# same parquet); groups are a synthetic source label (vec_id % 4).
+# The oracle recomputes the same statistic in SQL: per row the MIN over
+# centroids of (1 - dot/(‖x‖·‖c‖)), averaged per group — mathematically
+# identical to the operator's normalize-then-max-dot, with the float
+# ordering noise (~1e-13) absorbed by the 6 dp round both sides apply.
+_DRIFT_SQL = """
+    WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS cn
+        FROM embeddings WHERE vec_id < 4 AND embedding IS NOT NULL
+    ),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS en
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    per_row AS (
+        SELECT e.vec_id % 4 AS grp,
+               MIN(1 - list_dot_product(e.ev, c.cv) / (e.en * c.cn)) AS mind
+        FROM e CROSS JOIN c
+        GROUP BY e.vec_id
+    )
+    SELECT grp, ROUND(AVG(mind), 6) AS distortion
+    FROM per_row GROUP BY grp ORDER BY grp
+    """
+
+
+@register_extra("drift_by_source", _DRIFT_SQL)
+def drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source coarse-quantizer drift statistic
+    (``grouped_distortion_frame`` — the distributed plan behind
+    ``append_to_ivfpq_index(source_col=)``'s round-8 gate): mean cosine
+    distance from each group's vectors to their nearest frozen
+    centroid.  One vectorized map pass + one (group, partial-sums)
+    shuffle — the whole answer is n_groups rows, which is why the gate
+    can afford to run it on every append."""
+    from readwise_vector_db_spark.operators import pq
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embs.filter(
+            (F.col("vec_id") < 4) & F.col("embedding").isNotNull()
+        ).select("vec_id", "embedding").collect()
+    ]
+    grouped = embs.withColumn("grp", (F.col("vec_id") % 4).cast("long"))
+    out = pq.grouped_distortion_frame(grouped, cents, "grp")
+    return out.select(
+        F.col("_g").alias("grp"),
+        F.round(F.col("_d"), 6).alias("distortion"),
+    ).orderBy("grp")
+
+
 @register_extra("opq_planted", _PQ_PLANTED_SQL)
 def opq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ end-to-end under the exact planted oracle (round 8): learn
