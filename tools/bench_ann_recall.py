@@ -296,6 +296,40 @@ def run_opq(n: int, d: int, n_centers: int, sigma: float) -> None:
             )
         codes.unpersist()
 
+    # --- composed: IVF-PQ with the OPQ rotation + auto rf ---------------
+    # The serving-shaped config: coarse cells prune the scan (original
+    # space — rotation never touches the layout), rotated ADC shortlists
+    # inside the probed cells, margin-sized rescore.  This is the row a
+    # real deployment runs.
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    n_cells = max(32, int(2 * n ** 0.5))
+    rot, obooks = models["opq"]
+    _, cents = sim.build_ivf_index(
+        embs, n_clusters=n_cells, fit_sample_rows=min(n, 8000)
+    )
+    icodes = pq.ivfpq_encode(embs, cents, obooks, rotation=rot).persist()
+    icodes.count()
+    for nprobe in (8, 16):
+        recalls = []
+        for qi in range(n_q):
+            got = {
+                int(r["vec_id"])
+                for r in pq.ivfpq_search(
+                    icodes, cents, obooks, [float(v) for v in q[qi]],
+                    k=10, nprobe=nprobe, rescore=embs,
+                    rescore_factor="auto", rotation=rot,
+                ).collect()
+            }
+            recalls.append(recall(got, truth[qi]))
+        emit(
+            config=f"ivfpq_opq_np{nprobe}_rfauto",
+            nprobe=nprobe, n_cells=n_cells,
+            recall_at_10=round(float(np.mean(recalls)), 3),
+            recall_min=round(float(np.min(recalls)), 3),
+        )
+    icodes.unpersist()
+
 
 def run_drift(n: int, d: int, n_centers: int, sigma: float) -> None:
     """Staleness: frozen IVF-PQ model vs increments from a SHIFTED
