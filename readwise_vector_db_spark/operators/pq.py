@@ -377,9 +377,33 @@ def estimate_rescore_factor(
 # driver gemms), so identical (corpus, model, k) calls reuse the sized
 # factor.  Keyed on the corpus PLAN hash + model bytes — a retrained
 # codebook or different corpus re-probes.
-_RF_CACHE: "OrderedDict[tuple, int]" = OrderedDict()
+_RF_CACHE: "OrderedDict[tuple, tuple[float, int]]" = OrderedDict()
 _RF_CACHE_MAX = 16
+# semanticHash is a PLAN hash — it cannot see the data at the same path
+# growing under appends, so entries EXPIRE: a grown corpus re-probes
+# within the TTL instead of under-fetching forever (the failure this
+# feature exists to prevent).  0 disables caching entirely.
+_RF_TTL_SEC = 600.0
 _RF_LOCK = threading.Lock()
+
+
+def _model_fingerprint(codebooks: list[np.ndarray], rotation) -> str:
+    """Cheap content fingerprint of a PQ model: shapes + a strided
+    byte sample of each array (≤16 KB hashed total) — retrained models
+    differ everywhere, so sampling is collision-safe in practice, and
+    the serving hot path never copies/digests the full 36 MB rotation
+    per request."""
+    import hashlib
+
+    h = hashlib.md5()
+    for a in list(codebooks) + ([rotation] if rotation is not None else []):
+        a = np.ascontiguousarray(a, dtype=np.float32)
+        raw = a.view(np.uint8).ravel()
+        step = max(1, raw.size // 4096)
+        h.update(str(a.shape).encode())
+        h.update(raw[::step].tobytes())
+        h.update(raw[-64:].tobytes())
+    return h.hexdigest()
 
 
 def _resolve_rescore_factor(
@@ -391,8 +415,9 @@ def _resolve_rescore_factor(
     vec_col: str,
 ) -> int:
     """``rescore_factor="auto"`` → :func:`estimate_rescore_factor` over
-    the rescore corpus, memoized per (corpus plan, model, k).  The
-    explicit-int path is untouched."""
+    the rescore corpus, memoized per (corpus plan, model, k) with a TTL
+    (plan hashes don't see same-path data growth — see _RF_TTL_SEC).
+    The explicit-int path is untouched."""
     if rescore_factor != "auto":
         return int(rescore_factor)
     if rescore is None:
@@ -401,23 +426,20 @@ def _resolve_rescore_factor(
             "corpus — pass rescore= (or call estimate_rescore_factor "
             "yourself and pass the int)"
         )
-    import hashlib
+    import time as _time
 
-    h = hashlib.md5()
-    for b in codebooks:
-        h.update(np.ascontiguousarray(b, dtype=np.float32).tobytes())
-    if rotation is not None:
-        h.update(np.ascontiguousarray(rotation, dtype=np.float32).tobytes())
-    key = (rescore.semanticHash(), h.hexdigest(), k, vec_col)
+    key = (rescore.semanticHash(), _model_fingerprint(codebooks, rotation), k, vec_col)
+    now = _time.monotonic()
     with _RF_LOCK:
-        if key in _RF_CACHE:
+        hit = _RF_CACHE.get(key)
+        if hit is not None and now - hit[0] < _RF_TTL_SEC:
             _RF_CACHE.move_to_end(key)
-            return _RF_CACHE[key]
+            return hit[1]
     rf = estimate_rescore_factor(
         rescore, codebooks, rotation=rotation, k=k, vec_col=vec_col
     )
     with _RF_LOCK:
-        _RF_CACHE[key] = rf
+        _RF_CACHE[key] = (now, rf)
         _RF_CACHE.move_to_end(key)
         while len(_RF_CACHE) > _RF_CACHE_MAX:
             _RF_CACHE.popitem(last=False)
@@ -843,6 +865,13 @@ def pq_knn_join(
     rescore_factor = _resolve_rescore_factor(
         rescore_factor, rescore, codebooks, rotation, k, vec_col
     )
+    # drain frames persisted by the PREVIOUS detector/join call (the
+    # shared registry's entry-drain discipline, same as every dedup
+    # detector) — without this, a process issuing only knn-joins would
+    # still accumulate one InMemoryRelation per rescored call
+    from readwise_vector_db_spark.operators.dedup import release_detector_cache
+
+    release_detector_cache()
     m = len(codebooks)
     sub = codebooks[0].shape[1]
     q_rows = queries.select(query_id, query_vec).collect()

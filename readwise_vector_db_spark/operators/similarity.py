@@ -33,18 +33,26 @@ SCORE_DECIMALS = 6
 # (corpus plan semantic hash, rendered predicate): the metadata-only
 # approx_count_distinct scan runs once per distinct (corpus, filter),
 # not once per request.  LRU-evicted (move_to_end on hit) so a burst of
-# distinct filters can't flush the hot entries.
-_EST_MATCHES_CACHE: OrderedDict[tuple[int, str], int] = OrderedDict()
+# distinct filters can't flush the hot entries.  Entries EXPIRE after
+# _EST_MATCHES_TTL_SEC: a plan hash cannot see the data at the same
+# path growing/shrinking, and a stale count silently flips the
+# exact-vs-index routing decision — the TTL bounds that window.
+_EST_MATCHES_CACHE: OrderedDict[tuple[int, str], tuple[float, int]] = OrderedDict()
 _EST_MATCHES_LOCK = threading.Lock()
 _EST_MATCHES_MAX = 64
+_EST_MATCHES_TTL_SEC = 600.0
 
 
 def _cached_match_estimate(assigned: DataFrame, pred, id_col: str) -> int:
+    import time as _time
+
     key = (assigned.semanticHash(), str(pred))
+    now = _time.monotonic()
     with _EST_MATCHES_LOCK:
-        if key in _EST_MATCHES_CACHE:
+        hit = _EST_MATCHES_CACHE.get(key)
+        if hit is not None and now - hit[0] < _EST_MATCHES_TTL_SEC:
             _EST_MATCHES_CACHE.move_to_end(key)
-            return _EST_MATCHES_CACHE[key]
+            return hit[1]
     # approx distinct ids: multi-assigned copies don't inflate the
     # estimate, and the partial aggregate never shuffles data; reads
     # ONLY the filter/id columns (column pruning drops the vectors)
@@ -54,7 +62,7 @@ def _cached_match_estimate(assigned: DataFrame, pred, id_col: str) -> int:
         .first()["m"]
     )
     with _EST_MATCHES_LOCK:
-        _EST_MATCHES_CACHE[key] = matches
+        _EST_MATCHES_CACHE[key] = (now, matches)
         _EST_MATCHES_CACHE.move_to_end(key)
         while len(_EST_MATCHES_CACHE) > _EST_MATCHES_MAX:
             _EST_MATCHES_CACHE.popitem(last=False)

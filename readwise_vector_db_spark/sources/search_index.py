@@ -588,9 +588,13 @@ class _LocalIvfScorer:
         # its predicate as a vectorized mask in-process at ANY
         # selectivity — no id-set cap, no Spark statement per filter.
         self.meta = meta or {}
-        # (cluster, canonical filter key) -> bool mask, LRU
+        # (cluster, canonical filter key) -> bool mask, LRU.  The scorer
+        # is SHARED across serving threads (ThreadingHTTPServer), so the
+        # cache mutates only under its lock — an unguarded move_to_end
+        # can KeyError against a concurrent eviction
         self._mask_cache: "OrderedDict[tuple, object]" = OrderedDict()
         self._mask_cache_max = 256
+        self._mask_lock = threading.Lock()
 
     def supports_params(self, params) -> bool:
         """True iff the metadata filters in ``params`` are evaluable
@@ -604,10 +608,11 @@ class _LocalIvfScorer:
 
     def _cell_mask(self, cell: int, params, key):
         ck = (cell, key)
-        hit = self._mask_cache.get(ck)
-        if hit is not None:
-            self._mask_cache.move_to_end(ck)
-            return hit
+        with self._mask_lock:
+            hit = self._mask_cache.get(ck)
+            if hit is not None:
+                self._mask_cache.move_to_end(ck)
+                return hit
         import numpy as np
 
         cm = self.meta[cell]
@@ -624,10 +629,11 @@ class _LocalIvfScorer:
                 bool,
                 n,
             )
-        self._mask_cache[ck] = m
-        self._mask_cache.move_to_end(ck)
-        while len(self._mask_cache) > self._mask_cache_max:
-            self._mask_cache.popitem(last=False)
+        with self._mask_lock:
+            self._mask_cache[ck] = m
+            self._mask_cache.move_to_end(ck)
+            while len(self._mask_cache) > self._mask_cache_max:
+                self._mask_cache.popitem(last=False)
         return m
 
     def probe_ids(self, query_vec, nprobe: int) -> list[int]:

@@ -687,16 +687,49 @@ def test_estimate_rescore_factor_tracks_margin_hardness(spark):
     ).collect()
     assert len(out) == 10 and len(pq._RF_CACHE) == 1
     key = next(iter(pq._RF_CACHE))
-    assert pq._RF_CACHE[key] == pq.estimate_rescore_factor(
+    assert pq._RF_CACHE[key][1] == pq.estimate_rescore_factor(
         hard, books_h2, k=10
     )
-    pq._RF_CACHE[key] = 1  # poison: second call must hit the cache
+    import time as _time
+
+    pq._RF_CACHE[key] = (_time.monotonic(), 1)  # poison: must hit cache
     pq.pq_search(
         codes_h, q, books_h2, k=10, rescore=hard, rescore_factor="auto"
     ).collect()
-    assert pq._RF_CACHE[key] == 1 and len(pq._RF_CACHE) == 1
+    assert pq._RF_CACHE[key][1] == 1 and len(pq._RF_CACHE) == 1
+    # TTL: an EXPIRED entry re-probes (plan hashes can't see same-path
+    # growth, so staleness is bounded by the TTL, not forever)
+    pq._RF_CACHE[key] = (_time.monotonic() - 2 * pq._RF_TTL_SEC, 1)
+    pq.pq_search(
+        codes_h, q, books_h2, k=10, rescore=hard, rescore_factor="auto"
+    ).collect()
+    assert pq._RF_CACHE[key][1] != 1  # fresh probe overwrote the poison
     pq._RF_CACHE.clear()
     codes_h.unpersist()
     # auto without rescore is a loud error, not a silent default
     with pytest.raises(ValueError, match="auto"):
         pq.pq_search(codes_h, q, books_h2, k=10, rescore_factor="auto")
+
+
+def test_pq_knn_join_drains_previous_call(spark, embs, books):
+    """Review finding (r8): consecutive rescored knn-joins must not
+    accumulate one InMemoryRelation each — the entry drain keeps the
+    registry at a single live shortlist."""
+    from readwise_vector_db_spark.operators import dedup as dd
+
+    dd.release_detector_cache()
+    codes = pq.pq_encode(embs, books, id_col="vec_id")
+    queries = (
+        embs.filter(F.col("vec_id") < 2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
+    )
+    for _ in range(3):
+        out = pq.pq_knn_join(
+            codes, queries, books, k=3, id_col="vec_id", rescore=embs
+        )
+        assert out.count() > 0
+        assert len(dd._CACHED_FRAMES) == 1  # only THIS call's shortlist
+    dd.release_detector_cache()

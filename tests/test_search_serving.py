@@ -394,3 +394,30 @@ def test_mask_path_serves_above_id_cap_and_cache_is_lru(spark, warm, monkeypatch
     assert hot in si._FILTER_IDS_CACHE
     assert ("fp", ("burst0",)) not in si._FILTER_IDS_CACHE
     si._FILTER_IDS_CACHE.clear()
+
+
+def test_mask_cache_thread_safe_under_eviction(spark, warm):
+    """Review finding (r8): the scorer is shared across serving threads;
+    with the cache cap forced tiny so every insert evicts, concurrent
+    distinct filters must never race move_to_end into a KeyError."""
+    import concurrent.futures
+
+    meta, vecs, qv = warm
+    scorer = si.local_ivf_scorer(spark, SF_SMOKE)
+    assert scorer is not None and scorer.meta
+    old_max = scorer._mask_cache_max
+    scorer._mask_cache_max = 2
+    try:
+        def hammer(uid: int) -> int:
+            n = 0
+            for i in range(200):
+                p = SearchParams(k=5, tags=["the", f"nonce-{uid}-{i % 7}"])
+                n += len(scorer.topk(qv, 5, 4, params=p) or [])
+            return n
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(hammer, range(8)))
+        assert all(r >= 0 for r in results)  # no exceptions surfaced
+        assert len(scorer._mask_cache) <= 2
+    finally:
+        scorer._mask_cache_max = old_max
+        scorer._mask_cache.clear()

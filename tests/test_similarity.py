@@ -333,15 +333,27 @@ def test_ivf_routing_estimate_is_cached(spark):
     )
     assert routed.count() == 4  # exact-scan route (4 matches << 40)
     assert len(sim._EST_MATCHES_CACHE) == 1
+    import time as _time
+
     key = next(iter(sim._EST_MATCHES_CACHE))
-    sim._EST_MATCHES_CACHE[key] = 10_000  # poison: "plenty of matches"
+    # poison: "plenty of matches"
+    sim._EST_MATCHES_CACHE[key] = (_time.monotonic(), 10_000)
     second = sim.ivf_search(
         assigned, cents, q, k=5, nprobe=1, pred=rare, route_filtered=True
     )
     # index path starves at nprobe=1 → the poisoned estimate was used,
     # i.e. the second call ran no estimate job of its own
     assert second.count() < 4
-    assert sim._EST_MATCHES_CACHE[key] == 10_000
+    assert sim._EST_MATCHES_CACHE[key][1] == 10_000
+    # TTL: an expired entry re-probes instead of trusting a stale count
+    sim._EST_MATCHES_CACHE[key] = (
+        _time.monotonic() - 2 * sim._EST_MATCHES_TTL_SEC, 10_000,
+    )
+    third = sim.ivf_search(
+        assigned, cents, q, k=5, nprobe=1, pred=rare, route_filtered=True
+    )
+    assert third.count() == 4  # fresh estimate routed to the exact scan
+    assert sim._EST_MATCHES_CACHE[key][1] != 10_000
     sim._EST_MATCHES_CACHE.clear()
     assigned.unpersist()
 
