@@ -1462,3 +1462,87 @@ def semantic_dedup(
     else:
         losers = losers.select(F.col("id").alias(id_col))
     return embs.join(losers, id_col, "left_anti")
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated n-token spans — the exact-substring dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ACL 2022), at fixed window granularity instead of
+    suffix arrays (which don't distribute).  Document-level detectors
+    (exact / minhash / simhash above) miss boilerplate REGIONS inside
+    otherwise-unique documents — license headers, navigation chrome,
+    templated intros — which is exactly the content LM training wants
+    cut at span granularity.
+
+    Returns (id, pos, ngram, n_occurrences): every 0-based token
+    position whose n-token window occurs ``min_repeats``+ times anywhere
+    in the corpus (across documents or within one).  Callers mask or cut
+    the spans; the windows themselves are whitespace tokens joined by a
+    single space (ws_tokens — the repo's tokenization contract).
+
+    Scale shape — window STRINGS never shuffle corpus-wide:
+
+    1. one map pass derives (id, pos, xxhash64(window));
+    2. the hot-hash aggregate shuffles 8-byte hashes with map-side
+       partial counts — the only corpus-sized exchange;
+    3. candidate positions (ints) semi-join the hot hashes;
+    4. candidate documents re-derive ONLY their candidate windows
+       (token arrays co-join once per doc) and the final aggregate
+       groups the candidate STRINGS — a hash collision dies at the
+       exact string count, and the shuffle is bounded by the
+       repeated-content volume, i.e. the result itself.
+    """
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= n)
+    )
+    wins = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(n) + 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            )
+        ).alias("pos", "ngram"),
+    )
+    hashed = wins.select("id", "pos", F.xxhash64("ngram").alias("h"))
+    hot = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_repeats)
+    )
+    cand_pos = hashed.join(hot.select("h"), "h", "left_semi")
+    per_doc = cand_pos.groupBy("id").agg(F.collect_list("pos").alias("_ps"))
+    spans = (
+        base.join(per_doc, "id")
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    "_ps",
+                    lambda p: F.struct(
+                        p.cast("int").alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice("toks", p + F.lit(1), n)
+                        ).alias("ngram"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("id", F.col("s.pos").alias("pos"), F.col("s.ngram").alias("ngram"))
+    )
+    exact = (
+        spans.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_repeats)
+    )
+    return spans.join(exact, "ngram").select(
+        F.col("id").alias(id_col), "pos", "ngram", "n_occurrences"
+    )

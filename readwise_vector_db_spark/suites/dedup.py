@@ -370,3 +370,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash → 60-bit fingerprints, oracle-checked end-to-end)."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dd.simhash_pairs(docs, max_hamming=3, base_hash="md5")
+
+
+# Span-level repeated-substring detection (round 8): windows are the
+# same ws_tokens whitespace split both engines already share; positions
+# are 0-based token offsets.  DuckDB derives windows via the list form
+# of generate_series (the lateral table form can't reference columns in
+# v1.0) and 1-based inclusive list slicing.
+_REPEATED_SPANS_SQL = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(toks) - 8 + 1)) - 1 AS pos,
+               toks
+        FROM t WHERE len(toks) >= 8
+    ),
+    w2 AS (
+        SELECT doc_id, CAST(pos AS INT) AS pos,
+               array_to_string(toks[pos + 1 : pos + 8], ' ') AS ngram
+        FROM w
+    ),
+    c AS (
+        SELECT ngram, COUNT(*) AS n_occurrences
+        FROM w2 GROUP BY ngram HAVING COUNT(*) >= 2
+    )
+    SELECT w2.doc_id, w2.pos, w2.ngram, c.n_occurrences
+    FROM w2 JOIN c USING (ngram)
+    """
+
+
+@register_extra("dedup_repeated_spans", _REPEATED_SPANS_SQL)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated 8-token spans (Lee et al.'s exact-substring
+    dedup signal at window granularity) — every token position whose
+    window text occurs twice+ anywhere in the corpus.  The fixture's
+    planted near-duplicates repeat whole regions, so the result is
+    non-trivial (~2 100 span rows at sf0.01) and the oracle recomputes
+    the identical windows in SQL.  Scale shape documented on the
+    operator: strings never shuffle corpus-wide; the one corpus-sized
+    exchange ships 8-byte hashes."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return dd.repeated_ngram_spans(docs, n=8, min_repeats=2)

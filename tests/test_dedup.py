@@ -261,3 +261,33 @@ def test_lsh_embedding_near_dup_recall(spark):
     assert approx <= exact  # exact verification ⇒ no false positives
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.85, f"near-dup recall {recall:.2f} below target"
+
+
+def test_repeated_ngram_spans_planted_boilerplate(spark):
+    """Span-level detection: a boilerplate sentence shared by two
+    otherwise-unique documents is flagged at the right positions; a
+    within-doc repeat counts toward min_repeats; unique text is not
+    flagged; documents shorter than n produce nothing."""
+    from readwise_vector_db_spark.operators.dedup import repeated_ngram_spans
+
+    boiler = "all rights reserved contact the site administrator now"  # 8 toks
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta eta theta {boiler}"),
+        (2, f"{boiler} one two three four five six seven eight"),
+        (3, "totally unique words nine ten eleven twelve thirteen fourteen"),
+        (4, f"{boiler} {boiler}"),  # within-doc repeat
+        (5, "short doc"),           # < n tokens
+        (6, None),                  # null text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_ngram_spans(docs, n=8, min_repeats=2).collect()
+    hits = {(r["doc_id"], r["pos"]): (r["ngram"], r["n_occurrences"]) for r in out}
+    # the exact boilerplate window appears at: doc1 pos8, doc2 pos0,
+    # doc4 pos0 and pos8 — 4 occurrences each
+    for key in ((1, 8), (2, 0), (4, 0), (4, 8)):
+        assert key in hits, (key, sorted(hits))
+        assert hits[key][0] == boiler and hits[key][1] == 4
+    # doc4's straddling windows (positions 1..7 span the two copies) are
+    # unique; doc3's text never repeats; docs 5/6 contribute nothing
+    assert all(d != 3 and d != 5 and d != 6 for d, _ in hits)
+    assert set(hits) == {(1, 8), (2, 0), (4, 0), (4, 8)}
