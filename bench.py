@@ -86,6 +86,8 @@ HEADLINE = [
     "dedup_lsh_embedding",
     "dedup_semantic_probe",
     "dedup_clusters",
+    "dedup_repeated_spans",  # round-8 span-level substring signal
+    "drift_by_source",       # round-8 grouped drift statistic
     "decontaminate",
     "pii_redact",
     "boilerplate_removal",
@@ -167,6 +169,8 @@ def _setup_and_measure(run_idx: int) -> dict:
             "ivfpq_probe",
             "hybrid_search_rrf",
             "lm_quality",
+            "dedup_repeated_spans",
+            "drift_by_source",
         )
     ]
     assert not off_surface, f"bench names not on the driver surface: {off_surface}"

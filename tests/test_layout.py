@@ -100,7 +100,13 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
         L.pruned_fraction(sr, "x", 4000, 4500),
         L.pruned_fraction(sr, "y", 4000, 4500),
     )
-    assert sx > 0.9  # the sorted column prunes ~perfectly
+    # the sorted column prunes ~perfectly.  Threshold is quantized by
+    # rowgroup count: the range sampler's boundaries (seeded by session
+    # history via rdd.id) can land one extra straddling rowgroup on the
+    # query box, which at ~20 groups steps the fraction by 0.05 — the
+    # old `> 0.9` flaked at exactly 0.9 once in several full-suite runs
+    assert sx >= 0.85
+
     assert sy == 0.0  # the other column prunes nothing
     assert zx > 0.5 and zy > 0.5  # z-order prunes BOTH
 
