@@ -1546,3 +1546,65 @@ def repeated_ngram_spans(
     return spans.join(exact, "ngram").select(
         F.col("id").alias(id_col), "pos", "ngram", "n_occurrences"
     )
+
+
+def drop_repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """The actionable half of :func:`repeated_ngram_spans` — Lee et
+    al.'s cut rule: every occurrence of a repeated n-token window is
+    REMOVED except the globally first one (min (id, pos) per window),
+    at token granularity.  Returns (id, clean_text, n_tokens_removed)
+    for every non-null-text document; documents without repeated
+    content pass through with their tokens rejoined by single spaces
+    (the corpus's ws_tokens contract — byte-identical for
+    single-spaced text).
+
+    Granularity honesty: masking is per TOKEN INDEX — a token covered
+    by a cut window is removed even if a kept (first-occurrence) window
+    also spans it, exactly like char-span cutting in the published
+    pipeline; both engines apply the same rule, so the oracle pins it.
+
+    Scale shape: detection is :func:`repeated_ngram_spans` (strings
+    never shuffle corpus-wide); the keep/cut rank and the token-index
+    union then operate on the REPEATED subset only (the result-sized
+    frames), and the rebuild is one co-join of cut docs with their
+    token arrays — untouched documents never shuffle their text."""
+    from pyspark.sql import Window as W
+
+    spans = repeated_ngram_spans(
+        docs, id_col=id_col, text_col=text_col, n=n, min_repeats=min_repeats
+    )
+    w = W.partitionBy("ngram").orderBy(F.col(id_col), F.col("pos"))
+    cut = spans.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1)
+    cov = (
+        cut.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("i"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("i").alias("_cov"))
+    )
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("toks"))
+    )
+    joined = base.join(cov, "id", "left").withColumn(
+        "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    )
+    kept_idx = F.array_sort(
+        F.array_except(
+            F.sequence(F.lit(0), F.size("toks") - F.lit(1)), F.col("_cov")
+        )
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(
+            " ", F.transform(kept_idx, lambda i: F.element_at("toks", i + F.lit(1)))
+        ).alias("clean_text"),
+        F.size("_cov").cast("int").alias("n_tokens_removed"),
+    )

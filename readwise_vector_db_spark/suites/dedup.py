@@ -414,3 +414,51 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange ships 8-byte hashes."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return dd.repeated_ngram_spans(docs, n=8, min_repeats=2)
+
+
+_SPAN_CLEAN_SQL = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks) - 8 + 1)) - 1 AS pos, toks
+        FROM t WHERE len(toks) >= 8
+    ),
+    w2 AS (
+        SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 8], ' ') AS ngram
+        FROM w
+    ),
+    c AS (SELECT ngram FROM w2 GROUP BY ngram HAVING COUNT(*) >= 2),
+    r AS (
+        SELECT w2.doc_id, w2.pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY w2.ngram ORDER BY w2.doc_id, w2.pos) AS rn
+        FROM w2 JOIN c USING (ngram)
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, i FROM (
+            SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS i
+            FROM r WHERE rn > 1)
+    ),
+    covl AS (SELECT doc_id, list(i) AS cv FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(generate_series(0, len(t.toks) - 1),
+                           i -> NOT coalesce(list_contains(c.cv, i), FALSE)),
+               i -> t.toks[i + 1]), ' '), '') AS clean_text,
+           CAST(coalesce(len(c.cv), 0) AS INT) AS n_tokens_removed
+    FROM t LEFT JOIN covl c USING (doc_id)
+    """
+
+
+@register_extra("dedup_span_clean", _SPAN_CLEAN_SQL)
+def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of span-level dedup (Lee et al.'s rule): every
+    occurrence of a repeated 8-token window removed except the globally
+    first, applied at token granularity — the full clean_text of every
+    document is value-hash-checked against a DuckDB twin of the whole
+    detect → rank → mask → rebuild pipeline."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return dd.drop_repeated_spans(docs, n=8, min_repeats=2)

@@ -291,3 +291,28 @@ def test_repeated_ngram_spans_planted_boilerplate(spark):
     # unique; doc3's text never repeats; docs 5/6 contribute nothing
     assert all(d != 3 and d != 5 and d != 6 for d, _ in hits)
     assert set(hits) == {(1, 8), (2, 0), (4, 0), (4, 8)}
+
+
+def test_drop_repeated_spans_keeps_first_occurrence(spark):
+    """The cut rule: all occurrences of a repeated window are removed
+    except the globally first (min (id, pos)); untouched documents pass
+    through token-rejoined; counts report removed tokens."""
+    from readwise_vector_db_spark.operators.dedup import drop_repeated_spans
+
+    boiler = "all rights reserved contact the site administrator now"  # 8 toks
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"),
+        (2, f"{boiler} one two three four five six seven eight"),
+        (3, "totally unique words nine ten eleven twelve thirteen"),
+        (4, boiler),  # exactly the window — fully removed (later copy)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in drop_repeated_spans(docs, n=8).collect()}
+    # doc 1 holds the globally-first occurrence: untouched
+    assert out[1]["clean_text"] == rows[0][1] and out[1]["n_tokens_removed"] == 0
+    # docs 2 and 4 lose their copy of the window
+    assert out[2]["clean_text"] == "one two three four five six seven eight"
+    assert out[2]["n_tokens_removed"] == 8
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens_removed"] == 8
+    # unique doc untouched
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_tokens_removed"] == 0
