@@ -500,3 +500,153 @@ def run_incremental_semantic_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def span_dedup_batch_against_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: VersionedTable,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Span-level incremental dedup — the third member of the
+    incremental matrix (exact+MinHash text / SemDeDup embeddings /
+    repeated SPANS): cut every batch occurrence of an n-token window
+    already accepted into the store, and all-but-first of windows
+    repeated within the batch, then append the CLEANED documents'
+    window fingerprints so future batches compare against surviving
+    content.  Returns ``(cleaned_docs, stats)`` — cleaned_docs is
+    (id, clean_text, n_tokens_removed), materialized before return
+    (the commit consumes the same frames).
+
+    Store schema: (h1 BIGINT, h2 INT) — the 96-bit composite window
+    fingerprint (xxhash64 + murmur3, the exact-vector-dedup precedent).
+    Unlike the batch operator (:func:`...dedup.repeated_ngram_spans`),
+    the incremental path matches on fingerprints, not verified strings
+    — the store never holds window text; at ~10¹² corpus windows the
+    96-bit birthday bound keeps expected collisions ≪ 1, and a
+    collision costs one wrongly-cut 8-token span, never a correctness
+    cascade.
+
+    Scale shape (the store must never shuffle):
+
+    - store probe: the batch's DISTINCT fingerprints broadcast; the
+      store scans IN PLACE through a BroadcastHashJoin and emits only
+      hit fingerprints (≤ increment-bounded);
+    - in-batch repeats rank by (id, pos) over the repeated subset;
+    - the token-mask rebuild co-joins ONLY cut documents with their
+      token arrays;
+    - the append ships the cleaned batch's new fingerprints — one
+      O(increment) commit via the VersionedTable CAS.
+    """
+    from readwise_vector_db_spark.functions.text import ws_tokens
+
+    def fps(frame: DataFrame, txt: str) -> DataFrame:
+        """(id, pos, h1, h2) window fingerprints of a text column."""
+        toks = frame.filter(F.col(txt).isNotNull()).select(
+            F.col(id_col).alias("id"), ws_tokens(F.col(txt)).alias("toks")
+        ).filter(F.size("toks") >= n)
+        return toks.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(n) + 1),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                )
+            ).alias("pos", "ngram"),
+        ).select(
+            "id", "pos",
+            F.xxhash64("ngram").alias("h1"), F.hash("ngram").alias("h2"),
+        )
+
+    stats: dict[str, int] = {"batch_raw": batch.count()}
+    wins = fps(batch, text_col).persist()
+
+    cut_parts = []
+    if table.exists():
+        store = table.read(spark)
+        batch_fps = wins.select("h1", "h2").distinct()
+        # store scans in place: broadcast the increment's fingerprints,
+        # emit only the hashes the store already holds
+        store_hits = (
+            store.join(F.broadcast(batch_fps), ["h1", "h2"], "left_semi")
+            .select("h1", "h2")
+            .distinct()
+        )
+        # every batch occurrence of a stored window is cut (the store's
+        # copy IS the kept first occurrence)
+        cut_parts.append(
+            wins.join(F.broadcast(store_hits), ["h1", "h2"]).select("id", "pos")
+        )
+
+    # in-batch repeats: all-but-first (batch-global min (id, pos)) cut
+    from pyspark.sql import Window as W
+
+    batch_hot = (
+        wins.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("h1", "h2")
+    )
+    hot_occ = wins.join(batch_hot, ["h1", "h2"], "left_semi")
+    w = W.partitionBy("h1", "h2").orderBy(F.col("id"), F.col("pos"))
+    cut_parts.append(
+        hot_occ.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("id", "pos")
+    )
+
+    cut = cut_parts[0]
+    for p in cut_parts[1:]:
+        cut = cut.unionByName(p)
+    cov = (
+        cut.select("id", F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("i"))
+        .groupBy("id")
+        .agg(F.collect_set("i").alias("_cov"))
+    )
+    base = batch.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("toks")
+    )
+    joined = base.join(cov, "id", "left").withColumn(
+        "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    )
+    kept_idx = F.array_sort(
+        F.array_except(F.sequence(F.lit(0), F.size("toks") - F.lit(1)), F.col("_cov"))
+    )
+    cleaned = joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(
+            " ", F.transform(kept_idx, lambda i: F.element_at("toks", i + F.lit(1)))
+        ).alias("clean_text"),
+        F.size("_cov").cast("int").alias("n_tokens_removed"),
+    ).persist()
+    stats["docs"] = cleaned.count()
+    stats["tokens_removed"] = int(
+        cleaned.agg(F.sum("n_tokens_removed")).first()[0] or 0
+    )
+
+    # append the CLEANED batch's fingerprints (future batches compare
+    # against surviving content); only hashes the store lacks ship
+    new_fps = fps(cleaned, "clean_text").select("h1", "h2").distinct().persist()
+    if table.exists():
+        store = table.read(spark)
+        present = (
+            store.join(F.broadcast(new_fps), ["h1", "h2"], "left_semi")
+            .select("h1", "h2")
+            .distinct()
+        )
+        to_append = new_fps.join(F.broadcast(present), ["h1", "h2"], "left_anti")
+    else:
+        to_append = new_fps
+    to_append = to_append.persist()
+    stats["fps_appended"] = to_append.count()
+    if stats["fps_appended"] > 0 or not table.exists():
+        table.commit_append(to_append)
+    stats["store_version"] = table.latest_version() or 0
+    to_append.unpersist()
+    new_fps.unpersist()
+    wins.unpersist()
+    return cleaned, stats

@@ -506,3 +506,61 @@ def test_semantic_streaming_face_drains_and_dedups(spark, tmp_path):
     assert {i for i, _ in base} <= ids
     assert {201, 202} <= ids
     assert len(ids) == 10
+
+
+def test_span_dedup_batch_against_store(spark, tmp_path):
+    """Incremental span dedup: windows accepted in earlier batches cut
+    from later ones (the store's copy is the kept first occurrence);
+    in-batch repeats keep the batch-global first; the store accumulates
+    only the CLEANED content's fingerprints."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        span_dedup_batch_against_store,
+    )
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    boiler = "all rights reserved contact the site administrator now"  # 8 toks
+    table = VersionedTable(str(tmp_path / "spanstore"))
+
+    # batch 1: boilerplate appears twice in-batch → one copy survives
+    b1 = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"),
+            (2, f"{boiler} one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    cleaned1, s1 = span_dedup_batch_against_store(spark, b1, table)
+    out1 = {r["doc_id"]: r for r in cleaned1.collect()}
+    assert out1[1]["n_tokens_removed"] == 0  # batch-first occurrence kept
+    assert out1[2]["clean_text"] == "one two three four five six seven eight"
+    assert s1["tokens_removed"] == 8 and s1["store_version"] == 1
+
+    # batch 2: the SAME boilerplate arrives again → cut against the store
+    b2 = spark.createDataFrame(
+        [
+            (10, f"{boiler} totally fresh words nine ten eleven twelve"),
+            (11, "unique content with no repeats at all here today"),
+        ],
+        "doc_id long, text string",
+    )
+    cleaned2, s2 = span_dedup_batch_against_store(spark, b2, table)
+    out2 = {r["doc_id"]: r for r in cleaned2.collect()}
+    assert out2[10]["clean_text"] == "totally fresh words nine ten eleven twelve"
+    assert out2[10]["n_tokens_removed"] == 8
+    assert out2[11]["n_tokens_removed"] == 0
+    assert s2["store_version"] == 2
+
+    # batch 3: content already cleaned in batch 2 re-arrives → cut too
+    # (the store compares against SURVIVING content)
+    b3 = spark.createDataFrame(
+        [(20, "unique content with no repeats at all here today")],
+        "doc_id long, text string",
+    )
+    cleaned3, s3 = span_dedup_batch_against_store(spark, b3, table)
+    # the 9-token doc carries TWO stored windows (pos 0 and 1), whose
+    # union covers all 9 tokens — the whole document is cut
+    assert cleaned3.first()["n_tokens_removed"] == 9
+    assert cleaned3.first()["clean_text"] == ""
+    # a fully-cut doc contributes no new windows → nothing to append,
+    # but the call still reports the (unchanged) store version
+    assert s3["fps_appended"] >= 0 and s3["store_version"] >= 2
