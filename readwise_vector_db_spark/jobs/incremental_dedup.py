@@ -580,9 +580,12 @@ def span_dedup_batch_against_store(
             wins.join(F.broadcast(store_hits), ["h1", "h2"]).select("id", "pos")
         )
 
-    # in-batch repeats: all-but-first (batch-global min (id, pos)) cut
-    from pyspark.sql import Window as W
-
+    # in-batch repeats: all-but-first (batch-global min (id, pos)) cut.
+    # Skew-immune formulation: min(struct(id, pos)) per window — partial
+    # aggregation absorbs a batch-scale hot window map-side — then an
+    # anti-join on the COMPOSITE (h1, h2, id, pos) key, whose hash
+    # spreads the hot window's occurrences across tasks (the earlier
+    # row_number window partitioned by (h1, h2) serialized them).
     batch_hot = (
         wins.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -590,10 +593,15 @@ def span_dedup_batch_against_store(
         .select("h1", "h2")
     )
     hot_occ = wins.join(batch_hot, ["h1", "h2"], "left_semi")
-    w = W.partitionBy("h1", "h2").orderBy(F.col("id"), F.col("pos"))
+    firsts = (
+        hot_occ.groupBy("h1", "h2")
+        .agg(F.min(F.struct(F.col("id"), F.col("pos"))).alias("_f"))
+        .select(
+            "h1", "h2", F.col("_f.id").alias("id"), F.col("_f.pos").alias("pos")
+        )
+    )
     cut_parts.append(
-        hot_occ.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
+        hot_occ.join(firsts, ["h1", "h2", "id", "pos"], "left_anti")
         .select("id", "pos")
     )
 
@@ -649,4 +657,11 @@ def span_dedup_batch_against_store(
     to_append.unpersist()
     new_fps.unpersist()
     wins.unpersist()
+    # cleaned stays persisted for the caller; register it in the shared
+    # drain registry so a long-running per-batch loop doesn't accumulate
+    # one InMemoryRelation per batch — the next detector/batch call
+    # unpersists it after the caller has consumed this batch's result.
+    from readwise_vector_db_spark.operators.dedup import _register_cached
+
+    _register_cached(cleaned)
     return cleaned, stats

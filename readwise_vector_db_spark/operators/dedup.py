@@ -1570,17 +1570,32 @@ def drop_repeated_spans(
     pipeline; both engines apply the same rule, so the oracle pins it.
 
     Scale shape: detection is :func:`repeated_ngram_spans` (strings
-    never shuffle corpus-wide); the keep/cut rank and the token-index
+    never shuffle corpus-wide); the keep/cut rule and the token-index
     union then operate on the REPEATED subset only (the result-sized
     frames), and the rebuild is one co-join of cut docs with their
-    token arrays — untouched documents never shuffle their text."""
-    from pyspark.sql import Window as W
+    token arrays — untouched documents never shuffle their text.
 
+    Skew: the cut rule only needs the MIN (id, pos) per window, so it
+    is a ``groupBy(ngram).agg(min(struct(id, pos)))`` — partial
+    aggregation absorbs a corpus-scale hot window map-side (a
+    boilerplate n-gram occurring 10⁸× never collects in one task) —
+    followed by an anti-join on the COMPOSITE (ngram, id, pos) key,
+    whose hash spreads the hot n-gram's occurrences uniformly.  The
+    earlier ``row_number() over (partitionBy(ngram))`` formulation
+    serialized the hottest window into a single task's sort."""
     spans = repeated_ngram_spans(
         docs, id_col=id_col, text_col=text_col, n=n, min_repeats=min_repeats
     )
-    w = W.partitionBy("ngram").orderBy(F.col(id_col), F.col("pos"))
-    cut = spans.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1)
+    firsts = (
+        spans.groupBy("ngram")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_f"))
+        .select(
+            "ngram",
+            F.col(f"_f.{id_col}").alias(id_col),
+            F.col("_f.pos").alias("pos"),
+        )
+    )
+    cut = spans.join(firsts, ["ngram", id_col, "pos"], "left_anti")
     cov = (
         cut.select(
             F.col(id_col).alias("id"),

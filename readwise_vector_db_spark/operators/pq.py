@@ -861,6 +861,14 @@ def pq_knn_join(
     wherever ADC recalled the true neighbors; output (query_id,
     neighbor_id, cos_dist, rn).  Without rescore: (query_id,
     neighbor_id, score, rn) on the raw ADC inner product.
+
+    CONSUME-BEFORE-NEXT-JOIN: the returned plan is lazy and its rescored
+    shortlist persist lives in the shared drain-on-next-call registry
+    (dedup.py's detector contract) — this call DRAINS that registry at
+    entry, so materialize each rescored join's result before planning
+    the next one.  Interleaving two un-materialized rescored joins is
+    still correct but silently re-runs the first join's full ADC scan
+    twice (its persist was dropped out from under the lazy plan).
     """
     rescore_factor = _resolve_rescore_factor(
         rescore_factor, rescore, codebooks, rotation, k, vec_col

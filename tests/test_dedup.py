@@ -316,3 +316,36 @@ def test_drop_repeated_spans_keeps_first_occurrence(spark):
     assert out[4]["clean_text"] == "" and out[4]["n_tokens_removed"] == 8
     # unique doc untouched
     assert out[3]["clean_text"] == rows[2][1] and out[3]["n_tokens_removed"] == 0
+
+
+def test_drop_repeated_spans_hot_window_skew_immune(spark):
+    """The r8-verdict scale-killer: a single boilerplate window repeated
+    across thousands of documents.  The cut rule must (a) keep exactly
+    the globally-first occurrence, (b) carry NO rank window partitioned
+    by the hot n-gram — the keep set is a min(struct) aggregate (partial
+    aggregation absorbs the hot key map-side) anti-joined on the
+    composite (ngram, id, pos) key, which hash-spreads the hot window's
+    occurrences across tasks instead of serializing them into one."""
+    from readwise_vector_db_spark.operators.dedup import drop_repeated_spans
+
+    boiler = "all rights reserved contact the site administrator now"  # 8 toks
+    n_docs = 1_500
+    rows = [
+        # unique prefix keeps every non-boiler window distinct per doc;
+        # doc 0 holds the global first occurrence (min id, then pos)
+        (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h {boiler}")
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = drop_repeated_spans(docs, n=8).persist()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "cut rule reintroduced a rank window"
+    res = {r["doc_id"]: r for r in out.collect()}
+    out.unpersist()
+    assert len(res) == n_docs
+    # doc 0 keeps its boilerplate copy; every other doc loses exactly it
+    assert res[0]["n_tokens_removed"] == 0
+    assert res[0]["clean_text"] == rows[0][1]
+    for i in range(1, n_docs):
+        assert res[i]["n_tokens_removed"] == 8, i
+        assert res[i]["clean_text"] == f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h", i

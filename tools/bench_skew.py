@@ -28,7 +28,15 @@ task's worker dominates it by construction.  Peaks are absolute (a
 fresh-forked worker baseline is a few tens of MB, far below the
 signal).  One JSON line per configuration.
 
-Usage: python tools/bench_skew.py [semantic|pack|all]
+  spans:     the round-9 hot-window fixture — ONE 8-token boilerplate
+             window repeated 10⁵× across 20 k documents, measuring the
+             exchange task balance of the old span-cut shuffle key (the
+             n-gram itself → every occurrence in one task) vs the new
+             composite (ngram, id, pos) key, plus end-to-end wall of
+             both cut formulations with a full clean-text hash equality
+             check.
+
+Usage: python tools/bench_skew.py [semantic|pack|spans|all]
 """
 
 from __future__ import annotations
@@ -192,12 +200,146 @@ def bench_pack(n: int = 2_000_000, n_shards: int = 8) -> None:
     uniform.unpersist()
 
 
+def bench_spans(n_docs: int = 20_000, copies_per_doc: int = 5) -> None:
+    """Round-9 fixture: ONE 8-token boilerplate window planted
+    n_docs×copies_per_doc times (10⁵ at the defaults) across otherwise
+    unique documents — the shape where the r8 cut rule
+    (``row_number() over (partitionBy(ngram))``) serialized every
+    occurrence into a single task's sort.
+
+    Measures, on the REAL detection output:
+
+    - task balance of the exchange each formulation induces, by hash-
+      repartitioning the span frame on each formulation's shuffle key
+      (old: ``ngram`` — the hot content itself; new: the composite
+      ``(ngram, id, pos)``) and counting rows per partition — the
+      max/mean ratio IS the task-balance number for that exchange;
+    - end-to-end wall of the old rank-window cut vs the new
+      min(struct)+anti-join cut, both producing identical clean text
+      (asserted by full-frame hash comparison).
+    """
+    from pyspark.sql import Window as W
+
+    from readwise_vector_db_spark.operators.dedup import (
+        drop_repeated_spans,
+        repeated_ngram_spans,
+    )
+    from readwise_vector_db_spark.session import get_spark
+
+    spark = get_spark("skew_spans")
+    boiler = "all rights reserved contact the site administrator now"  # 8 toks
+    # each doc: copies_per_doc boiler copies separated by 8 unique
+    # filler tokens (u<j>x<doc_id>) so only the boiler window repeats
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat_ws(
+                    " ",
+                    F.lit(boiler),
+                    *[
+                        F.concat(F.lit(f"u{j}x"), F.col("id").cast("string"))
+                        for j in range(8 * c, 8 * c + 8)
+                    ],
+                )
+                for c in range(copies_per_doc)
+            ],
+        ).alias("text"),
+    ).repartition(32).persist()
+    docs.count()
+    hot_occurrences = n_docs * copies_per_doc
+
+    spans = repeated_ngram_spans(docs, n=8).persist()
+    spans.count()
+
+    # exchange task balance: rows per hash partition under each key
+    for label, keys in (
+        ("old_key_ngram", [F.col("ngram")]),
+        ("new_key_composite", [F.col("ngram"), F.col("doc_id"), F.col("pos")]),
+    ):
+        dist = (
+            spans.repartition(32, *keys)
+            .withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .count()
+            .collect()
+        )
+        sizes = sorted(int(r["count"]) for r in dist)
+        total = sum(sizes)
+        mean_all = total / 32  # mean over ALL exchange partitions
+        emit(
+            mode="spans", config=label, n_docs=n_docs,
+            hot_occurrences=hot_occurrences, span_rows=total,
+            partitions_nonempty=len(sizes),
+            task_rows_max=sizes[-1],
+            task_rows_mean=round(mean_all, 1),
+            balance_max_over_mean=round(sizes[-1] / mean_all, 2),
+        )
+
+    # end-to-end wall: old rank-window cut (reconstructed) vs shipped cut
+    def old_cut():
+        w = W.partitionBy("ngram").orderBy(F.col("doc_id"), F.col("pos"))
+        cut = (
+            spans.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+        )
+        return cut.select("doc_id", "pos")
+
+    from readwise_vector_db_spark.functions.text import ws_tokens
+
+    def rebuild(cut):
+        cov = (
+            cut.select(
+                F.col("doc_id").alias("id"),
+                F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(7))).alias("i"),
+            )
+            .groupBy("id").agg(F.collect_set("i").alias("_cov"))
+        )
+        base = docs.select(F.col("doc_id").alias("id"), ws_tokens("text").alias("toks"))
+        j = base.join(cov, "id", "left").withColumn(
+            "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+        )
+        kept = F.array_sort(
+            F.array_except(F.sequence(F.lit(0), F.size("toks") - F.lit(1)), F.col("_cov"))
+        )
+        return j.select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda i: F.element_at("toks", i + F.lit(1)))
+            ).alias("clean_text"),
+        )
+
+    t0 = time.monotonic()
+    old_hash = rebuild(old_cut()).agg(
+        F.sum(F.xxhash64("doc_id", "clean_text").cast("decimal(38,0)")).alias("h")
+    ).first()["h"]
+    wall_old = time.monotonic() - t0
+    t0 = time.monotonic()
+    new_frame = drop_repeated_spans(docs, n=8)
+    new_hash = new_frame.agg(
+        F.sum(F.xxhash64("doc_id", "clean_text").cast("decimal(38,0)")).alias("h")
+    ).first()["h"]
+    wall_new = time.monotonic() - t0
+    emit(
+        mode="spans", config="cut_wall", n_docs=n_docs,
+        hot_occurrences=hot_occurrences,
+        wall_old_rank_window_s=round(wall_old, 2),
+        wall_new_min_antijoin_s=round(wall_new, 2),
+        clean_text_hash_equal=bool(old_hash == new_hash),
+    )
+    spans.unpersist()
+    docs.unpersist()
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("semantic", "all"):
         bench_semantic()
     if which in ("pack", "all"):
         bench_pack()
+    if which in ("spans", "all"):
+        bench_spans()
 
 
 if __name__ == "__main__":
