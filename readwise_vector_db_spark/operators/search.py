@@ -107,19 +107,61 @@ def has_meta_filters(params: SearchParams) -> bool:
     )
 
 
+def missing_filter_columns(params: SearchParams, columns: Sequence[str]) -> list[str]:
+    """Filter columns ``params`` requests that ``columns`` lacks.
+
+    The filter surface is column-gated so one params model serves both
+    the highlights corpus (source_author / highlighted_at present) and
+    the documents corpus (absent) — but a requested filter whose column
+    the corpus lacks must FAIL LOUDLY, not silently return unfiltered
+    results (round-9 contract; the reference applies its filters
+    unconditionally against a fixed schema — core/search.py:50-103 —
+    so a missing column there is a hard error, never a silent skip)."""
+    need: list[str] = []
+    if params.source_type is not None and "source_type" not in columns:  # F2
+        need.append("source_type")
+    if params.source_author is not None and "source_author" not in columns:  # F3
+        need.append("source_author")
+    if params.lang is not None and "lang" not in columns:
+        need.append("lang")
+    if params.tags and "tags" not in columns:  # F4
+        need.append("tags")
+    if (
+        params.highlighted_at_range is not None
+        and "highlighted_at" not in columns
+    ):  # F5
+        need.append("highlighted_at")
+    return need
+
+
+def require_filter_columns(params: SearchParams, columns: Sequence[str]) -> None:
+    """Raise ``ValueError`` naming every requested filter column the
+    corpus lacks — the loud twin of the silent drop this replaced."""
+    missing = missing_filter_columns(params, columns)
+    if missing:
+        raise ValueError(
+            f"filter column(s) {missing} not present in this corpus "
+            f"(available: {sorted(columns)}); refusing to serve "
+            "silently-unfiltered results"
+        )
+
+
 def apply_meta_filters(df: DataFrame, params: SearchParams) -> DataFrame:
-    """F2-F7: the metadata-side filters (everything except the F1 null guard)."""
+    """F2-F7: the metadata-side filters (everything except the F1 null
+    guard).  A filter on a column the corpus lacks raises (round 9 —
+    previously it was silently dropped, returning unfiltered rows)."""
+    require_filter_columns(params, df.columns)
     if params.source_type is not None:  # F2
         df = df.filter(F.col("source_type") == params.source_type)
-    if params.source_author is not None and "source_author" in df.columns:  # F3
+    if params.source_author is not None:  # F3
         df = df.filter(F.col("source_author") == params.source_author)
-    if params.lang is not None and "lang" in df.columns:
+    if params.lang is not None:
         df = df.filter(F.col("lang") == params.lang)
     if params.tags:  # F4: ANY-overlap, matches Postgres `&&`
         df = df.filter(
             F.arrays_overlap(F.col("tags"), F.array(*[F.lit(t) for t in params.tags]))
         )
-    if params.highlighted_at_range is not None and "highlighted_at" in df.columns:  # F5
+    if params.highlighted_at_range is not None:  # F5
         lo, hi = params.highlighted_at_range
         df = df.filter(F.col("highlighted_at").between(F.lit(lo), F.lit(hi)))
     for extra in params.extra_filters:
@@ -169,22 +211,25 @@ def score_sql(query_vec: Sequence[float], norm_col: str = "emb_norm") -> str:
 
 def meta_filter_sql(params: SearchParams, columns: Sequence[str]) -> str | None:
     """WHERE-fragment twin of ``apply_meta_filters`` (F2-F7), with the
-    same column gating.  Returns None when no metadata filter applies.
-    ``extra_filters`` are arbitrary Columns — not renderable to SQL text;
-    callers with extras must use the DataFrame path."""
+    same loud missing-column contract (a requested filter whose column
+    ``columns`` lacks raises — round 9; it was silently dropped before).
+    Returns None when no metadata filter applies.  ``extra_filters`` are
+    arbitrary Columns — not renderable to SQL text; callers with extras
+    must use the DataFrame path."""
     if params.extra_filters:
         raise ValueError("extra_filters are not SQL-renderable")
+    require_filter_columns(params, columns)
     conj: list[str] = []
     if params.source_type is not None:  # F2
         conj.append(f"source_type = '{sql_quote(params.source_type)}'")
-    if params.source_author is not None and "source_author" in columns:  # F3
+    if params.source_author is not None:  # F3
         conj.append(f"source_author = '{sql_quote(params.source_author)}'")
-    if params.lang is not None and "lang" in columns:
+    if params.lang is not None:
         conj.append(f"lang = '{sql_quote(params.lang)}'")
     if params.tags:  # F4
         tag_arr = ", ".join(f"'{sql_quote(t)}'" for t in params.tags)
         conj.append(f"arrays_overlap(tags, array({tag_arr}))")
-    if params.highlighted_at_range is not None and "highlighted_at" in columns:  # F5
+    if params.highlighted_at_range is not None:  # F5
         lo, hi = params.highlighted_at_range
 
         def lit(v) -> str:

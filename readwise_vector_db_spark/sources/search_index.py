@@ -599,9 +599,10 @@ class _LocalIvfScorer:
     def supports_params(self, params) -> bool:
         """True iff the metadata filters in ``params`` are evaluable
         against the resident columns.  source_author / highlighted_at
-        are not in the warm layout, so ``meta_filter_sql`` drops them on
-        the SQL path — the mask path mirrors that by ignoring them; the
-        three columns this layout carries are all supported.
+        are not in the warm layout — since round 9 ``meta_filter_sql``
+        RAISES on them before any request reaches this scorer (the old
+        silent drop returned unfiltered results), so by the time a
+        request arrives its filters are resident by construction.
         ``extra_filters`` (arbitrary Columns) never reach this path —
         the caller already routed them to the DataFrame engine."""
         return bool(self.meta) and not getattr(params, "extra_filters", None)

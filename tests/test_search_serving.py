@@ -421,3 +421,33 @@ def test_mask_cache_thread_safe_under_eviction(spark, warm):
     finally:
         scorer._mask_cache_max = old_max
         scorer._mask_cache.clear()
+
+
+def test_filters_on_absent_columns_raise_loudly(spark, warm):
+    """Round-9 contract: a requested filter whose column the corpus
+    lacks must raise naming the column — the old silent drop returned
+    UNFILTERED results.  The warm documents layout carries
+    (source_type, lang, tags) but not source_author / highlighted_at."""
+    from datetime import datetime
+
+    from readwise_vector_db_spark.operators.search import apply_meta_filters
+
+    meta, vecs, qv = warm
+    author = SearchParams(k=5, source_author="nobody")
+    with pytest.raises(ValueError, match="source_author"):
+        si.served_search_sql(spark, SF_SMOKE, qv, author)
+    with pytest.raises(ValueError, match="source_author"):
+        apply_meta_filters(meta, author)
+    with pytest.raises(ValueError, match="source_author"):
+        meta_filter_sql(author, meta.columns)
+    dated = SearchParams(
+        k=5, highlighted_at_range=(datetime(2026, 1, 1), datetime(2026, 1, 2))
+    )
+    with pytest.raises(ValueError, match="highlighted_at"):
+        meta_filter_sql(dated, meta.columns)
+    # resident filters still serve — the loud contract changed nothing
+    # for evaluable requests
+    ok = si.served_search_sql(
+        spark, SF_SMOKE, qv, SearchParams(k=5, lang="en")
+    )
+    assert ok.count() > 0
