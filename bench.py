@@ -201,10 +201,50 @@ def _setup_and_measure(run_idx: int) -> dict:
 
     planted_ivf_artifact(spark, SF_DIR)
 
+    run_calib = _calibrate(spark)
     t_start = time.time()
     run = _measure(spark, qs, run_idx)
     run["window_epoch"] = [round(t_start, 1), round(time.time(), 1)]
+    run["calibration"] = run_calib
     return run
+
+
+def _calibrate(spark) -> dict:
+    """Fixed CPU-bound calibration rows (round 9 — r8 verdict missing
+    #4): a pinned-size pure-numpy gemm (no Spark, no I/O — raw host
+    FLOP throughput) and a pinned tiny Spark job (JVM + scheduler
+    path), min-of-3 each.  Cross-round deltas divide by these to
+    classify host-band shift vs real regression: a query row that moves
+    with the calibration ratio moved with the HOST (r8's search_topk
+    0.47→0.62 with zero plan change); one that moves against it is a
+    plan/code change.  Sizes are pinned constants — changing them
+    breaks cross-round comparability, so don't."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((1536, 1536))
+    b = rng.standard_normal((1536, 1536))
+    gemm = min(
+        _timed(lambda: np.dot(a, b).sum() > -1e18) for _ in range(3)
+    )
+    spark_sum = min(
+        _timed(
+            lambda: spark.range(50_000_000)
+            .selectExpr("sum(id * 2 + 1)")
+            .collect()
+        )
+        for _ in range(3)
+    )
+    return {
+        "numpy_gemm_1536_s": round(gemm, 4),
+        "spark_sum_50m_s": round(spark_sum, 4),
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
 
 
 def main() -> None:
@@ -229,8 +269,10 @@ def main() -> None:
     else:
         runs = [_setup_and_measure(i) for i in range(n_runs)]
     windows = [r.pop("window_epoch", None) for r in runs]
+    calibs = [r.pop("calibration", None) for r in runs]
     out = _merge_runs(runs)
     out["n_runs"] = n_runs
+    out["per_run_calibration"] = calibs
     out["per_run_value_min"] = [r["value_min"] for r in runs]
     out["per_run_queries"] = [r["queries"] for r in runs]
     out["per_run_queries_min"] = [r["queries_min"] for r in runs]
@@ -262,6 +304,7 @@ def main() -> None:
         "sf": out["sf"],
         "stat": "min_over_%d_runs" % n_runs,
         "n_runs": n_runs,
+        "calib": calibs,
         "per_run_detail": "BENCH_FULL.json",
     }
     print(json.dumps(compact))
