@@ -91,16 +91,30 @@ def main() -> None:
             f"{art}/ivfpq",
         )
         t3 = time.monotonic()
+        # the composed headline stack (round 9): OPQ rotation + IVF-PQ,
+        # auto-rf SIZED AT BUILD into the layout's rescore.json — the
+        # serving probe below then resolves rescore_factor="auto" with
+        # zero sampling jobs (r9's persisted-rf machinery, measured here
+        # at the ×10 corpus)
+        rot, obooks = pq.train_opq(embs, m=m, k=256, sample_rows=5000)
+        pq.save_ivfpq_index(
+            pq.ivfpq_encode(embs, centroids, obooks, rotation=rot),
+            centroids, obooks, f"{art}/ivfpq_opq",
+            base_vecs=embs, rotation=rot, rf_ks=(10,),
+        )
+        t4 = time.monotonic()
         open(f"{art}/_BUILT", "w").close()
         print(
             f"# build walls: ivf {t1-t0:.1f}s  pq {t2-t1:.1f}s  "
-            f"ivfpq {t3-t2:.1f}s",
+            f"ivfpq {t3-t2:.1f}s  ivfpq_opq+auto_rf {t4-t3:.1f}s",
             flush=True,
         )
 
     ivf_assigned, ivf_cents = sim.load_ivf_index(spark, f"{art}/ivf")
     pq_codes, pq_books = pq.load_pq_index(spark, f"{art}/pq")
     ipq_codes, ipq_cents, ipq_books = pq.load_ivfpq_index(spark, f"{art}/ivfpq")
+    opq_codes, opq_cents, opq_books = pq.load_ivfpq_index(spark, f"{art}/ivfpq_opq")
+    opq_rot = pq.load_rotation(spark, f"{art}/ivfpq_opq")
 
     def du(path: str) -> int:
         total = 0
@@ -131,6 +145,16 @@ def main() -> None:
                 rescore=embs, rescore_factor=8,
             ),
             du(f"{art}/ivfpq/codes") * 4 // 16,
+        ),
+        # the composed serving stack at ×10 (round 9): OPQ frame +
+        # persisted auto-rf (read from rescore.json — no probe) + the
+        # wider nprobe=8 the r8 recall study served at
+        "ivfpq_opq_autorf_np8": (
+            lambda qv: pq.ivfpq_search(
+                opq_codes, opq_cents, opq_books, qv, k=10, nprobe=8,
+                rescore=embs, rescore_factor="auto", rotation=opq_rot,
+            ),
+            du(f"{art}/ivfpq_opq/codes") * 8 // 16,
         ),
     }
 
