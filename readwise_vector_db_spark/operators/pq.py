@@ -685,14 +685,95 @@ def load_rotation(spark, path: str) -> np.ndarray | None:
     return np.asarray([v for _, v in ordered], dtype=np.float32)
 
 
+def delete_from_index(spark, path: str, ids, id_col: str = "vec_id") -> int:
+    """Tombstone-delete ids from a :func:`save_pq_index` /
+    :func:`save_ivfpq_index` layout (round 9 — the right-to-be-forgotten
+    path; deletes previously meant a full rebuild).  Two-phase, the
+    Delta/Iceberg delete-vector pattern re-expressed on plain parquet:
+
+    1. ``delete_from_index`` appends the ids to ``{path}/tombstones``
+       (one string column, O(delete) write) — every subsequent
+       ``load_*_index`` anti-joins the codes scan against the tombstone
+       set, so deleted ids stop serving IMMEDIATELY, with no touch of
+       the code files.
+    2. :func:`compact_index` physically rewrites the codes minus the
+       tombstones and clears the set — run it when the tombstone
+       fraction warrants (the bytes stay on disk until then — stated
+       honestly; the serving contract is step 1, the storage contract
+       is step 2).
+
+    ``ids`` is a list or a single-column DataFrame.  Returns the number
+    of tombstones written.  The anti-join broadcasts the tombstone set
+    (bounded by compaction cadence) — the codes scan shape and its
+    partition pruning are unchanged."""
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).cast("string").alias(id_col))
+    else:
+        ids = list(ids)
+        tomb = spark.createDataFrame(
+            [(str(i),) for i in ids], f"{id_col} string"
+        )
+    n = tomb.count()
+    if n:
+        tomb.coalesce(1).write.mode("append").parquet(f"{path}/tombstones")
+    return n
+
+
+def _apply_tombstones(spark, path: str, codes: DataFrame) -> DataFrame:
+    """Anti-join a loaded codes frame against the layout's tombstone
+    set, if any — id compared as string so long/uuid ids both match."""
+    import os as _os
+
+    if not _os.path.isdir(f"{path}/tombstones"):
+        return codes
+    tomb = spark.read.parquet(f"{path}/tombstones").distinct()
+    tcol = tomb.columns[0]
+    id_col = tcol if tcol in codes.columns else codes.columns[0]
+    return codes.join(
+        F.broadcast(tomb),
+        codes[id_col].cast("string") == tomb[tcol],
+        "left_anti",
+    )
+
+
+def compact_index(spark, path: str, partition_cluster: bool | None = None) -> int:
+    """Physically remove tombstoned rows: rewrite ``{path}/codes`` minus
+    the tombstone set (staged + atomic rename — a crash leaves the old
+    codes and the tombstones intact, so serving never regresses), then
+    drop the tombstones.  ``partition_cluster`` controls whether the
+    rewrite keeps the IVF-PQ cluster partitioning (auto-detected from
+    the schema when None).  Returns surviving row count."""
+    import os as _os
+    import shutil as _shutil
+
+    codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
+    if partition_cluster is None:
+        partition_cluster = "cluster" in codes.columns
+    stage = f"{path}/.codes_compact_{_os.getpid()}"
+    _shutil.rmtree(stage, ignore_errors=True)
+    w = codes.write.mode("overwrite")
+    if partition_cluster:
+        w = w.partitionBy("cluster")
+    w.parquet(stage)
+    n = spark.read.parquet(stage).count()
+    old = f"{path}/.codes_old_{_os.getpid()}"
+    _os.rename(f"{path}/codes", old)
+    _os.rename(stage, f"{path}/codes")
+    _shutil.rmtree(old, ignore_errors=True)
+    _shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    return int(n)
+
+
 def load_pq_index(spark, path: str) -> tuple[DataFrame, list[np.ndarray]]:
     """(codes, codebooks) from a :func:`save_pq_index` layout.  The
     codebook table is driver-side model metadata (m·k rows, k·d floats
     total); codes scan lazily.  A ``rescore.json`` sidecar (build-time
     sized auto-rf) primes the persisted-rf store — ``rescore_factor=
-    "auto"`` over this layout then resolves without a sampling job."""
+    "auto"`` over this layout then resolves without a sampling job.
+    Tombstoned ids (:func:`delete_from_index`) are excluded from the
+    returned scan."""
     _prime_persisted_rf(path)
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
     cb = spark.read.parquet(f"{path}/codebooks").collect()
     m = 1 + max(r["subspace"] for r in cb)
     books = []
@@ -958,9 +1039,10 @@ def save_ivfpq_index(
 def load_ivfpq_index(spark, path: str):
     """(codes, centroids, codebooks) from :func:`save_ivfpq_index`.
     Primes the persisted-rf store from ``{path}/rescore.json`` when the
-    layout carries one (see :func:`load_pq_index`)."""
+    layout carries one (see :func:`load_pq_index`).  Tombstoned ids
+    (:func:`delete_from_index`) are excluded from the returned scan."""
     _prime_persisted_rf(path)
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
     cent = spark.read.parquet(f"{path}/centroids").collect()
     centroids = sorted(
         (int(r["cluster"]), [float(x) for x in r["centroid"]]) for r in cent

@@ -794,3 +794,73 @@ def test_persisted_auto_rf_zero_probe_and_append_refresh(spark, embs, books, tmp
 
     want = min(max(1, math.ceil(after["ks_base"]["10"] * after["rows"] / n0)), 64)
     assert after["ks"]["10"] == want >= before["ks"]["10"]
+
+
+def test_tombstone_delete_and_compaction(spark, embs, books, tmp_path):
+    """Round-9 capability: tombstone deletes on persisted PQ/IVF-PQ
+    layouts — deleted ids stop serving IMMEDIATELY (load-time anti-join,
+    no touch of the code files), appends keep working, and compaction
+    physically removes the rows and clears the tombstone set."""
+    import os
+
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    path = str(tmp_path / "pq_del")
+    pq.save_pq_index(pq.pq_encode(embs, books), books, path)
+    codes, loaded_books = pq.load_pq_index(spark, path)
+    total = codes.count()
+    q = [float(x) for x in embs.first()["embedding"]]
+    before = [r["vec_id"] for r in pq.pq_search(codes, q, loaded_books, k=5).collect()]
+    victim = before[0]  # the top hit — deletion must be visible at rank 1
+
+    assert pq.delete_from_index(spark, path, [victim]) == 1
+    codes2, _ = pq.load_pq_index(spark, path)
+    assert codes2.count() == total - 1
+    after = [r["vec_id"] for r in pq.pq_search(codes2, q, loaded_books, k=5).collect()]
+    assert victim not in after and after[0] == before[1]
+    # delete accepts a DataFrame too; duplicate tombstones are harmless
+    pq.delete_from_index(
+        spark, path, spark.createDataFrame([(victim,)], "vec_id long")
+    )
+    assert pq.load_pq_index(spark, path)[0].count() == total - 1
+
+    # compaction: physical removal, tombstones cleared, results unchanged
+    n = pq.compact_index(spark, path)
+    assert n == total - 1
+    assert not os.path.isdir(f"{path}/tombstones")
+    codes3, _ = pq.load_pq_index(spark, path)
+    assert codes3.count() == total - 1
+    assert [
+        r["vec_id"] for r in pq.pq_search(codes3, q, loaded_books, k=5).collect()
+    ] == after
+
+    # IVF-PQ: same flow, cluster partitioning preserved through compaction
+    ipath = str(tmp_path / "ivfpq_del")
+    _, centroids = sim.build_ivf_index(embs, n_clusters=4)
+    pq.save_ivfpq_index(
+        pq.ivfpq_encode(embs, centroids, books), centroids, books, ipath
+    )
+    icodes, icents, ibooks = pq.load_ivfpq_index(spark, ipath)
+    itotal = icodes.count()
+    top = [
+        r["vec_id"]
+        for r in pq.ivfpq_search(icodes, icents, ibooks, q, k=5, nprobe=4).collect()
+    ]
+    pq.delete_from_index(spark, ipath, top[:2])
+    icodes2, _, _ = pq.load_ivfpq_index(spark, ipath)
+    assert icodes2.count() == itotal - 2
+    got = [
+        r["vec_id"]
+        for r in pq.ivfpq_search(icodes2, icents, ibooks, q, k=5, nprobe=4).collect()
+    ]
+    assert not set(top[:2]) & set(got)
+    assert pq.compact_index(spark, ipath) == itotal - 2
+    # the cluster partition layout survived (partition pruning intact)
+    assert any(
+        name.startswith("cluster=") for name in os.listdir(f"{ipath}/codes")
+    )
+    icodes3, _, _ = pq.load_ivfpq_index(spark, ipath)
+    assert [
+        r["vec_id"]
+        for r in pq.ivfpq_search(icodes3, icents, ibooks, q, k=5, nprobe=4).collect()
+    ] == got
