@@ -1497,7 +1497,16 @@ def repeated_ngram_spans(
        groups the candidate STRINGS — a hash collision dies at the
        exact string count, and the shuffle is bounded by the
        repeated-content volume, i.e. the result itself.
-    """
+
+    Skew note: the exact-count groupBy absorbs a hot window via partial
+    aggregation, and the count-annotate join back onto the occurrences
+    broadcasts while the distinct-window set is small; when it exceeds
+    the broadcast threshold at corpus scale the join keys on the hot
+    window itself, which is exactly the shape AQE's skew-join splitting
+    (enabled in session.py) handles — the splittable side is the
+    occurrence stream, the replicated side is one (window, count) row.
+    The CUT rule downstream is hot-key-free by construction (round 9 —
+    see :func:`drop_repeated_spans`)."""
     base = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("toks"))
