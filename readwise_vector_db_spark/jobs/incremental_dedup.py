@@ -665,3 +665,47 @@ def span_dedup_batch_against_store(
 
     _register_cached(cleaned)
     return cleaned, stats
+
+
+def run_incremental_span_dedup(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    store_root: str,
+    out_dir: str,
+    n: int = 8,
+    compact_every: int = 64,
+    **kwargs,
+):
+    """Streaming face of span-level dedup — the third member of the
+    incremental matrix gets the same ``foreachBatch`` wiring as the
+    shingle (:func:`run_incremental_dedup`) and semantic
+    (:func:`run_incremental_semantic_dedup`) paths: each micro-batch
+    runs :func:`span_dedup_batch_against_store` against the fingerprint
+    store as of its start, appends the CLEANED texts to ``out_dir``
+    (the product of this pipeline is the cut text, not just the store),
+    and commits the surviving window fingerprints.  Deterministic
+    within a batch, order-dependent across batches exactly like a
+    sequential daily-increment run — the store's copy of a window is
+    always the kept first occurrence.
+
+    Same compaction cadence as the other members; the fingerprint store
+    is its own index (h1, h2 rows), so compaction alone bounds read
+    fan-in.  The cleaned frame is consumed (written) inside the batch,
+    satisfying the drain-registry contract before the next batch runs."""
+    table = VersionedTable(store_root)
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        cleaned, _stats = span_dedup_batch_against_store(
+            spark, batch_df, table, n=n, **kwargs
+        )
+        cleaned.write.mode("append").parquet(out_dir)
+        v = table.latest_version() or 0
+        if compact_every and v % compact_every == 0 and v > 0:
+            table.compact(spark, target_files=spark.sparkContext.defaultParallelism)
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{store_root}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -564,3 +564,68 @@ def test_span_dedup_batch_against_store(spark, tmp_path):
     # a fully-cut doc contributes no new windows → nothing to append,
     # but the call still reports the (unchanged) store version
     assert s3["fps_appended"] >= 0 and s3["store_version"] >= 2
+
+
+def test_streaming_span_face_matches_sequential(spark, tmp_path):
+    """Round-9: the span member's foreachBatch streaming face — a file
+    stream of two increments ends with the same cleaned output and
+    fingerprint store a sequential batch run produces."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        run_incremental_span_dedup,
+        span_dedup_batch_against_store,
+    )
+
+    boiler = "all rights reserved contact the site administrator now"  # 8 toks
+    rows1 = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h {boiler}")
+             for i in range(10)]
+    rows2 = [(100 + i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h {boiler}")
+             for i in range(10)]
+    schema = "doc_id LONG, text STRING"
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    store_root = str(tmp_path / "span_store_stream")
+    out_dir = str(tmp_path / "cleaned_stream")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_incremental_span_dedup(spark, stream, store_root, out_dir)
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) == 20
+    # exactly one document corpus-wide kept its boilerplate copy —
+    # batch 2's occurrences were cut against the STORE, not just
+    # within their own batch
+    keepers = [d for d, t in got.items() if boiler in t]
+    assert len(keepers) == 1 and keepers[0] < 100
+
+    # sequential twin: same batches through the batch API
+    seq_store = str(tmp_path / "span_store_seq")
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    seq_table = VersionedTable(seq_store)
+    out = {}
+    for rows in (rows1, rows2):
+        cleaned, _ = span_dedup_batch_against_store(
+            spark, spark.createDataFrame(rows, schema), seq_table
+        )
+        out.update({r["doc_id"]: r["clean_text"] for r in cleaned.collect()})
+    assert out == got
+    # and the stores carry identical fingerprint sets
+    stream_fps = {
+        (r["h1"], r["h2"])
+        for r in VersionedTable(store_root).read(spark).collect()
+    }
+    seq_fps = {(r["h1"], r["h2"]) for r in seq_table.read(spark).collect()}
+    assert stream_fps == seq_fps
