@@ -1557,6 +1557,63 @@ def repeated_ngram_spans(
     )
 
 
+def doc_dup_fraction(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """(id, n_tokens, dup_tokens, dup_fraction): the fraction of each
+    document's tokens covered by ANY corpus-repeated n-token window —
+    the "duplicated n-gram fraction" quality signal the published web
+    curation pipelines filter on (RefinedWeb/FineWeb-class "fraction of
+    characters in duplicated n-grams"; Rae et al.'s Gopher rules), at
+    this repo's token granularity.  Unlike :func:`drop_repeated_spans`
+    this SCORES instead of cutting, and counts every occurrence
+    including the kept first one — the signal is "how much of this doc
+    is content shared elsewhere", a filter threshold input, not a cut
+    rule.
+
+    Scale shape: detection is :func:`repeated_ngram_spans` (strings
+    never shuffle); coverage is a distinct + count over the REPEATED
+    positions only (result-sized, hot-key-free — keys are (id, index)),
+    and the final join brings in only (id, token-count) — document text
+    never shuffles."""
+    spans = repeated_ngram_spans(
+        docs, id_col=id_col, text_col=text_col, n=n, min_repeats=min_repeats
+    )
+    cov = (
+        spans.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("i"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("int").alias("dup_tokens"))
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.size(ws_tokens(F.col(text_col))).cast("int").alias("n_tokens"),
+    )
+    return (
+        base.join(cov, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce(F.col("dup_tokens"), F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def drop_repeated_spans(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -453,6 +453,47 @@ _SPAN_CLEAN_SQL = """
     """
 
 
+_DUP_FRACTION_SQL = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    w AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks) - 8 + 1)) - 1 AS pos, toks
+        FROM t WHERE len(toks) >= 8
+    ),
+    w2 AS (
+        SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 8], ' ') AS ngram
+        FROM w
+    ),
+    c AS (SELECT ngram FROM w2 GROUP BY ngram HAVING COUNT(*) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id, i FROM (
+            SELECT w2.doc_id, unnest(generate_series(pos, pos + 7)) AS i
+            FROM w2 JOIN c USING (ngram))
+    ),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INT) AS n_tokens,
+           coalesce(cnt.dup_tokens, 0) AS dup_tokens,
+           round(CASE WHEN len(t.toks) > 0
+                 THEN coalesce(cnt.dup_tokens, 0) / CAST(len(t.toks) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS dup_fraction
+    FROM t LEFT JOIN cnt USING (doc_id)
+    """
+
+
+@register_extra("doc_dup_fraction", _DUP_FRACTION_SQL)
+def doc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-n-gram fraction (round 9): tokens covered
+    by ANY corpus-repeated 8-token window over total tokens — the
+    RefinedWeb/FineWeb-class quality-filter signal, scored (not cut)
+    from the same span detection the dedup rows verify.  Full per-doc
+    value-hash against the DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return dd.doc_dup_fraction(docs, n=8, min_repeats=2)
+
+
 @register_extra("dedup_span_clean", _SPAN_CLEAN_SQL)
 def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUT half of span-level dedup (Lee et al.'s rule): every

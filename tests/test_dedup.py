@@ -349,3 +349,25 @@ def test_drop_repeated_spans_hot_window_skew_immune(spark):
     for i in range(1, n_docs):
         assert res[i]["n_tokens_removed"] == 8, i
         assert res[i]["clean_text"] == f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h", i
+
+
+def test_doc_dup_fraction_planted(spark):
+    """The quality-score twin of the span detector: fraction counts
+    EVERY occurrence of a repeated window (including the kept first),
+    unique docs score 0, and a fully-boilerplate doc scores 1."""
+    from readwise_vector_db_spark.operators.dedup import doc_dup_fraction
+
+    boiler = "all rights reserved contact the site administrator now"  # 8 toks
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"),  # 8/16
+        (2, boiler),                                                     # 8/8
+        (3, "totally unique words nine ten eleven twelve thirteen"),     # 0/8
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in doc_dup_fraction(docs, n=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_tokens"] == 16 and out[1]["dup_tokens"] == 8
+    assert out[1]["dup_fraction"] == 0.5
+    assert out[2]["dup_fraction"] == 1.0 and out[2]["dup_tokens"] == 8
+    assert out[3]["dup_fraction"] == 0.0 and out[3]["dup_tokens"] == 0
