@@ -509,6 +509,7 @@ def span_dedup_batch_against_store(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    read_version: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Span-level incremental dedup — the third member of the
     incremental matrix (exact+MinHash text / SemDeDup embeddings /
@@ -539,8 +540,25 @@ def span_dedup_batch_against_store(
       token arrays;
     - the append ships the cleaned batch's new fingerprints — one
       O(increment) commit via the VersionedTable CAS.
+
+    ``read_version`` pins the store snapshot the cut evaluates against
+    (round 9 — what makes a streaming RETRY idempotent: a re-run batch
+    whose first attempt already committed its fingerprints must not
+    find its OWN windows in the store and cut its kept-first
+    occurrences; ``0`` means "no store yet").  A retried commit can at
+    worst append duplicate (h1, h2) rows — harmless for the cut rule,
+    which only semi-joins the store.
     """
     from readwise_vector_db_spark.functions.text import ws_tokens
+    from readwise_vector_db_spark.operators.dedup import release_detector_cache
+
+    # entry drain (the shared detector-cache contract): unpersist the
+    # PREVIOUS batch's cleaned frame — without this, a long-running
+    # per-batch loop accumulates one InMemoryRelation per batch
+    release_detector_cache()
+    if read_version is None:
+        read_version = table.latest_version() or 0
+    store_exists = read_version > 0
 
     def fps(frame: DataFrame, txt: str) -> DataFrame:
         """(id, pos, h1, h2) window fingerprints of a text column."""
@@ -564,8 +582,9 @@ def span_dedup_batch_against_store(
     wins = fps(batch, text_col).persist()
 
     cut_parts = []
-    if table.exists():
-        store = table.read(spark)
+    if store_exists:
+        # cut against the PINNED snapshot — retry-stable (see docstring)
+        store = table.read(spark, version=read_version)
         batch_fps = wins.select("h1", "h2").distinct()
         # store scans in place: broadcast the increment's fingerprints,
         # emit only the hashes the store already holds
@@ -637,7 +656,11 @@ def span_dedup_batch_against_store(
     )
 
     # append the CLEANED batch's fingerprints (future batches compare
-    # against surviving content); only hashes the store lacks ship
+    # against surviving content); only hashes the store lacks ship.
+    # This presence check deliberately reads the LATEST snapshot (not
+    # the pinned one): it only reduces what ships, and on a retry whose
+    # first attempt already committed, the store now holds this batch's
+    # hashes → to_append is empty → the retry commits nothing at all
     new_fps = fps(cleaned, "clean_text").select("h1", "h2").distinct().persist()
     if table.exists():
         store = table.read(spark)
@@ -691,14 +714,37 @@ def run_incremental_span_dedup(
     Same compaction cadence as the other members; the fingerprint store
     is its own index (h1, h2 rows), so compaction alone bounds read
     fan-in.  The cleaned frame is consumed (written) inside the batch,
-    satisfying the drain-registry contract before the next batch runs."""
+    satisfying the drain-registry contract before the next batch runs.
+
+    Retry idempotence (round 9 — foreachBatch is at-least-once): each
+    batch PINS the store snapshot it cuts against in a tiny
+    ``_batch_base_<id>`` marker before any work, writes its cleaned
+    output to an overwrite-mode per-batch partition
+    (``{out_dir}/batch=<id>`` — re-runs replace, never duplicate; the
+    partition column doubles as ingest lineage), and the fingerprint
+    commit ships only store-missing hashes — so a re-run of a batch
+    whose first attempt committed cuts identically (pinned snapshot),
+    rewrites the same output, and appends nothing."""
+    import os as _os
+
     table = VersionedTable(store_root)
 
-    def process(batch_df: DataFrame, _batch_id: int) -> None:
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _os.makedirs(store_root, exist_ok=True)
+        marker = f"{store_root}/_batch_base_{batch_id}"
+        if _os.path.isfile(marker):
+            with open(marker) as f:
+                base_v = int(f.read().strip())
+        else:
+            base_v = table.latest_version() or 0
+            tmp = f"{marker}.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(base_v))
+            _os.replace(tmp, marker)
         cleaned, _stats = span_dedup_batch_against_store(
-            spark, batch_df, table, n=n, **kwargs
+            spark, batch_df, table, n=n, read_version=base_v, **kwargs
         )
-        cleaned.write.mode("append").parquet(out_dir)
+        cleaned.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         v = table.latest_version() or 0
         if compact_every and v % compact_every == 0 and v > 0:
             table.compact(spark, target_files=spark.sparkContext.defaultParallelism)

@@ -400,6 +400,11 @@ _RF_CACHE_MAX = 16
 # numbers, and a process that wants the new ones re-loads the layout.
 _RF_PERSISTED: "OrderedDict[tuple[str, int], int]" = OrderedDict()
 _RF_PERSISTED_MAX = 256
+
+# cardinality cap for the per-source drift gate (and
+# coarse_distortion_by): a per-row grouping column is a misuse that
+# must fail loudly, not silently gate on the worst single vector
+DRIFT_MAX_GROUPS = 10_000
 # semanticHash is a PLAN hash — it cannot see the data at the same path
 # growing under appends, so entries EXPIRE: a grown corpus re-probes
 # within the TTL instead of under-fetching forever (the failure this
@@ -454,6 +459,9 @@ def size_rescore_factors(
         "fingerprint": _model_fingerprint(codebooks, rotation),
         "ks": {str(k): rf for k, rf in factors.items()},
         "sized_at_rows": int(total),
+        # the probe's clamp rides with the record so append-time
+        # refreshes honor the SAME ceiling the build chose
+        "max_factor": int(probe_kwargs.get("max_factor", 64)),
     }
 
 
@@ -484,7 +492,15 @@ def _prime_persisted_rf(path: str) -> None:
         return  # malformed sidecar: fall back to the probe path
     with _RF_LOCK:
         for k, rf in ks.items():
-            _RF_PERSISTED[(fp, int(k))] = int(rf)
+            # two layouts sharing one trained model (e.g. a full index
+            # and a filtered-subset index built from the same books)
+            # collide on the fingerprint key — keep the MAX sized
+            # factor, so a collision costs at worst extra fetch, never
+            # a silent under-fetch/recall loss (round-9 review finding)
+            cur = _RF_PERSISTED.get((fp, int(k)))
+            _RF_PERSISTED[(fp, int(k))] = (
+                max(int(rf), cur) if cur is not None else int(rf)
+            )
             _RF_PERSISTED.move_to_end((fp, int(k)))
         while len(_RF_PERSISTED) > _RF_PERSISTED_MAX:
             _RF_PERSISTED.popitem(last=False)
@@ -724,7 +740,9 @@ def _apply_tombstones(spark, path: str, codes: DataFrame) -> DataFrame:
     set, if any — id compared as string so long/uuid ids both match."""
     import os as _os
 
-    if not _os.path.isdir(f"{path}/tombstones"):
+    if not _os.path.isdir(f"{path}/tombstones") or not any(
+        files for _, _, files in _os.walk(f"{path}/tombstones")
+    ):
         return codes
     tomb = spark.read.parquet(f"{path}/tombstones").distinct()
     tcol = tomb.columns[0]
@@ -736,16 +754,51 @@ def _apply_tombstones(spark, path: str, codes: DataFrame) -> DataFrame:
     )
 
 
+def _recover_codes_dir(path: str) -> None:
+    """Crash recovery for :func:`compact_index`'s directory swap (two
+    renames — POSIX has no atomic directory exchange): if ``codes`` is
+    missing, roll FORWARD to a fully-written compaction stage when one
+    exists (it was counted before the swap began), else roll BACK to
+    the saved old directory.  Called by the loaders and by
+    ``compact_index`` itself, so an interrupted compaction self-heals
+    on the next touch instead of leaving the layout unreadable."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(f"{path}/codes"):
+        return
+    stages = sorted(_glob.glob(f"{path}/.codes_compact_*"))
+    olds = sorted(_glob.glob(f"{path}/.codes_old_*"))
+    if stages:
+        _os.rename(stages[-1], f"{path}/codes")
+    elif olds:
+        _os.rename(olds[-1], f"{path}/codes")
+
+
 def compact_index(spark, path: str, partition_cluster: bool | None = None) -> int:
     """Physically remove tombstoned rows: rewrite ``{path}/codes`` minus
-    the tombstone set (staged + atomic rename — a crash leaves the old
-    codes and the tombstones intact, so serving never regresses), then
-    drop the tombstones.  ``partition_cluster`` controls whether the
-    rewrite keeps the IVF-PQ cluster partitioning (auto-detected from
-    the schema when None).  Returns surviving row count."""
+    the tombstone set into a staging dir, swap it into place, then drop
+    exactly the tombstone FILES the rewrite consumed — a
+    ``delete_from_index`` landing mid-compaction keeps its tombstone
+    and still applies on the next load (no resurrection).  The swap is
+    two renames (POSIX has no atomic directory exchange); a crash
+    between them is self-healed by :func:`_recover_codes_dir` at the
+    next load or compaction (roll-forward to the counted stage), so
+    serving never regresses past one touch.  ``partition_cluster``
+    controls whether the rewrite keeps the IVF-PQ cluster partitioning
+    (auto-detected from the schema when None).  Returns surviving row
+    count."""
     import os as _os
     import shutil as _shutil
 
+    _recover_codes_dir(path)
+    # snapshot the tombstone files BEFORE the rewrite: only these are
+    # guaranteed applied by the stage job; later arrivals must survive
+    tomb_dir = f"{path}/tombstones"
+    pre_files: list[str] = []
+    if _os.path.isdir(tomb_dir):
+        for root, _, files in _os.walk(tomb_dir):
+            pre_files.extend(_os.path.join(root, fn) for fn in files)
     codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
     if partition_cluster is None:
         partition_cluster = "cluster" in codes.columns
@@ -760,7 +813,15 @@ def compact_index(spark, path: str, partition_cluster: bool | None = None) -> in
     _os.rename(f"{path}/codes", old)
     _os.rename(stage, f"{path}/codes")
     _shutil.rmtree(old, ignore_errors=True)
-    _shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    for fp_ in pre_files:
+        try:
+            _os.remove(fp_)
+        except FileNotFoundError:
+            pass
+    try:
+        _os.rmdir(tomb_dir)  # only if no concurrent delete landed
+    except OSError:
+        pass
     return int(n)
 
 
@@ -773,6 +834,7 @@ def load_pq_index(spark, path: str) -> tuple[DataFrame, list[np.ndarray]]:
     Tombstoned ids (:func:`delete_from_index`) are excluded from the
     returned scan."""
     _prime_persisted_rf(path)
+    _recover_codes_dir(path)
     codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
     cb = spark.read.parquet(f"{path}/codebooks").collect()
     m = 1 + max(r["subspace"] for r in cb)
@@ -1042,6 +1104,7 @@ def load_ivfpq_index(spark, path: str):
     layout carries one (see :func:`load_pq_index`).  Tombstoned ids
     (:func:`delete_from_index`) are excluded from the returned scan."""
     _prime_persisted_rf(path)
+    _recover_codes_dir(path)
     codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
     cent = spark.read.parquet(f"{path}/centroids").collect()
     centroids = sorted(
@@ -1351,24 +1414,36 @@ def append_to_ivfpq_index(
             base = None
         if base is not None and base > 0:
             if source_col is not None:
-                # the gate consumes only the WORST group: a 1-row
-                # orderBy(desc).limit(1) collect keeps the source name
-                # for the error without shipping up to max_groups
-                # labeled rows to the driver per append (r8 verdict nit)
-                worst = (
+                # the gate consumes only the WORST group: ONE scalar
+                # action folds max(struct(_d, _g)) (keeps the source
+                # name for the error) together with the group count —
+                # the cardinality guard coarse_distortion_by carries,
+                # which a per-row source_col would otherwise silently
+                # turn into worst-single-vector gating (r9 review
+                # finding) — without shipping max_groups labeled rows
+                # to the driver per append (r8 verdict nit)
+                row = (
                     grouped_distortion_frame(
                         new_vecs, centroids, source_col, vec_col=vec_col
                     )
-                    .orderBy(F.desc("_d"), F.asc("_g"))
-                    .limit(1)
-                    .collect()
+                    .agg(
+                        F.max(F.struct(F.col("_d"), F.col("_g"))).alias("w"),
+                        F.count(F.lit(1)).alias("n_groups"),
+                    )
+                    .first()
                 )
-                if not worst:
+                if row is None or row["w"] is None:
                     raise ValueError(
                         "append_to_ivfpq_index: no non-null vectors"
                     )
-                inc = float(worst[0]["_d"])
-                what = f"source {worst[0]['_g']!r}"
+                if row["n_groups"] > DRIFT_MAX_GROUPS:
+                    raise ValueError(
+                        f"append_to_ivfpq_index: more than "
+                        f"{DRIFT_MAX_GROUPS} distinct values in "
+                        f"{source_col!r} — group by a coarser source label"
+                    )
+                inc = float(row["w"]["_d"])
+                what = f"source {row['w']['_g']!r}"
             else:
                 inc = coarse_distortion(new_vecs, centroids, vec_col=vec_col)
                 what = "increment"
@@ -1428,8 +1503,16 @@ def _refresh_persisted_rf(path: str, appended_rows: int) -> None:
         "ks_base", {k: float(v) for k, v in rec["ks"].items()}
     )
     scale = rec["rows"] / max(1, base_rows)
+    # clamp to the ceiling the BUILD chose (a max_factor=128 probe can
+    # persist rf>64, and an append must never lower it — appends only
+    # grow the population, so the refresh is monotone non-decreasing)
+    cap = int(rec.get("max_factor", 64))
     rec["ks"] = {
-        k: int(min(max(1, int(np.ceil(v * scale))), 64)) for k, v in ks_base.items()
+        k: max(
+            int(rec["ks"].get(k, 1)),
+            int(min(max(1, int(np.ceil(v * scale))), cap)),
+        )
+        for k, v in ks_base.items()
     }
     _save_rescore_json(path, rec)
     _prime_persisted_rf(path)

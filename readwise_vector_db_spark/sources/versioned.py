@@ -334,6 +334,15 @@ class VersionedTable:
         batch this way; ``compact`` later folds segments into one."""
         v = self._claim_version()
         try:
+            # same stale-footprint clearing as commit(): a crashed merge
+            # claimant of this version number may have left a _TOUCHED
+            # record, and an append publishing under it would let a
+            # racing merge "prove" disjointness against an unrecorded
+            # append (round-9 review finding)
+            try:
+                os.remove(self._touched_path(v))
+            except FileNotFoundError:
+                pass
             prev = v - 1 if v > 1 else None
             df.write.mode("errorifexists").parquet(self._prepare_version(v))
             segs = (self._segments(prev) if prev is not None else []) + [f"v={v:08d}"]
@@ -412,7 +421,12 @@ class VersionedTable:
                     return self.commit(updates, expected_base=0, touched=touched)
                 except VersionConflictError:
                     if on_conflict == "force":
-                        return self.commit(updates, touched=touched)
+                        # a force commit is a blind whole-table
+                        # replacement — it may clobber keys far outside
+                        # its update set, so it must NOT record a
+                        # footprint a racing merge could "prove"
+                        # disjointness against (round-9 review finding)
+                        return self.commit(updates)
                     if attempt == attempts or (
                         on_conflict == "error"
                         and not self._intermediates_disjoint(0, key, set(buckets))
@@ -423,10 +437,13 @@ class VersionedTable:
                     continue
             merged = merge_upsert(self.read(spark, version=base_v), updates, key)
             try:
+                # force mode writes blind (may clobber keys outside its
+                # update set) — record NO footprint, so racing merges
+                # treat it as an unrecorded commit and stay loud
                 return self.commit(
                     merged,
                     expected_base=None if on_conflict == "force" else base_v,
-                    touched=touched,
+                    touched=None if on_conflict == "force" else touched,
                 )
             except VersionConflictError:
                 if attempt == attempts:

@@ -629,3 +629,37 @@ def test_streaming_span_face_matches_sequential(spark, tmp_path):
     }
     seq_fps = {(r["h1"], r["h2"]) for r in seq_table.read(spark).collect()}
     assert stream_fps == seq_fps
+
+
+def test_span_batch_retry_is_idempotent(spark, tmp_path):
+    """r9 review finding: a re-run of a batch whose first attempt
+    already committed (at-least-once foreachBatch) must cut against the
+    PINNED pre-batch snapshot — not find its own windows in the store
+    and cut the kept-first occurrence — and must append nothing."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        span_dedup_batch_against_store,
+    )
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    boiler = "all rights reserved contact the site administrator now"
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h {boiler}")
+            for i in range(6)]
+    batch = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    table = VersionedTable(str(tmp_path / "retry_store"))
+
+    base_v = table.latest_version() or 0  # what the streaming marker pins
+    cleaned1, stats1 = span_dedup_batch_against_store(
+        spark, batch, table, read_version=base_v
+    )
+    out1 = {r["doc_id"]: r["clean_text"] for r in cleaned1.collect()}
+    assert stats1["fps_appended"] > 0
+    assert boiler in out1[0] and all(boiler not in out1[i] for i in range(1, 6))
+
+    # retry of the SAME batch with the SAME pinned snapshot
+    cleaned2, stats2 = span_dedup_batch_against_store(
+        spark, batch, table, read_version=base_v
+    )
+    out2 = {r["doc_id"]: r["clean_text"] for r in cleaned2.collect()}
+    assert out2 == out1                      # kept-first NOT cut on retry
+    assert stats2["fps_appended"] == 0       # nothing re-committed
+    assert stats2["store_version"] == stats1["store_version"]

@@ -864,3 +864,63 @@ def test_tombstone_delete_and_compaction(spark, embs, books, tmp_path):
         r["vec_id"]
         for r in pq.ivfpq_search(icodes3, icents, ibooks, q, k=5, nprobe=4).collect()
     ] == got
+
+
+def test_compact_crash_recovery_and_concurrent_tombstones(spark, embs, books, tmp_path):
+    """r9 review findings: (a) a crash between compact_index's two
+    renames self-heals at the next load (roll-forward to the counted
+    stage); (b) a tombstone landing after compaction's file snapshot
+    survives the compaction and still applies."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "pq_crash")
+    pq.save_pq_index(pq.pq_encode(embs, books), books, path)
+    total = spark.read.parquet(f"{path}/codes").count()
+
+    # simulate the crash window: codes renamed away, stage in place
+    shutil.copytree(f"{path}/codes", f"{path}/.codes_compact_999")
+    os.rename(f"{path}/codes", f"{path}/.codes_old_999")
+    codes, _ = pq.load_pq_index(spark, path)  # must self-heal
+    assert os.path.isdir(f"{path}/codes") and codes.count() == total
+
+    # concurrent tombstone: present in the dir but written AFTER the
+    # compaction's file snapshot — emulate by monkey-ordering: snapshot
+    # happens at compact entry, so write the late tombstone via a
+    # pre-listed compact.  Here: tombstone A, compact (consumes it),
+    # then tombstone B and verify B still applies after compaction.
+    ids = [r["vec_id"] for r in codes.limit(2).collect()]
+    pq.delete_from_index(spark, path, [ids[0]])
+    assert pq.compact_index(spark, path) == total - 1
+    pq.delete_from_index(spark, path, [ids[1]])
+    assert pq.load_pq_index(spark, path)[0].count() == total - 2
+
+
+def test_drift_gate_cardinality_guard(spark, embs, books, tmp_path, monkeypatch):
+    """r9 review finding: a per-row source_col must fail loudly (group
+    by a coarser label), not silently gate on the worst single vector —
+    the guard coarse_distortion_by carries, restored on the scalar-agg
+    gate path."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    sub = embs.limit(200)
+    _, centroids = sim.build_ivf_index(sub, n_clusters=4)
+    path = str(tmp_path / "ivfpq_guard")
+    pq.save_ivfpq_index(
+        pq.ivfpq_encode(sub, centroids, books), centroids, books, path,
+        base_vecs=sub, rf_ks=(),
+    )
+    inc = sub.limit(50).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding",
+        F.col("vec_id").cast("string").alias("src"),
+    )
+    monkeypatch.setattr(pq, "DRIFT_MAX_GROUPS", 10)
+    with pytest.raises(ValueError, match="coarser"):
+        pq.append_to_ivfpq_index(inc, path, source_col="src")
+    # a sane-cardinality label passes the guard (and the gate itself)
+    monkeypatch.setattr(pq, "DRIFT_MAX_GROUPS", 10_000)
+    ok = sub.limit(20).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"), "embedding",
+        F.lit("crawl-a").alias("src"),
+    )
+    assert pq.append_to_ivfpq_index(ok, path, source_col="src") == 20

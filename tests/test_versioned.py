@@ -482,3 +482,19 @@ def test_disjoint_merges_threaded_race(spark, table):
     out = {r["id"]: r["v"] for r in table.read(spark).collect()}
     assert all(out[i] == "A" for i in (10, 11, 12))
     assert all(out[i] == "B" for i in (20, 21, 22))
+
+
+def test_force_merge_records_no_footprint(spark, table):
+    """r9 review finding: a force commit is a blind whole-table write —
+    it must NOT record a key footprint a racing merge could 'prove'
+    disjointness against."""
+    table.commit(spark.range(2).select("id", F.lit("base").alias("v")))
+    table.merge(
+        spark, spark.range(1).select("id", F.lit("F").alias("v")), "id",
+        on_conflict="force",
+    )
+    assert table._touched_record(table.latest_version()) is None
+    # a normal merge DOES record one
+    table.merge(spark, spark.range(1).select("id", F.lit("M").alias("v")), "id")
+    rec = table._touched_record(table.latest_version())
+    assert rec is not None and rec["key"] == "id" and rec["buckets"]
