@@ -747,8 +747,13 @@ def _apply_tombstones(spark, path: str, codes: DataFrame) -> DataFrame:
     tomb = spark.read.parquet(f"{path}/tombstones").distinct()
     tcol = tomb.columns[0]
     id_col = tcol if tcol in codes.columns else codes.columns[0]
+    # no forced broadcast hint: the tombstone set is file-backed, so
+    # Catalyst auto-broadcasts while it's small (the normal regime,
+    # bounded by compaction cadence) and falls back to a shuffle join
+    # if a neglected layout accumulates a broadcast-unsafe set — slower
+    # probes then, never an executor OOM
     return codes.join(
-        F.broadcast(tomb),
+        tomb,
         codes[id_col].cast("string") == tomb[tcol],
         "left_anti",
     )
