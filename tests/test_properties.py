@@ -370,3 +370,95 @@ def test_pack_greedy_invariants(spark, lens, capacity):
             key = (r["shard"], r["bin"])
             fills[key] = fills.get(key, 0) + r["n_tokens"]
     assert all(f <= capacity for f in fills.values())
+
+
+# tiny token alphabet + short docs → repeated windows occur constantly,
+# including overlapping and within-doc repeats (the adversarial shapes)
+_SPAN_DOCS = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_SPAN_DOCS)
+@settings(**SETTINGS)
+def test_span_cut_matches_bruteforce(spark, docs):
+    """The round-9 skew-immune cut (min(struct) + composite anti-join)
+    must implement EXACTLY Lee et al.'s rule: every occurrence of a
+    window repeated >= 2 times corpus-wide is cut except the globally
+    first by (id, pos), masking per token index.  Brute-force reference
+    computed in plain Python over a 3-letter alphabet with n=3, where
+    overlapping repeats, within-doc repeats, and whole-doc windows all
+    occur."""
+    from readwise_vector_db_spark.operators.dedup import drop_repeated_spans
+
+    n = 3
+    toks = {i: list(d) for i, d in enumerate(docs)}
+    # brute-force spec
+    occ: dict[tuple, list] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            occ.setdefault(tuple(ts[p : p + n]), []).append((i, p))
+    cov: dict[int, set] = {i: set() for i in toks}
+    for sites in occ.values():
+        if len(sites) < 2:
+            continue
+        for (i, p) in sorted(sites)[1:]:  # all but globally-first
+            cov[i].update(range(p, p + n))
+    want = {
+        i: (
+            " ".join(t for j, t in enumerate(ts) if j not in cov[i]),
+            len(cov[i]),
+        )
+        for i, ts in toks.items()
+    }
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in toks.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in drop_repeated_spans(df, n=n).collect()
+    }
+    # ws_tokens of "" yields one empty token; the operator emits every
+    # non-null-text doc, token-rejoined — mirror that for empty docs
+    assert got == want
+
+
+@given(docs=_SPAN_DOCS)
+@settings(**SETTINGS)
+def test_doc_dup_fraction_matches_bruteforce(spark, docs):
+    """The scoring twin counts EVERY occurrence of a repeated window
+    (including the kept first) toward coverage — brute-forced over the
+    same adversarial 3-letter corpus."""
+    from readwise_vector_db_spark.operators.dedup import doc_dup_fraction
+
+    n = 3
+    toks = {i: list(d) for i, d in enumerate(docs)}
+    occ: dict[tuple, list] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            occ.setdefault(tuple(ts[p : p + n]), []).append((i, p))
+    cov: dict[int, set] = {i: set() for i in toks}
+    for sites in occ.values():
+        if len(sites) < 2:
+            continue
+        for (i, p) in sites:  # ALL occurrences count toward the score
+            cov[i].update(range(p, p + n))
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in toks.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in doc_dup_fraction(df, n=n).collect()
+    }
+    for i, ts in toks.items():
+        # ws_tokens("") is a single empty token, so trust the engine's
+        # n_tokens and check coverage + fraction against it
+        nt = got[i][0]
+        assert got[i][1] == len(cov[i])
+        expect_frac = round(len(cov[i]) / nt, 6) if nt > 0 else 0.0
+        assert abs(got[i][2] - expect_frac) < 1e-9
