@@ -759,7 +759,7 @@ def _apply_tombstones(spark, path: str, codes: DataFrame) -> DataFrame:
     )
 
 
-def _recover_codes_dir(path: str) -> None:
+def _recover_codes_dir(path: str, subdir: str = "codes") -> None:
     """Crash recovery for :func:`compact_index`'s directory swap (two
     renames — POSIX has no atomic directory exchange): if ``codes`` is
     missing, roll FORWARD to a fully-written compaction stage when one
@@ -770,17 +770,19 @@ def _recover_codes_dir(path: str) -> None:
     import glob as _glob
     import os as _os
 
-    if _os.path.isdir(f"{path}/codes"):
+    if _os.path.isdir(f"{path}/{subdir}"):
         return
-    stages = sorted(_glob.glob(f"{path}/.codes_compact_*"))
-    olds = sorted(_glob.glob(f"{path}/.codes_old_*"))
+    stages = sorted(_glob.glob(f"{path}/.{subdir}_compact_*"))
+    olds = sorted(_glob.glob(f"{path}/.{subdir}_old_*"))
     if stages:
-        _os.rename(stages[-1], f"{path}/codes")
+        _os.rename(stages[-1], f"{path}/{subdir}")
     elif olds:
-        _os.rename(olds[-1], f"{path}/codes")
+        _os.rename(olds[-1], f"{path}/{subdir}")
 
 
-def compact_index(spark, path: str, partition_cluster: bool | None = None) -> int:
+def compact_index(
+    spark, path: str, partition_cluster: bool | None = None, subdir: str = "codes"
+) -> int:
     """Physically remove tombstoned rows: rewrite ``{path}/codes`` minus
     the tombstone set into a staging dir, swap it into place, then drop
     exactly the tombstone FILES the rewrite consumed — a
@@ -796,7 +798,7 @@ def compact_index(spark, path: str, partition_cluster: bool | None = None) -> in
     import os as _os
     import shutil as _shutil
 
-    _recover_codes_dir(path)
+    _recover_codes_dir(path, subdir)
     # snapshot the tombstone files BEFORE the rewrite: only these are
     # guaranteed applied by the stage job; later arrivals must survive
     tomb_dir = f"{path}/tombstones"
@@ -804,19 +806,19 @@ def compact_index(spark, path: str, partition_cluster: bool | None = None) -> in
     if _os.path.isdir(tomb_dir):
         for root, _, files in _os.walk(tomb_dir):
             pre_files.extend(_os.path.join(root, fn) for fn in files)
-    codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
+    codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/{subdir}"))
     if partition_cluster is None:
         partition_cluster = "cluster" in codes.columns
-    stage = f"{path}/.codes_compact_{_os.getpid()}"
+    stage = f"{path}/.{subdir}_compact_{_os.getpid()}"
     _shutil.rmtree(stage, ignore_errors=True)
     w = codes.write.mode("overwrite")
     if partition_cluster:
         w = w.partitionBy("cluster")
     w.parquet(stage)
     n = spark.read.parquet(stage).count()
-    old = f"{path}/.codes_old_{_os.getpid()}"
-    _os.rename(f"{path}/codes", old)
-    _os.rename(stage, f"{path}/codes")
+    old = f"{path}/.{subdir}_old_{_os.getpid()}"
+    _os.rename(f"{path}/{subdir}", old)
+    _os.rename(stage, f"{path}/{subdir}")
     _shutil.rmtree(old, ignore_errors=True)
     for fp_ in pre_files:
         try:

@@ -464,8 +464,19 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[tuple[int, list[fl
     """(assigned, centroids) from a :func:`save_ivf_index` layout.
     ``assigned`` scans the partitioned parquet — cluster predicates
     prune directories; ``centroids`` is driver-side index metadata
-    (n_clusters rows)."""
-    assigned = spark.read.parquet(f"{path}/assigned")
+    (n_clusters rows).  Tombstoned ids (``pq.delete_from_index`` — the
+    tombstone/compaction machinery is shared across the three persisted
+    index families) are excluded from the returned scan; compact with
+    ``pq.compact_index(spark, path, subdir="assigned")``."""
+    from readwise_vector_db_spark.operators.pq import (
+        _apply_tombstones,
+        _recover_codes_dir,
+    )
+
+    _recover_codes_dir(path, "assigned")
+    assigned = _apply_tombstones(
+        spark, path, spark.read.parquet(f"{path}/assigned")
+    )
     cent = spark.read.parquet(f"{path}/centroids").collect()
     centroids = sorted(
         (int(r["cluster"]), [float(x) for x in r["centroid"]]) for r in cent

@@ -381,3 +381,40 @@ def test_ivf_sampled_fit(spark, embs):
     assert {r["neighbor_id"] for r in got.collect()} == {
         int(q0["vec_id"]), int(q0["vec_id"]) + 1_000_000
     }
+
+
+def test_ivf_layout_tombstone_delete_and_compaction(spark, tmp_path):
+    """The tombstone machinery is shared across index families: deletes
+    on a save_ivf_index layout stop serving at the next load, and
+    compact_index(subdir='assigned') physically removes them keeping
+    the cluster partitioning."""
+    import os
+
+    import numpy as np
+
+    from readwise_vector_db_spark.operators import pq
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(300)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, centroids = sim.build_ivf_index(embs, n_clusters=4)
+    path = str(tmp_path / "ivf_del")
+    sim.save_ivf_index(assigned, centroids, path)
+
+    loaded, cents = sim.load_ivf_index(spark, path)
+    q = rows[0][1]
+    top = [r["neighbor_id"] for r in sim.ivf_search(loaded, cents, q, k=5, nprobe=4).collect()]
+    assert top[0] == 0
+    pq.delete_from_index(spark, path, [top[0]])
+    loaded2, _ = sim.load_ivf_index(spark, path)
+    assert loaded2.count() == 299
+    got = [r["neighbor_id"] for r in sim.ivf_search(loaded2, cents, q, k=5, nprobe=4).collect()]
+    assert top[0] not in got and got[0] == top[1]
+    assert pq.compact_index(spark, path, subdir="assigned") == 299
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert any(d.startswith("cluster=") for d in os.listdir(f"{path}/assigned"))
+    loaded3, _ = sim.load_ivf_index(spark, path)
+    assert [
+        r["neighbor_id"] for r in sim.ivf_search(loaded3, cents, q, k=5, nprobe=4).collect()
+    ] == got
