@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from readwise_vector_db_spark.operators.dedup import hash64
@@ -121,16 +122,73 @@ def dataset_split_stratified(
     exactly sized).  The honest trade: a row's split now depends on its
     stratum's membership, so appends can migrate rows between splits —
     use the stable hash split when contamination-across-versions is the
-    constraint, this when exact stratification is.  One shuffle on the
-    stratum key; weights must sum to ≤ 1 (remainder → NULL holdout).
+    constraint, this when exact stratification is.  Weights must sum to
+    ≤ 1 (remainder → NULL holdout).
+
+    Skew (round 9 — the span-cut discipline applied here): the stratum
+    rank does NOT run as a window partitioned by the stratum alone (a
+    hot stratum — half the corpus from one source — would serialize
+    into one task's sort).  Instead the same two-phase shape as
+    ``shuffle_order``: rows sub-bucket by CONTIGUOUS ranges of the
+    split hash (order-preserving, so ranks are bit-identical to the
+    single-window formulation), per-(stratum, sub-bucket) counts fold
+    with partial aggregation, the driver prefix-sums them (≤ strata ×
+    ``n_subbuckets`` longs, guarded), and the rank window partitions by
+    (stratum, sub-bucket) — the hot stratum spreads across
+    ``n_subbuckets`` tasks.  At 100 TB n_subbuckets scales with the
+    cluster; everything else is one broadcast-joined offsets frame.
     """
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError("split weights must sum to <= 1")
+    n_subbuckets = 32
+    if _RATE_DEN % n_subbuckets:
+        raise ValueError("n_subbuckets must divide the hash range")
+    width = _RATE_DEN // n_subbuckets
     b = _bucket(id_col, salt, base_hash)
-    w_rank = W.partitionBy(strata_col).orderBy(F.asc(b), F.asc(id_col))
-    w_all = W.partitionBy(strata_col)
-    frac = F.row_number().over(w_rank).cast("double") / F.count("*").over(w_all)
+    keyed = df.withColumn("_sb", b).withColumn(
+        "_sub", F.floor(F.col("_sb") / F.lit(width)).cast("int")
+    )
+    cap = 200_000  # strata × sub-buckets the driver will hold
+    cnt_rows = (
+        keyed.groupBy(strata_col, "_sub")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(cnt_rows) > cap:
+        raise ValueError(
+            f"dataset_split_stratified: more than {cap} (stratum, "
+            "sub-bucket) groups — group by a coarser stratum column"
+        )
+    per_stratum: dict = {}
+    for r in cnt_rows:
+        per_stratum.setdefault(r[strata_col], {})[int(r["_sub"])] = int(r["_c"])
+    off_rows = []
+    for s, subs in per_stratum.items():
+        tot = sum(subs.values())
+        acc = 0
+        for sub in sorted(subs):
+            off_rows.append((s, sub, acc, tot))
+            acc += subs[sub]
+    spark = df.sparkSession
+    strata_type = df.schema[strata_col].dataType
+    off_schema = T.StructType(
+        [
+            T.StructField(strata_col, strata_type, True),
+            T.StructField("_sub", T.IntegerType(), False),
+            T.StructField("_off", T.LongType(), False),
+            T.StructField("_tot", T.LongType(), False),
+        ]
+    )
+    offsets = F.broadcast(spark.createDataFrame(off_rows, off_schema))
+    w_rank = W.partitionBy(strata_col, "_sub").orderBy(
+        F.asc("_sb"), F.asc(id_col)
+    )
+    ranked = keyed.join(offsets, [strata_col, "_sub"]).withColumn(
+        "_rk", F.row_number().over(w_rank) + F.col("_off")
+    )
+    frac = F.col("_rk").cast("double") / F.col("_tot")
     bounds, cum = [], 0.0
     for name, wt in weights.items():
         cum += wt
@@ -138,7 +196,7 @@ def dataset_split_stratified(
     expr = F.lit(None).cast("string")
     for name, hi in sorted(bounds, key=lambda t: -t[1]):
         expr = F.when(frac <= F.lit(hi), F.lit(name)).otherwise(expr)
-    return df.withColumn(split_col, expr)
+    return ranked.withColumn(split_col, expr).drop("_sb", "_sub", "_off", "_tot", "_rk")
 
 
 def quota_sample(

@@ -36,7 +36,12 @@ signal).  One JSON line per configuration.
              both cut formulations with a full clean-text hash equality
              check.
 
-Usage: python tools/bench_skew.py [semantic|pack|spans|all]
+  split:     a HOT STRATUM (half the corpus one source) through the
+             stratified split's rank — old stratum-only key vs the
+             round-9 two-phase (stratum, hash-sub-bucket) key, plus
+             end-to-end wall and exact per-split counts.
+
+Usage: python tools/bench_skew.py [semantic|pack|spans|split|all]
 """
 
 from __future__ import annotations
@@ -332,6 +337,70 @@ def bench_spans(n_docs: int = 20_000, copies_per_doc: int = 5) -> None:
     docs.unpersist()
 
 
+def bench_split(n: int = 2_000_000, hot_frac: float = 0.5) -> None:
+    """Round-9: the stratified-split rank under a HOT STRATUM (half the
+    corpus from one source).  Measures the exchange task balance of the
+    old rank key (the stratum alone — every hot-stratum row in one
+    task's sort) vs the two-phase key (stratum, contiguous-hash
+    sub-bucket), plus end-to-end wall and exact per-split counts of the
+    shipped implementation."""
+    from readwise_vector_db_spark.operators.sampling import (
+        _RATE_DEN,
+        _bucket,
+        dataset_split_stratified,
+    )
+    from readwise_vector_db_spark.session import get_spark
+
+    spark = get_spark("skew_split")
+    hot_n = int(n * hot_frac)
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < hot_n, F.lit("hot-source")).otherwise(
+            F.concat(F.lit("src-"), (F.col("id") % 64).cast("string"))
+        ).alias("source"),
+    ).repartition(32).persist()
+    docs.count()
+    width = _RATE_DEN // 32
+    b = _bucket("doc_id", "split", "xxhash64")
+    keyed = docs.withColumn(
+        "_sub", F.floor(b / F.lit(width)).cast("int")
+    )
+    for label, keys in (
+        ("old_key_stratum", [F.col("source")]),
+        ("new_key_stratum_sub", [F.col("source"), F.col("_sub")]),
+    ):
+        dist = (
+            keyed.repartition(32, *keys)
+            .withColumn("_p", F.spark_partition_id())
+            .groupBy("_p").count().collect()
+        )
+        sizes = sorted(int(r["count"]) for r in dist)
+        total = sum(sizes)
+        emit(
+            mode="split", config=label, n=n, hot_rows=hot_n,
+            task_rows_max=sizes[-1],
+            balance_max_over_mean=round(sizes[-1] / (total / 32), 2),
+        )
+    t0 = time.monotonic()
+    out = dataset_split_stratified(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "source"
+    )
+    counts = {
+        (bool(r["is_hot"]), r["split"]): int(r["c"])
+        for r in out.groupBy(
+            (F.col("source") == "hot-source").alias("is_hot"), "split"
+        ).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    wall = time.monotonic() - t0
+    emit(
+        mode="split", config="end_to_end", n=n, wall_s=round(wall, 2),
+        hot_train=counts.get((True, "train")),
+        hot_val=counts.get((True, "val")),
+        hot_test=counts.get((True, "test")),
+    )
+    docs.unpersist()
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("semantic", "all"):
@@ -340,6 +409,8 @@ def main() -> None:
         bench_pack()
     if which in ("spans", "all"):
         bench_spans()
+    if which in ("split", "all"):
+        bench_split()
 
 
 if __name__ == "__main__":
