@@ -104,6 +104,70 @@ def dataset_split(
     return df.withColumn(split_col, expr)
 
 
+def _two_phase_group_rank(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    salt: str,
+    base_hash: str,
+    n_subbuckets: int = 32,
+    cap: int = 200_000,
+) -> DataFrame:
+    """``df`` + ``_rk`` (1-based row number within ``group_col`` ordered
+    by the salted id hash then id) + ``_tot`` (group size) — computed
+    WITHOUT a window partitioned by the group alone, so a hot group
+    never serializes into one task (round 9; the ``shuffle_order``
+    two-phase shape shared by the stratified split and the quota cap):
+    rows sub-bucket by CONTIGUOUS ranges of the hash (order-preserving,
+    so ranks are bit-identical to the single-window formulation),
+    per-(group, sub-bucket) counts fold with partial aggregation, the
+    driver prefix-sums them (≤ groups × n_subbuckets longs, loudly
+    guarded by ``cap``), and the rank window partitions by (group,
+    sub-bucket).  Callers drop the ``_``-prefixed columns."""
+    if _RATE_DEN % n_subbuckets:
+        raise ValueError("n_subbuckets must divide the hash range")
+    width = _RATE_DEN // n_subbuckets
+    b = _bucket(id_col, salt, base_hash)
+    keyed = df.withColumn("_sb", b).withColumn(
+        "_sub", F.floor(F.col("_sb") / F.lit(width)).cast("int")
+    )
+    cnt_rows = (
+        keyed.groupBy(group_col, "_sub")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(cnt_rows) > cap:
+        raise ValueError(
+            f"_two_phase_group_rank: more than {cap} (group, sub-bucket) "
+            f"pairs in {group_col!r} — group by a coarser column"
+        )
+    per_group: dict = {}
+    for r in cnt_rows:
+        per_group.setdefault(r[group_col], {})[int(r["_sub"])] = int(r["_c"])
+    off_rows = []
+    for g, subs in per_group.items():
+        tot = sum(subs.values())
+        acc = 0
+        for sub in sorted(subs):
+            off_rows.append((g, sub, acc, tot))
+            acc += subs[sub]
+    spark = df.sparkSession
+    off_schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType, True),
+            T.StructField("_sub", T.IntegerType(), False),
+            T.StructField("_off", T.LongType(), False),
+            T.StructField("_tot", T.LongType(), False),
+        ]
+    )
+    offsets = F.broadcast(spark.createDataFrame(off_rows, off_schema))
+    w_rank = W.partitionBy(group_col, "_sub").orderBy(F.asc("_sb"), F.asc(id_col))
+    return keyed.join(offsets, [group_col, "_sub"]).withColumn(
+        "_rk", F.row_number().over(w_rank) + F.col("_off")
+    )
+
+
 def dataset_split_stratified(
     df: DataFrame,
     weights: dict[str, float],
@@ -141,53 +205,7 @@ def dataset_split_stratified(
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError("split weights must sum to <= 1")
-    n_subbuckets = 32
-    if _RATE_DEN % n_subbuckets:
-        raise ValueError("n_subbuckets must divide the hash range")
-    width = _RATE_DEN // n_subbuckets
-    b = _bucket(id_col, salt, base_hash)
-    keyed = df.withColumn("_sb", b).withColumn(
-        "_sub", F.floor(F.col("_sb") / F.lit(width)).cast("int")
-    )
-    cap = 200_000  # strata × sub-buckets the driver will hold
-    cnt_rows = (
-        keyed.groupBy(strata_col, "_sub")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .limit(cap + 1)
-        .collect()
-    )
-    if len(cnt_rows) > cap:
-        raise ValueError(
-            f"dataset_split_stratified: more than {cap} (stratum, "
-            "sub-bucket) groups — group by a coarser stratum column"
-        )
-    per_stratum: dict = {}
-    for r in cnt_rows:
-        per_stratum.setdefault(r[strata_col], {})[int(r["_sub"])] = int(r["_c"])
-    off_rows = []
-    for s, subs in per_stratum.items():
-        tot = sum(subs.values())
-        acc = 0
-        for sub in sorted(subs):
-            off_rows.append((s, sub, acc, tot))
-            acc += subs[sub]
-    spark = df.sparkSession
-    strata_type = df.schema[strata_col].dataType
-    off_schema = T.StructType(
-        [
-            T.StructField(strata_col, strata_type, True),
-            T.StructField("_sub", T.IntegerType(), False),
-            T.StructField("_off", T.LongType(), False),
-            T.StructField("_tot", T.LongType(), False),
-        ]
-    )
-    offsets = F.broadcast(spark.createDataFrame(off_rows, off_schema))
-    w_rank = W.partitionBy(strata_col, "_sub").orderBy(
-        F.asc("_sb"), F.asc(id_col)
-    )
-    ranked = keyed.join(offsets, [strata_col, "_sub"]).withColumn(
-        "_rk", F.row_number().over(w_rank) + F.col("_off")
-    )
+    ranked = _two_phase_group_rank(df, strata_col, id_col, salt, base_hash)
     frac = F.col("_rk").cast("double") / F.col("_tot")
     bounds, cum = [], 0.0
     for name, wt in weights.items():
@@ -209,16 +227,17 @@ def quota_sample(
 ) -> DataFrame:
     """Exact per-group cap: keep at most ``quota`` rows per group,
     chosen by hash order (a deterministic uniform sample without
-    replacement).  One shuffle on ``group_col``; for groups that dwarf a
-    partition, pre-shrink with ``rate_cap`` first.
+    replacement).  Round 9: the rank runs through
+    :func:`_two_phase_group_rank`, so a hot group spreads across
+    sub-bucket tasks instead of serializing into one sort — the same
+    selection bit-for-bit.  ``rate_cap`` pre-shrink remains useful to
+    cut the SCANNED volume for extreme quota≪group ratios; it is no
+    longer needed for task balance.
     """
-    w = W.partitionBy(group_col).orderBy(
-        F.asc(_bucket(id_col, salt, base_hash)), F.asc(id_col)
-    )
+    ranked = _two_phase_group_rank(df, group_col, id_col, salt, base_hash)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= quota)
-        .drop("_rk")
+        ranked.filter(F.col("_rk") <= quota)
+        .drop("_sb", "_sub", "_off", "_tot", "_rk")
     )
 
 
