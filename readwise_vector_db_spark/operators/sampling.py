@@ -111,19 +111,29 @@ def _two_phase_group_rank(
     salt: str,
     base_hash: str,
     n_subbuckets: int = 32,
-    cap: int = 200_000,
 ) -> DataFrame:
     """``df`` + ``_rk`` (1-based row number within ``group_col`` ordered
     by the salted id hash then id) + ``_tot`` (group size) — computed
     WITHOUT a window partitioned by the group alone, so a hot group
     never serializes into one task (round 9; the ``shuffle_order``
-    two-phase shape shared by the stratified split and the quota cap):
-    rows sub-bucket by CONTIGUOUS ranges of the hash (order-preserving,
-    so ranks are bit-identical to the single-window formulation),
-    per-(group, sub-bucket) counts fold with partial aggregation, the
-    driver prefix-sums them (≤ groups × n_subbuckets longs, loudly
-    guarded by ``cap``), and the rank window partitions by (group,
-    sub-bucket).  Callers drop the ``_``-prefixed columns."""
+    discipline shared by the stratified split and the quota cap):
+
+    1. rows sub-bucket by CONTIGUOUS ranges of the hash
+       (order-preserving, so ranks are bit-identical to the
+       single-window formulation);
+    2. per-(group, sub-bucket) counts fold with partial aggregation
+       (the hot group's rows combine map-side);
+    3. cumulative offsets come from a window over the COUNTS FRAME —
+       ≤ n_subbuckets rows per group, trivially balanced — entirely
+       lazily: no driver collect, no extra job, no cardinality cap
+       (unlike ``shuffle_order``'s global variant, the offsets here are
+       per-group so the frame stays aggregation-sized);
+    4. the rank window partitions by (group, sub-bucket) and adds the
+       joined offset.  The join is left to Catalyst: auto-broadcast
+       while the offsets frame is small, shuffle-join (on the composite
+       key — skew-free) past the threshold.
+
+    Callers drop the ``_``-prefixed columns."""
     if _RATE_DEN % n_subbuckets:
         raise ValueError("n_subbuckets must divide the hash range")
     width = _RATE_DEN // n_subbuckets
@@ -131,37 +141,18 @@ def _two_phase_group_rank(
     keyed = df.withColumn("_sb", b).withColumn(
         "_sub", F.floor(F.col("_sb") / F.lit(width)).cast("int")
     )
-    cnt_rows = (
-        keyed.groupBy(group_col, "_sub")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .limit(cap + 1)
-        .collect()
+    counts = keyed.groupBy(group_col, "_sub").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        W.partitionBy(group_col)
+        .orderBy("_sub")
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    if len(cnt_rows) > cap:
-        raise ValueError(
-            f"_two_phase_group_rank: more than {cap} (group, sub-bucket) "
-            f"pairs in {group_col!r} — group by a coarser column"
-        )
-    per_group: dict = {}
-    for r in cnt_rows:
-        per_group.setdefault(r[group_col], {})[int(r["_sub"])] = int(r["_c"])
-    off_rows = []
-    for g, subs in per_group.items():
-        tot = sum(subs.values())
-        acc = 0
-        for sub in sorted(subs):
-            off_rows.append((g, sub, acc, tot))
-            acc += subs[sub]
-    spark = df.sparkSession
-    off_schema = T.StructType(
-        [
-            T.StructField(group_col, df.schema[group_col].dataType, True),
-            T.StructField("_sub", T.IntegerType(), False),
-            T.StructField("_off", T.LongType(), False),
-            T.StructField("_tot", T.LongType(), False),
-        ]
+    offsets = counts.select(
+        group_col,
+        "_sub",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(W.partitionBy(group_col)).alias("_tot"),
     )
-    offsets = F.broadcast(spark.createDataFrame(off_rows, off_schema))
     w_rank = W.partitionBy(group_col, "_sub").orderBy(F.asc("_sb"), F.asc(id_col))
     return keyed.join(offsets, [group_col, "_sub"]).withColumn(
         "_rk", F.row_number().over(w_rank) + F.col("_off")
