@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_semantic_probe",
     "dedup_clusters",
     "dedup_repeated_spans",  # round-8 span-level substring signal
+    "doc_dup_fraction",  # round-9 per-doc duplicated-ngram quality score
     "drift_by_source",       # round-8 grouped drift statistic
     "decontaminate",
     "pii_redact",
@@ -171,6 +172,7 @@ def _setup_and_measure(run_idx: int) -> dict:
             "lm_quality",
             "dedup_repeated_spans",
             "drift_by_source",
+            "doc_dup_fraction",
         )
     ]
     assert not off_surface, f"bench names not on the driver surface: {off_surface}"
