@@ -719,9 +719,11 @@ def delete_from_index(spark, path: str, ids, id_col: str = "vec_id") -> int:
        is step 2).
 
     ``ids`` is a list or a single-column DataFrame.  Returns the number
-    of tombstones written.  The anti-join broadcasts the tombstone set
-    (bounded by compaction cadence) — the codes scan shape and its
-    partition pruning are unchanged."""
+    of tombstones written.  Catalyst auto-broadcasts the file-backed
+    tombstone set for the anti-join while compaction keeps it small
+    (the normal regime) and falls back to a shuffle join if a neglected
+    layout accumulates a broadcast-unsafe set — the codes scan's
+    partition pruning is unchanged either way."""
     if isinstance(ids, DataFrame):
         tomb = ids.select(F.col(ids.columns[0]).cast("string").alias(id_col))
     else:

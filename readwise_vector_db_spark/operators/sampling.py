@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from readwise_vector_db_spark.operators.dedup import hash64
@@ -129,9 +128,18 @@ def _two_phase_group_rank(
        (unlike ``shuffle_order``'s global variant, the offsets here are
        per-group so the frame stays aggregation-sized);
     4. the rank window partitions by (group, sub-bucket) and adds the
-       joined offset.  The join is left to Catalyst: auto-broadcast
-       while the offsets frame is small, shuffle-join (on the composite
-       key — skew-free) past the threshold.
+       joined offset (NULL-SAFE on the group — rows with missing
+       metadata are a real stratum and must survive).  The join is left
+       to Catalyst: auto-broadcast while the offsets frame is small,
+       shuffle-join (on the composite key — skew-free) past the
+       threshold.
+
+    Determinism requirement: the counts phase and the rank phase scan
+    ``df`` INDEPENDENTLY, so ``df`` must be deterministic (no
+    ``sample()``/``rand()`` upstream without a seed+materialization) or
+    ``_rk`` can disagree with ``_tot`` — the same contract Spark itself
+    imposes on any recomputed lineage, stated here because the replaced
+    single-window form was accidentally immune.
 
     Callers drop the ``_``-prefixed columns."""
     if _RATE_DEN % n_subbuckets:
@@ -148,14 +156,25 @@ def _two_phase_group_rank(
         .rowsBetween(W.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        group_col,
-        "_sub",
+        F.col(group_col).alias("_g2"),
+        F.col("_sub").alias("_sub2"),
         F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_c").over(W.partitionBy(group_col)).alias("_tot"),
     )
     w_rank = W.partitionBy(group_col, "_sub").orderBy(F.asc("_sb"), F.asc(id_col))
-    return keyed.join(offsets, [group_col, "_sub"]).withColumn(
-        "_rk", F.row_number().over(w_rank) + F.col("_off")
+    # NULL-SAFE join on the group (missing metadata is a real stratum —
+    # windows kept NULL-group rows and so must the two-phase form; a
+    # plain equi-join silently dropped them, r9 review finding), with
+    # explicit renamed right-side keys so the joined frame keeps the
+    # caller's column order
+    return (
+        keyed.join(
+            offsets,
+            keyed[group_col].eqNullSafe(offsets["_g2"])
+            & (keyed["_sub"] == offsets["_sub2"]),
+        )
+        .drop("_g2", "_sub2")
+        .withColumn("_rk", F.row_number().over(w_rank) + F.col("_off"))
     )
 
 
@@ -187,11 +206,12 @@ def dataset_split_stratified(
     ``shuffle_order``: rows sub-bucket by CONTIGUOUS ranges of the
     split hash (order-preserving, so ranks are bit-identical to the
     single-window formulation), per-(stratum, sub-bucket) counts fold
-    with partial aggregation, the driver prefix-sums them (≤ strata ×
-    ``n_subbuckets`` longs, guarded), and the rank window partitions by
-    (stratum, sub-bucket) — the hot stratum spreads across
-    ``n_subbuckets`` tasks.  At 100 TB n_subbuckets scales with the
-    cluster; everything else is one broadcast-joined offsets frame.
+    with partial aggregation, cumulative offsets come LAZILY from
+    windows over the aggregation-sized counts frame (no driver
+    collect), and the rank window partitions by (stratum, sub-bucket) —
+    the hot stratum spreads across the helper's sub-buckets (32
+    internally; raise it in ``_two_phase_group_rank`` for clusters
+    whose hot groups outgrow 32-way spreading).
     """
     total = sum(weights.values())
     if total > 1.0 + 1e-9:

@@ -279,3 +279,32 @@ def test_dataset_split_stratified_exact_proportions(spark):
 
     with _pt.raises(ValueError, match="sum"):
         dataset_split_stratified(df, {"a": 0.9, "b": 0.2}, strata_col="source")
+
+
+def test_group_rank_keeps_null_groups_and_column_order(spark):
+    """r9 review finding: the two-phase rank's join must be NULL-SAFE on
+    the group (rows with missing metadata are a real stratum — the old
+    window formulation kept them) and must preserve the caller's column
+    order."""
+    from readwise_vector_db_spark.operators.sampling import (
+        dataset_split_stratified,
+        quota_sample,
+    )
+
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = dataset_split_stratified(
+        df, {"train": 0.5, "val": 0.25, "test": 0.25}, "source"
+    )
+    assert out.columns == ["doc_id", "source", "split"]
+    got = out.collect()
+    assert len(got) == 5  # NULL-source rows survive
+    assert sum(1 for r in got if r["source"] is None) == 2
+    assert all(r["split"] in ("train", "val", "test") for r in got)
+
+    q = quota_sample(df, quota=1, group_col="source")
+    assert q.columns == ["doc_id", "source"]
+    by_src = {}
+    for r in q.collect():
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src.get(None) == 1 and by_src.get("a") == 1 and by_src.get("b") == 1

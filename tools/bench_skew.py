@@ -344,13 +344,21 @@ def bench_split(n: int = 2_000_000, hot_frac: float = 0.5) -> None:
     task's sort) vs the two-phase key (stratum, contiguous-hash
     sub-bucket), plus end-to-end wall and exact per-split counts of the
     shipped implementation."""
+    import inspect
+
     from readwise_vector_db_spark.operators.sampling import (
         _RATE_DEN,
         _bucket,
+        _two_phase_group_rank,
         dataset_split_stratified,
     )
     from readwise_vector_db_spark.session import get_spark
 
+    # derive the sub-bucket count from the SHIPPED helper so the
+    # measured key never diverges from what the operators execute
+    n_sub = inspect.signature(_two_phase_group_rank).parameters[
+        "n_subbuckets"
+    ].default
     spark = get_spark("skew_split")
     hot_n = int(n * hot_frac)
     docs = spark.range(n).select(
@@ -360,7 +368,7 @@ def bench_split(n: int = 2_000_000, hot_frac: float = 0.5) -> None:
         ).alias("source"),
     ).repartition(32).persist()
     docs.count()
-    width = _RATE_DEN // 32
+    width = _RATE_DEN // n_sub
     b = _bucket("doc_id", "split", "xxhash64")
     keyed = docs.withColumn(
         "_sub", F.floor(b / F.lit(width)).cast("int")

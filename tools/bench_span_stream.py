@@ -70,7 +70,13 @@ def main() -> None:
             .parquet(src)
         )
         q = inc.run_incremental_span_dedup(spark, stream, store, out)
-        q.awaitTermination(1200)
+        drained = q.awaitTermination(1200)
+        if not drained:
+            q.stop()
+            raise RuntimeError(
+                "stream did not drain in 1200s — partial results, refusing "
+                "to emit a regime measurement"
+            )
     finally:
         inc.span_dedup_batch_against_store = real_process
 
