@@ -35,7 +35,17 @@ and the full artifact carries ``per_run_queries`` /
 ``per_run_queries_min`` (every pass's complete per-query dict) plus
 ``per_run_window`` (epoch start/end of each pass) — an elevated row is
 now attributable to a specific pass and wall-clock window instead of
-being unexplainable.  The driver's stdout capture holds only the last
+being unexplainable.
+
+Calibration gating (round 10 — r9 verdict item 1): the headline
+min-of-N folds over IN-BAND passes only — a pass whose pinned Spark
+calibration row exceeds the round's best pass by ``CALIB_REL_TOL`` is
+discarded and re-run (up to ``SPARK_GRAFT_BENCH_MAX_EXTRA`` extras);
+the artifact carries ``host_degraded`` (best pass vs the stored
+clean-window anchor ``CALIB_REF``), ``calib_spark_ratio``, and
+``queries_min_norm`` / ``value_min_norm`` (calib-normalized trend
+rows).  See the CALIB_REF comment below for why the gate is relative
+in-round and only the STAMP is absolute.  The driver's stdout capture holds only the last
 ~2000 chars, so the compact line stays minimal and the per-run detail
 lands in ``BENCH_FULL.json`` next to this script (rewritten every
 invocation; committed per round).  ``SPARK_GRAFT_BENCH_SUBPROC=0``
@@ -52,6 +62,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# --- calibration gating (round 10 — r9 verdict item 1) -------------------
+# CALIB_REF is the stored clean-window anchor: the r9 mid-round pass on
+# an undegraded host (numpy gemm 0.0314 s, pinned Spark sum 0.0747 s —
+# SCALING.md "Host-calibration rows").  It is the cross-round
+# NORMALIZATION denominator, not an absolute pass/fail bar: containers
+# differ round-to-round (r10's idle box reads gemm ~0.07 / spark ~0.15
+# all day), so absolute gating would discard every pass on a slower
+# container and thrash forever.  Instead:
+#   * RELATIVE gate: a pass whose pinned Spark calib exceeds the round's
+#     best pass by CALIB_REL_TOL ran in a TRANSIENT degraded window —
+#     it is discarded and (budget permitting) re-run; the headline
+#     min-of-N folds over in-band passes only.
+#   * ABSOLUTE stamp: if even the best pass's calib exceeds
+#     CALIB_REF * CALIB_ABS_TOL the whole round ran on a slow host —
+#     the artifact is stamped host_degraded (nothing to re-run into).
+#   * NORMALIZED rows: queries_min_norm divides each pass's raw time by
+#     that pass's spark-calib ratio to the anchor, then min-folds —
+#     the cross-round trend table that "divides by the band
+#     automatically".  It over-corrects pure-CPU (pandas-UDF) rows —
+#     read it next to the gemm ratio, also emitted.
+CALIB_REF = {"numpy_gemm_1536_s": 0.0314, "spark_sum_50m_s": 0.0747}
+CALIB_REL_TOL = float(os.environ.get("SPARK_GRAFT_CALIB_REL_TOL", "1.35"))
+CALIB_ABS_TOL = float(os.environ.get("SPARK_GRAFT_CALIB_ABS_TOL", "1.5"))
 
 # Every name here is on the driver-checked main surface
 # (registry.queries()) — the bench trends exactly what ships.  Round 4
@@ -104,37 +138,49 @@ HEADLINE = [
 ]
 
 
-def _run_passes_subprocess(n_runs: int) -> list[dict]:
-    """Each pass in its own python/JVM process, sequentially, with a
-    sleep gap — temporal AND process isolation between passes, so a
-    host stall window or accumulated JVM state cannot span them."""
+def _one_pass_subprocess() -> dict:
+    """One pass in its own python/JVM process — temporal AND process
+    isolation between passes, so a host stall window or accumulated JVM
+    state cannot span them."""
     import subprocess
     import tempfile
 
-    gap = float(os.environ.get("SPARK_GRAFT_BENCH_GAP_SEC", "30"))
-    runs = []
-    for i in range(n_runs):
-        if i:
-            time.sleep(gap)
-        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
-            out_path = tf.name
-        env = dict(os.environ)
-        env["SPARK_GRAFT_BENCH_SUBPROC"] = "0"  # child runs in-process
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        out_path = tf.name
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_SUBPROC"] = "0"  # child runs in-process
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one-run", out_path],
+            check=True,
+            env=env,
+            stdout=sys.stderr,  # keep the parent's stdout tail clean
+        )
+        with open(out_path) as f:
+            return json.load(f)
+    finally:
         try:
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one-run", out_path],
-                check=True,
-                env=env,
-                stdout=sys.stderr,  # keep the parent's stdout tail clean
-            )
-            with open(out_path) as f:
-                runs.append(json.load(f))
-        finally:
-            try:
-                os.remove(out_path)
-            except OSError:
-                pass
-    return runs
+            os.remove(out_path)
+        except OSError:
+            pass
+
+
+def _in_band_indices(calibs: list[dict | None]) -> list[int]:
+    """Indices of passes whose pinned Spark calibration is within
+    CALIB_REL_TOL of the round's best pass (see module-top rationale).
+    Passes with no calibration row count as in-band (legacy runs)."""
+    spark_times = [
+        (c or {}).get("spark_sum_50m_s") for c in calibs
+    ]
+    known = [t for t in spark_times if t is not None]
+    if not known:
+        return list(range(len(calibs)))
+    best = min(known)
+    return [
+        i
+        for i, t in enumerate(spark_times)
+        if t is None or t <= best * CALIB_REL_TOL
+    ]
 
 
 def _setup_and_measure(run_idx: int) -> dict:
@@ -266,20 +312,63 @@ def main() -> None:
         with open(sys.argv[2], "w") as f:
             json.dump(run, f)
         return
-    if subproc and n_runs > 1:
-        runs = _run_passes_subprocess(n_runs)
-    else:
-        runs = [_setup_and_measure(i) for i in range(n_runs)]
+    gap = float(os.environ.get("SPARK_GRAFT_BENCH_GAP_SEC", "30"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+
+    def one_pass(i: int) -> dict:
+        if i:
+            time.sleep(gap)
+        return _one_pass_subprocess() if (subproc and n_runs > 1) else _setup_and_measure(i)
+
+    runs = [one_pass(i) for i in range(n_runs)]
+    # calibration gate (r10): discard transiently-degraded passes and
+    # re-run within budget, so one bad host window can't set the
+    # committed headline (r9's final artifact ran BOTH passes degraded)
+    extras = 0
+    while (
+        len(_in_band_indices([r.get("calibration") for r in runs])) < n_runs
+        and extras < max_extra
+    ):
+        extras += 1
+        runs.append(one_pass(len(runs)))
+    in_band = _in_band_indices([r.get("calibration") for r in runs])
+    band_runs = [runs[i] for i in in_band] or runs
+
     windows = [r.pop("window_epoch", None) for r in runs]
     calibs = [r.pop("calibration", None) for r in runs]
-    out = _merge_runs(runs)
-    out["n_runs"] = n_runs
+    out = _merge_runs(band_runs)
+    out["n_runs"] = len(runs)
+    out["n_runs_in_band"] = len(in_band)
+    out["in_band_passes"] = in_band
     out["per_run_calibration"] = calibs
     out["per_run_value_min"] = [r["value_min"] for r in runs]
     out["per_run_queries"] = [r["queries"] for r in runs]
     out["per_run_queries_min"] = [r["queries_min"] for r in runs]
     out["per_run_window"] = windows
     out["pass_isolation"] = "subprocess" if (subproc and n_runs > 1) else "in-process"
+    # absolute classification + normalized trend rows (see module top)
+    ref = CALIB_REF["spark_sum_50m_s"]
+    band_spark = [
+        (calibs[i] or {}).get("spark_sum_50m_s") for i in in_band
+    ]
+    band_spark = [t for t in band_spark if t is not None]
+    out["calib_ref"] = CALIB_REF
+    out["calib_spark_ratio"] = (
+        round(min(band_spark) / ref, 3) if band_spark else None
+    )
+    out["host_degraded"] = bool(
+        band_spark and min(band_spark) > ref * CALIB_ABS_TOL
+    )
+    norm: dict[str, float] = {}
+    for i in in_band:
+        t = (calibs[i] or {}).get("spark_sum_50m_s")
+        ratio = (t / ref) if t else 1.0
+        for name, v in runs[i]["queries_min"].items():
+            nv = v / ratio
+            if name not in norm or nv < norm[name]:
+                norm[name] = nv
+    out["queries_min_norm"] = {k: round(v, 3) for k, v in norm.items()}
+    out["value_min_norm"] = round(sum(norm.values()), 3)
 
     # The per-run detail also lands as a FILE next to this script —
     # the driver's stdout tail holds only ~2000 chars, so BENCH_r{N}.json
@@ -304,9 +393,12 @@ def main() -> None:
         "unit": "sec",
         "queries": out["queries_min"],
         "sf": out["sf"],
-        "stat": "min_over_%d_runs" % n_runs,
-        "n_runs": n_runs,
+        "stat": "min_over_%d_in_band_runs" % len(in_band),
+        "n_runs": len(runs),
+        "n_runs_in_band": len(in_band),
         "calib": calibs,
+        "calib_spark_ratio": out["calib_spark_ratio"],
+        "host_degraded": out["host_degraded"],
         "per_run_detail": "BENCH_FULL.json",
     }
     print(json.dumps(compact))

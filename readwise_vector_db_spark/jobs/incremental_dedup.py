@@ -550,12 +550,14 @@ def span_dedup_batch_against_store(
     which only semi-joins the store.
     """
     from readwise_vector_db_spark.functions.text import ws_tokens
-    from readwise_vector_db_spark.operators.dedup import release_detector_cache
+    from readwise_vector_db_spark.operators.dedup import _begin_detector_call
 
-    # entry drain (the shared detector-cache contract): unpersist the
-    # PREVIOUS batch's cleaned frame — without this, a long-running
-    # per-batch loop accumulates one InMemoryRelation per batch
-    release_detector_cache()
+    # generation bump (round 10 — was a drop-everything entry drain): a
+    # long-running per-batch loop stays bounded at the two newest
+    # batches' frames, and a caller who planned batch N's cleaned frame
+    # but hasn't consumed it yet keeps its cache across batch N+1's
+    # planning instead of silently recomputing the whole cut
+    _begin_detector_call()
     if read_version is None:
         read_version = table.latest_version() or 0
     store_exists = read_version > 0
@@ -680,14 +682,18 @@ def span_dedup_batch_against_store(
     to_append.unpersist()
     new_fps.unpersist()
     wins.unpersist()
-    # cleaned stays persisted for the caller; register it in the shared
-    # drain registry so a long-running per-batch loop doesn't accumulate
-    # one InMemoryRelation per batch — the next detector/batch call
-    # unpersists it after the caller has consumed this batch's result.
-    from readwise_vector_db_spark.operators.dedup import _register_cached
+    # cleaned stays persisted for the caller, returned as a
+    # self-draining handle (round 10): its first materializing action
+    # releases the persist itself; the generation registry (two newest
+    # batches kept) is the backstop for callers that transform the
+    # handle before materializing or never consume it.
+    from readwise_vector_db_spark.operators.dedup import (
+        SelfDrainingFrame,
+        _register_cached,
+    )
 
     _register_cached(cleaned)
-    return cleaned, stats
+    return SelfDrainingFrame(cleaned, [cleaned]), stats
 
 
 def run_incremental_span_dedup(
@@ -724,14 +730,35 @@ def run_incremental_span_dedup(
     partition column doubles as ingest lineage), and the fingerprint
     commit ships only store-missing hashes — so a re-run of a batch
     whose first attempt committed cuts identically (pinned snapshot),
-    rewrites the same output, and appends nothing."""
+    rewrites the same output, and appends nothing.
+
+    The pin markers live UNDER the stream's checkpoint dir and are
+    garbage-collected once a later batch proves them committed: a
+    marker in ``store_root`` keyed only by batch id would outlive a
+    deleted/fresh checkpoint, and the restarted stream (batch ids reset
+    to 0) would reuse the stale pin — cutting against an ancient
+    snapshot so duplicates of everything committed since silently
+    survive.  Deleting the checkpoint now deletes the pins with it.  A
+    batch's own marker is NOT removed when ``process`` returns (the
+    checkpoint commit happens after; an at-least-once re-run still
+    needs the pin) — it is removed when a LATER batch runs, which
+    proves the earlier batch's checkpoint commit completed."""
+    import glob as _glob
     import os as _os
 
     table = VersionedTable(store_root)
+    checkpoint_dir = f"{store_root}/_stream_checkpoint"
+    marker_dir = f"{checkpoint_dir}/_batch_base"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        _os.makedirs(store_root, exist_ok=True)
-        marker = f"{store_root}/_batch_base_{batch_id}"
+        _os.makedirs(marker_dir, exist_ok=True)
+        # batches are sequential: any marker with id < batch_id belongs
+        # to a batch the checkpoint has committed — drop it
+        for old in _glob.glob(f"{marker_dir}/*"):
+            name = _os.path.basename(old).split(".")[0]
+            if name.isdigit() and int(name) < batch_id:
+                _os.remove(old)
+        marker = f"{marker_dir}/{batch_id}"
         if _os.path.isfile(marker):
             with open(marker) as f:
                 base_v = int(f.read().strip())
@@ -751,7 +778,7 @@ def run_incremental_span_dedup(
 
     return (
         stream_docs.writeStream.foreachBatch(process)
-        .option("checkpointLocation", f"{store_root}/_stream_checkpoint")
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

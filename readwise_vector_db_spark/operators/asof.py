@@ -62,7 +62,14 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
         F.lit(None).cast(payload_t).alias(_PAYLOAD),
     )
-    r_tag = right.select(
+    # SQL join semantics for NULL keys (round 10 — caught by the
+    # NULL-planted oracle fixture): the window decomposition would
+    # otherwise put every NULL-key row in ONE partition and match
+    # NULL-key left rows to NULL-key right rows, where DuckDB/kdb ASOF
+    # equality never matches NULL.  Dropping NULL-key RIGHT rows
+    # restores that exactly: NULL-key left rows still flow through
+    # (left join) and always carry a NULL payload.
+    r_tag = right.filter(F.col(key).isNotNull()).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias(_ORIGIN),

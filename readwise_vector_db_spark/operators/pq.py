@@ -42,6 +42,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from readwise_vector_db_spark.layout import check_layout as _check_layout
+from readwise_vector_db_spark.layout import stamp_layout as _stamp_layout
+
 
 def _kmeans_np(
     x: np.ndarray, k: int, iters: int, seed: int, init: np.ndarray | None = None
@@ -470,8 +473,14 @@ def _save_rescore_json(path: str, record: dict) -> None:
     import os as _os
 
     _os.makedirs(path, exist_ok=True)
-    with open(f"{path}/rescore.json", "w") as f:
+    # Atomic write (tmp + os.replace), matching filter_columns.json and the
+    # _TOUCHED records: _refresh_persisted_rf rewrites this on EVERY append,
+    # so a plain open('w') crash window would truncate the sidecar and every
+    # future load would silently fall back to the ~8s probe path.
+    tmp = f"{path}/rescore.json.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
         _json.dump(record, f)
+    _os.replace(tmp, f"{path}/rescore.json")
 
 
 def _prime_persisted_rf(path: str) -> None:
@@ -676,6 +685,7 @@ def save_pq_index(
     spark.createDataFrame(
         rows, "subspace int, centroid int, vec array<float>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _stamp_layout(path, "pq")  # last: a half-written build is never stamped
 
 
 def save_rotation(spark, rotation: np.ndarray, path: str) -> None:
@@ -748,7 +758,17 @@ def _apply_tombstones(spark, path: str, codes: DataFrame) -> DataFrame:
         return codes
     tomb = spark.read.parquet(f"{path}/tombstones").distinct()
     tcol = tomb.columns[0]
-    id_col = tcol if tcol in codes.columns else codes.columns[0]
+    if tcol not in codes.columns:
+        # Never guess a join key: anti-joining on an arbitrary column
+        # (a custom id_col, or a layout whose first column is cluster/
+        # embedding) matches nothing, so deleted ids would silently
+        # keep serving — defeating the delete contract.
+        raise ValueError(
+            f"tombstone column {tcol!r} not present in codes schema "
+            f"{codes.columns}; the layout at {path!r} was written with a "
+            "different id_col than its tombstones"
+        )
+    id_col = tcol
     # no forced broadcast hint: the tombstone set is file-backed, so
     # Catalyst auto-broadcasts while it's small (the normal regime,
     # bounded by compaction cadence) and falls back to a shuffle join
@@ -761,25 +781,67 @@ def _apply_tombstones(spark, path: str, codes: DataFrame) -> DataFrame:
     )
 
 
+def _swap_intent_path(path: str, subdir: str) -> str:
+    return f"{path}/.{subdir}_swap_intent"
+
+
 def _recover_codes_dir(path: str, subdir: str = "codes") -> None:
     """Crash recovery for :func:`compact_index`'s directory swap (two
     renames — POSIX has no atomic directory exchange): if ``codes`` is
-    missing, roll FORWARD to a fully-written compaction stage when one
-    exists (it was counted before the swap began), else roll BACK to
-    the saved old directory.  Called by the loaders and by
-    ``compact_index`` itself, so an interrupted compaction self-heals
-    on the next touch instead of leaving the layout unreadable."""
+    missing, roll FORWARD — but only to the stage the interrupted swap
+    had actually COMMITTED to, named in the ``.{subdir}_swap_intent``
+    marker written just before rename #1.  An orphan stage dir from a
+    run that crashed mid-write (no intent) is never installed: it may
+    predate appends/tombstones that landed after it was staged, so
+    rolling forward to it would silently drop rows and resurrect
+    deletes.  With no intent, roll BACK to the newest saved old
+    directory (mtime, not lexicographic pid order).  Called by the
+    loaders and by ``compact_index`` itself, so an interrupted
+    compaction self-heals on the next touch.  When ``codes`` exists the
+    function touches nothing — a loader must not clean dirs a live
+    compactor in another process may be writing; orphan cleanup happens
+    only inside :func:`compact_index` (single-writer by contract)."""
     import glob as _glob
     import os as _os
 
     if _os.path.isdir(f"{path}/{subdir}"):
         return
-    stages = sorted(_glob.glob(f"{path}/.{subdir}_compact_*"))
-    olds = sorted(_glob.glob(f"{path}/.{subdir}_old_*"))
-    if stages:
-        _os.rename(stages[-1], f"{path}/{subdir}")
-    elif olds:
-        _os.rename(olds[-1], f"{path}/{subdir}")
+    intent = _swap_intent_path(path, subdir)
+    if _os.path.isfile(intent):
+        with open(intent) as f:
+            stage = f.read().strip()
+        if stage and _os.path.isdir(f"{path}/{stage}"):
+            _os.rename(f"{path}/{stage}", f"{path}/{subdir}")
+            _os.remove(intent)
+            return
+        # intent names a dir that's gone: rename #2 completed but the
+        # crash hit before the marker removal AND codes was since
+        # removed externally, or the marker is garbage — fall through
+        # to roll-back
+        _os.remove(intent)
+    olds = _glob.glob(f"{path}/.{subdir}_old_*")
+    if olds:
+        _os.rename(max(olds, key=_os.path.getmtime), f"{path}/{subdir}")
+
+
+def _clean_orphan_stage_dirs(path: str, subdir: str) -> None:
+    """Remove aborted stage/old dirs and stale intent markers.  Only
+    safe to call when ``{path}/{subdir}`` exists (it is the authority)
+    and from the single compaction writer — see
+    :func:`_recover_codes_dir` for why loaders must not do this."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    if not _os.path.isdir(f"{path}/{subdir}"):  # pragma: no cover
+        return
+    intent = _swap_intent_path(path, subdir)
+    if _os.path.isfile(intent):
+        _os.remove(intent)
+    for d in _glob.glob(f"{path}/.{subdir}_compact_*") + _glob.glob(
+        f"{path}/.{subdir}_old_*"
+    ):
+        _shutil.rmtree(d, ignore_errors=True)
 
 
 def compact_index(
@@ -799,8 +861,13 @@ def compact_index(
     count."""
     import os as _os
     import shutil as _shutil
+    import time as _time
 
     _recover_codes_dir(path, subdir)
+    # codes exists now and we are the single writer: aborted stage/old
+    # dirs from prior crashed runs (any pid) are garbage — clear them so
+    # they can never be mistaken for a committed stage later
+    _clean_orphan_stage_dirs(path, subdir)
     # snapshot the tombstone files BEFORE the rewrite: only these are
     # guaranteed applied by the stage job; later arrivals must survive
     tomb_dir = f"{path}/tombstones"
@@ -811,16 +878,26 @@ def compact_index(
     codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/{subdir}"))
     if partition_cluster is None:
         partition_cluster = "cluster" in codes.columns
-    stage = f"{path}/.{subdir}_compact_{_os.getpid()}"
+    stage_name = f".{subdir}_compact_{_time.time_ns()}_{_os.getpid()}"
+    stage = f"{path}/{stage_name}"
     _shutil.rmtree(stage, ignore_errors=True)
     w = codes.write.mode("overwrite")
     if partition_cluster:
         w = w.partitionBy("cluster")
     w.parquet(stage)
     n = spark.read.parquet(stage).count()
-    old = f"{path}/.{subdir}_old_{_os.getpid()}"
+    # commit marker: recovery only ever rolls FORWARD to the stage named
+    # here — written atomically so a crash anywhere in the swap window
+    # resolves deterministically (see _recover_codes_dir)
+    intent = _swap_intent_path(path, subdir)
+    tmp = f"{intent}.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(stage_name)
+    _os.replace(tmp, intent)
+    old = f"{path}/.{subdir}_old_{_time.time_ns()}_{_os.getpid()}"
     _os.rename(f"{path}/{subdir}", old)
     _os.rename(stage, f"{path}/{subdir}")
+    _os.remove(intent)
     _shutil.rmtree(old, ignore_errors=True)
     for fp_ in pre_files:
         try:
@@ -842,6 +919,7 @@ def load_pq_index(spark, path: str) -> tuple[DataFrame, list[np.ndarray]]:
     "auto"`` over this layout then resolves without a sampling job.
     Tombstoned ids (:func:`delete_from_index`) are excluded from the
     returned scan."""
+    _check_layout(path, "pq")
     _prime_persisted_rf(path)
     _recover_codes_dir(path)
     codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
@@ -1105,6 +1183,7 @@ def save_ivfpq_index(
     spark.createDataFrame(
         rows, "subspace int, centroid int, vec array<float>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _stamp_layout(path, "ivfpq")  # last: a half-written build is never stamped
 
 
 def load_ivfpq_index(spark, path: str):
@@ -1112,6 +1191,7 @@ def load_ivfpq_index(spark, path: str):
     Primes the persisted-rf store from ``{path}/rescore.json`` when the
     layout carries one (see :func:`load_pq_index`).  Tombstoned ids
     (:func:`delete_from_index`) are excluded from the returned scan."""
+    _check_layout(path, "ivfpq")
     _prime_persisted_rf(path)
     _recover_codes_dir(path)
     codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
@@ -1168,13 +1248,15 @@ def pq_knn_join(
     rescore_factor = _resolve_rescore_factor(
         rescore_factor, rescore, codebooks, rotation, k, vec_col
     )
-    # drain frames persisted by the PREVIOUS detector/join call (the
-    # shared registry's entry-drain discipline, same as every dedup
-    # detector) — without this, a process issuing only knn-joins would
-    # still accumulate one InMemoryRelation per rescored call
-    from readwise_vector_db_spark.operators.dedup import release_detector_cache
+    # bump the shared registry's generation (round 10: entry no longer
+    # drops EVERYTHING — only frames ≥2 generations old — so planning a
+    # second lazy rescored join cannot drop the first join's shortlist
+    # persist out from under its unmaterialized plan; see dedup.py's
+    # registry contract).  A process issuing only knn-joins still stays
+    # bounded at the two newest calls' frames.
+    from readwise_vector_db_spark.operators.dedup import _begin_detector_call
 
-    release_detector_cache()
+    _begin_detector_call()
     m = len(codebooks)
     sub = codebooks[0].shape[1]
     q_rows = queries.select(query_id, query_vec).collect()
@@ -1348,7 +1430,7 @@ def pq_knn_join(
         .join(fetch_vecs, "neighbor_id")
     )
     w_exact = W.partitionBy(query_id).orderBy(F.asc("cos_dist"), F.asc("neighbor_id"))
-    return (
+    out = (
         survivors.withColumn(
             "cos_dist", F.round(cosine_distance(F.col("_nv"), F.col("_qv")), 6)
         )
@@ -1356,6 +1438,14 @@ def pq_knn_join(
         .filter(F.col("rn") <= k)
         .select(query_id, "neighbor_id", "cos_dist", "rn")
     )
+    # self-draining handle (round 10): the shortlist persist exists to
+    # keep ONE materialization single-scan — the first action's
+    # completion releases it, no caller discipline needed; the
+    # generation registry above is the backstop for handles that are
+    # transformed before materializing.
+    from readwise_vector_db_spark.operators.dedup import SelfDrainingFrame
+
+    return SelfDrainingFrame(out, [shortlist])
 
 
 def append_to_ivfpq_index(
@@ -1525,6 +1615,328 @@ def _refresh_persisted_rf(path: str, appended_rows: int) -> None:
     }
     _save_rescore_json(path, rec)
     _prime_persisted_rf(path)
+
+
+def cell_distortion_frame(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, n, mean_dist) per ASSIGNED coarse cell — the
+    cell-granular twin of :func:`grouped_distortion_frame`: one
+    vectorized map pass (assignment + distance share the same gemm)
+    plus one tiny shuffle of (cell, partials).  This is the statistic
+    :func:`recluster_cells` localizes drift with: not "the increment is
+    drifted" but "cells 3 and 17 are where the drifted mass lands"."""
+    ordered = sorted(centroids)
+    cell_ids = np.asarray([int(c) for c, _ in ordered], dtype=np.int64)
+    c = np.asarray([v for _, v in ordered], dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    schema = "cluster int, _cd double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = np.asarray(list(pdf["_v"]), dtype=np.float64)
+            # assignment on the RAW vector (ivfpq_encode semantics)
+            cells = cell_ids[
+                np.argmin((c * c).sum(1)[None, :] - 2.0 * (raw @ c.T), 1)
+            ]
+            xn = raw / np.maximum(
+                np.linalg.norm(raw, axis=1, keepdims=True), 1e-12
+            )
+            d = 1.0 - (xn @ cn.T).max(axis=1)
+            yield pd.DataFrame({"cluster": cells.astype(np.int32), "_cd": d})
+
+    return (
+        vecs.select(F.col(vec_col).cast("array<float>").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .mapInPandas(run, schema=schema)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("_cd").alias("mean_dist"))
+    )
+
+
+def _pq_reconstruct(
+    codes: np.ndarray, books: list[np.ndarray], rotation: np.ndarray | None
+) -> np.ndarray:
+    """Decode (n, m) PQ codes to the normalized-space vectors ADC
+    scores — concat of per-subspace centroids, rotated back to the
+    original frame when the layout is OPQ (orthogonal: inverse = Tᵀ)."""
+    x = np.concatenate(
+        [books[j][codes[:, j]] for j in range(len(books))], axis=1
+    ).astype(np.float64)
+    if rotation is not None:
+        x = x @ np.asarray(rotation, dtype=np.float64).T
+    return x
+
+
+def recluster_cells(
+    spark,
+    path: str,
+    drifted_vecs: DataFrame | None = None,
+    cells: Sequence[int] | None = None,
+    n_splits: int = 2,
+    max_distortion_ratio: float = 2.0,
+    vec_col: str = "embedding",
+    min_cell_rows: int = 10,
+    sample_per_cell: int = 4_000,
+    seed: int = 7,
+) -> dict:
+    """Targeted drift remediation for a :func:`save_ivfpq_index` layout
+    (round 10 — r9 verdict item 3): when :func:`append_to_ivfpq_index`'s
+    gate trips, split ONLY the offending coarse cells instead of
+    rebuilding the index.
+
+    Why this is cheap: IVF-PQ here codes the normalized vector, not the
+    residual (see :func:`ivfpq_encode`), so a row's ``pq_code`` is
+    independent of its cell — re-clustering rewrites cluster
+    ASSIGNMENTS of the offending cells' rows only; code bytes, all
+    other partitions, tombstones, the OPQ rotation, and the persisted
+    rescore factors are untouched.  And the probe ranks cells by
+    cosine (scale-invariant), so sub-centroids trained in normalized
+    space — from the rows' own PQ reconstructions — preserve probe
+    semantics without ever reading raw vectors of the existing corpus.
+
+    Offending cells: explicit ``cells=``, or located from
+    ``drifted_vecs`` via :func:`cell_distortion_frame` — the cells
+    where the drifted increment's mean distortion exceeds
+    ``max_distortion_ratio`` × the train-time base (and at least
+    ``min_cell_rows`` drifted rows land).  Each offending cell is
+    k-means-split into ``n_splits`` sub-centroids trained on a bounded
+    union sample of the cell's existing reconstructions and the drifted
+    rows assigned there; the first sub-centroid REUSES the old cell id
+    (so dynamic partition overwrite replaces that directory), the rest
+    take fresh ids past the current max.
+
+    Returns stats including ``rows_rewritten`` and
+    ``bytes_rewritten`` / ``bytes_total`` — the ≪-full-rebuild record.
+    Single-maintainer contract (same as ``compact_index``): don't run
+    two recluster/compact jobs on one layout concurrently."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    codes_all, centroids, books = load_ivfpq_index(spark, path)
+    rotation = load_rotation(spark, path)
+    cent_by_id = {int(c): list(map(float, v)) for c, v in centroids}
+
+    # --- locate the offending cells --------------------------------------
+    drift_sample: dict[int, np.ndarray] = {}
+    drift_scale: dict[int, float] = {}
+    if cells is None:
+        if drifted_vecs is None:
+            raise ValueError("recluster_cells: pass drifted_vecs or cells")
+        try:
+            with open(f"{path}/distortion.json") as f:
+                base = float(_json.load(f)["base_coarse_distortion"])
+        except (FileNotFoundError, KeyError, ValueError):
+            raise ValueError(
+                "recluster_cells: layout has no distortion.json baseline "
+                "(built without base_vecs=) — pass cells= explicitly"
+            )
+        rows = cell_distortion_frame(
+            drifted_vecs, centroids, vec_col=vec_col
+        ).collect()
+        cells = [
+            int(r["cluster"])
+            for r in rows
+            if r["n"] >= min_cell_rows
+            and base > 0
+            and float(r["mean_dist"]) / base > max_distortion_ratio
+        ]
+        if not cells:
+            return {
+                "cells_split": [],
+                "new_cells": [],
+                "rows_rewritten": 0,
+                "bytes_rewritten": 0,
+                "bytes_total": _dir_bytes(f"{path}/codes"),
+            }
+    cells = sorted(set(int(c) for c in cells))
+    unknown = [c for c in cells if c not in cent_by_id]
+    if unknown:
+        raise ValueError(f"recluster_cells: unknown cell ids {unknown}")
+
+    if drifted_vecs is not None:
+        # bounded uniform sample of the drifted rows, assigned driver-side
+        # — the same serving-bounded pattern as coarse_distortion
+        samp = _uniform_vector_sample(
+            drifted_vecs, vec_col, sample_per_cell * max(1, len(cells)), seed
+        )
+        if samp:
+            x = np.asarray([list(v) for v in samp], dtype=np.float64)
+            cmat = np.asarray(
+                [cent_by_id[c] for c in sorted(cent_by_id)], dtype=np.float64
+            )
+            ids_sorted = np.asarray(sorted(cent_by_id), dtype=np.int64)
+            assign = ids_sorted[
+                np.argmin((cmat * cmat).sum(1)[None, :] - 2.0 * (x @ cmat.T), 1)
+            ]
+            raw_norms = np.maximum(np.linalg.norm(x, axis=1), 1e-12)
+            xn = x / raw_norms[:, None]
+            for c in cells:
+                mask = assign == c
+                if mask.any():
+                    drift_sample[c] = xn[mask][:sample_per_cell]
+                    drift_scale[c] = float(raw_norms[mask].mean())
+
+    # --- per-cell counts + existing-row samples (partition-pruned) -------
+    counts = {
+        int(r["cluster"]): int(r["n"])
+        for r in codes_all.filter(F.col("cluster").isin(cells))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    frac_map = []
+    for c in cells:
+        n = counts.get(c, 0)
+        frac_map.extend([F.lit(c), F.lit(min(1.0, sample_per_cell / max(1, n)))])
+    sample_rows = (
+        codes_all.filter(F.col("cluster").isin(cells))
+        .withColumn("_f", F.element_at(F.create_map(*frac_map), F.col("cluster")))
+        .filter(F.rand(seed) < F.col("_f"))
+        .select("cluster", "pq_code")
+        .collect()
+    )
+    existing_sample: dict[int, np.ndarray] = {}
+    for c in cells:
+        rows_c = [r["pq_code"] for r in sample_rows if r["cluster"] == c]
+        if rows_c:
+            existing_sample[c] = _pq_reconstruct(
+                np.asarray(rows_c, dtype=np.int64), books, rotation
+            )
+
+    # --- train the splits -------------------------------------------------
+    next_id = max(cent_by_id) + 1
+    split_cents: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    new_cells: list[int] = []
+    for c in cells:
+        parts = [a for a in (existing_sample.get(c), drift_sample.get(c))
+                 if a is not None and len(a)]
+        if not parts:
+            continue
+        x = np.concatenate(parts, axis=0)
+        k = min(n_splits, len(x))
+        sub = _kmeans_np(x, k, iters=10, seed=seed)
+        # The training sample is NORMALIZED (reconstructions live in the
+        # space ADC scores), but encode-side assignment is raw-euclidean
+        # against centroids at the corpus's RAW scale — a unit-norm
+        # sub-centroid next to norm-‖μ‖ originals would skew every
+        # cross-centroid distance.  Rescale each sub-centroid to the
+        # raw scale observed in the cell: the drifted rows' mean raw
+        # norm when we have it, else the original centroid's own norm
+        # (a k-means centroid is the mean of its raw rows).
+        if c in drift_scale:
+            s = drift_scale[c]
+        else:
+            s = float(np.linalg.norm(np.asarray(cent_by_id[c])))
+        norms = np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
+        sub = sub / norms * s
+        ids = np.asarray([c] + list(range(next_id, next_id + k - 1)), dtype=np.int64)
+        next_id += k - 1
+        new_cells.extend(int(i) for i in ids[1:])
+        split_cents[c] = (ids, sub)
+    if not split_cents:
+        return {
+            "cells_split": [],
+            "new_cells": [],
+            "rows_rewritten": 0,
+            "bytes_rewritten": 0,
+            "bytes_total": _dir_bytes(f"{path}/codes"),
+        }
+
+    # --- re-assign ONLY the offending cells' rows ------------------------
+    cols = codes_all.columns
+    books32 = [np.asarray(b, dtype=np.float32) for b in books]
+    rot = None if rotation is None else np.asarray(rotation, dtype=np.float64)
+    splits_bc = {c: (ids.copy(), sub.copy()) for c, (ids, sub) in split_cents.items()}
+
+    def reassign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_cluster = pdf["cluster"].to_numpy().copy()
+            codes_np = np.asarray(list(pdf["pq_code"]), dtype=np.int64)
+            for c, (ids, sub) in splits_bc.items():
+                mask = pdf["cluster"].to_numpy() == c
+                if not mask.any():
+                    continue
+                x = _pq_reconstruct(codes_np[mask], books32, rot)
+                d2 = (sub * sub).sum(1)[None, :] - 2.0 * (x @ sub.T)
+                out_cluster[mask] = ids[d2.argmin(1)]
+            pdf = pdf.assign(cluster=out_cluster.astype(np.int32))
+            yield pdf[cols]
+
+    touched = codes_all.filter(F.col("cluster").isin(list(split_cents)))
+    # eager localCheckpoint: materializes the reassignment AND truncates
+    # lineage, so the overwrite below doesn't read the directory it is
+    # rewriting (Spark refuses a write whose plan scans the target path)
+    reassigned = touched.mapInPandas(
+        reassign, schema=codes_all.schema
+    ).localCheckpoint(eager=True)
+    written_cells = {
+        int(r["cluster"])
+        for r in reassigned.select("cluster").distinct().collect()
+    }
+    n_rewritten = reassigned.count()
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        reassigned.write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{path}/codes"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    # a split whose old id received NO rows isn't in the written set, so
+    # dynamic overwrite didn't replace its directory — drop it explicitly
+    # (its rows were all rewritten under other ids)
+    for c in split_cents:
+        if c not in written_cells:
+            _shutil.rmtree(f"{path}/codes/cluster={c}", ignore_errors=True)
+
+    # --- publish the new centroid table -----------------------------------
+    new_centroids = [
+        (cid, vec) for cid, vec in centroids if cid not in split_cents
+    ]
+    for c, (ids, sub) in split_cents.items():
+        new_centroids.extend(
+            (int(i), [float(x) for x in sub[j]]) for j, i in enumerate(ids)
+        )
+    spark.createDataFrame(
+        sorted(new_centroids),
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    bytes_rewritten = sum(
+        _dir_bytes(f"{path}/codes/cluster={c}")
+        for c in written_cells | set(split_cents)
+    )
+    return {
+        "cells_split": sorted(split_cents),
+        "new_cells": sorted(new_cells),
+        "rows_rewritten": int(n_rewritten),
+        "bytes_rewritten": int(bytes_rewritten),
+        "bytes_total": int(_dir_bytes(f"{path}/codes")),
+    }
+
+
+def _dir_bytes(path: str) -> int:
+    import os as _os
+
+    total = 0
+    for root, _, files in _os.walk(path):
+        for fn in files:
+            try:
+                total += _os.path.getsize(_os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
 
 
 def ivfpq_search(

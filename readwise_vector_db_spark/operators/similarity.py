@@ -450,6 +450,8 @@ def save_ivf_index(
     This is the reference's "HNSW index exists in the database" split
     (migration 6e900a582819) re-expressed as a parquet layout.
     """
+    from readwise_vector_db_spark.layout import stamp_layout
+
     spark = assigned.sparkSession
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(
         f"{path}/assigned"
@@ -458,6 +460,7 @@ def save_ivf_index(
         [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    stamp_layout(path, "ivf")  # last: a half-written build is never stamped
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
@@ -468,11 +471,13 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, list[tuple[int, list[fl
     tombstone/compaction machinery is shared across the three persisted
     index families) are excluded from the returned scan; compact with
     ``pq.compact_index(spark, path, subdir="assigned")``."""
+    from readwise_vector_db_spark.layout import check_layout
     from readwise_vector_db_spark.operators.pq import (
         _apply_tombstones,
         _recover_codes_dir,
     )
 
+    check_layout(path, "ivf")
     _recover_codes_dir(path, "assigned")
     assigned = _apply_tombstones(
         spark, path, spark.read.parquet(f"{path}/assigned")
@@ -494,16 +499,23 @@ def save_quantizer(
     operators re-assign each new batch against fixed centroids
     (:func:`assign_cells`), paying probe cost instead of KMeans build
     cost on every run (round-5 verdict item 3)."""
+    from readwise_vector_db_spark.layout import stamp_layout
+
     spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    stamp_layout(path, "quantizer")
 
 
 def load_quantizer(spark, path: str) -> list[tuple[int, list[float]]]:
     """Centroid list from a :func:`save_quantizer` (or
-    :func:`save_ivf_index`) layout — driver-side index metadata,
-    n_clusters rows."""
+    :func:`save_ivf_index` / :func:`save_ivfpq_index` — the centroid
+    table is the corpus-independent half all three persist) layout —
+    driver-side index metadata, n_clusters rows."""
+    from readwise_vector_db_spark.layout import check_layout
+
+    check_layout(path, ("quantizer", "ivf", "ivfpq"))
     cent = spark.read.parquet(f"{path}/centroids").collect()
     return sorted(
         (int(r["cluster"]), [float(x) for x in r["centroid"]]) for r in cent

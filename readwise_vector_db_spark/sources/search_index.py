@@ -137,6 +137,9 @@ def build_search_index(spark: SparkSession, sf_dir: str, force: bool = False) ->
             .saveAsTable(tmp_table)
         )
         spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    from readwise_vector_db_spark.layout import stamp_layout
+
+    stamp_layout(str(base), "search_warm")
     marker.write_text(fp)
     return True
 
@@ -242,6 +245,9 @@ def warm_tables(
     base = _INDEX_ROOT / tag
     vname, mname = f"rw_warm_vectors_{tag}", f"rw_warm_meta_{tag}"
     rebuilt = build_search_index(spark, sf_dir)
+    from readwise_vector_db_spark.layout import check_layout
+
+    check_layout(str(base), "search_warm")
     cat = spark.catalog
     if rebuilt or not cat.tableExists(vname) or not cat.tableExists(mname):
         _register_external(spark, vname, _VEC_SCHEMA, base / "vectors")

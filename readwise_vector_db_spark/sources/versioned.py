@@ -68,6 +68,97 @@ class VersionConflictError(RuntimeError):
     """A read-modify-write commit found the table advanced past the
     snapshot it read — the losing side of Delta's optimistic
     concurrency.  The store is untouched; re-read and retry, or force."""
+
+
+class SchemaEvolutionError(ValueError):
+    """A commit's schema change is not a legal evolution of the
+    table's current schema (dropped column, narrowed type, tightened
+    nullability, changed complex type).  The store is untouched —
+    widen the incoming frame, or pass ``schema_mode="overwrite"`` for
+    a deliberate whole-table replacement."""
+
+
+# Legal type widenings (Spark 4 parquet readers can read an old file's
+# narrow physical type under the widened logical type — verified: int32
+# files read as LONG, float as DOUBLE, absent columns as NULL — so old
+# snapshots stay readable under their OWN recorded schema while shared
+# append segments read consistently under the evolved one).
+_WIDEN: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def _widenable(old_dt, new_dt) -> bool:
+    if old_dt == new_dt:
+        return True
+    return new_dt.simpleString() in _WIDEN.get(old_dt.simpleString(), ())
+
+
+def evolve_schema(old, new, allow_missing: bool = False):
+    """The table-evolution rule (round 10 — the alembic analogue,
+    reference ``alembic/versions/6e900a582819_create_initial_tables.py:27-56``
+    is the seed schema this generalizes over): return the evolved
+    target StructType for a commit carrying ``new`` onto a table at
+    ``old``, or raise :class:`SchemaEvolutionError`.
+
+    Allowed: adding a NULLABLE column; widening an atomic type along
+    tinyint→smallint→int→bigint / float→double; relaxing nullability.
+    Rejected loudly: dropping a column (unless ``allow_missing`` —
+    append semantics, where absent columns read as NULL and the target
+    column becomes nullable), narrowing a type, adding a NON-nullable
+    column, changing a complex (array/map/struct) type at all.
+    Column order follows ``old`` with additions appended."""
+    from pyspark.sql.types import StructField, StructType
+
+    new_by_name = {f.name: f for f in new.fields}
+    out: list[StructField] = []
+    for f in old.fields:
+        nf = new_by_name.pop(f.name, None)
+        if nf is None:
+            if not allow_missing:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r} missing from the incoming schema — "
+                    "dropping a column is narrowing; project it through, or "
+                    "schema_mode='overwrite' to replace the table"
+                )
+            out.append(StructField(f.name, f.dataType, True))
+            continue
+        if _widenable(f.dataType, nf.dataType):
+            dt = nf.dataType
+        elif _widenable(nf.dataType, f.dataType):
+            dt = f.dataType  # incoming is narrower: keep the wide type
+        else:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: {nf.dataType.simpleString()} is not a "
+                f"widening of {f.dataType.simpleString()} (allowed chains: "
+                "tinyint→smallint→int→bigint, float→double; complex types "
+                "must match exactly)"
+            )
+        out.append(StructField(f.name, dt, f.nullable or nf.nullable))
+    for name, nf in ((f.name, f) for f in new.fields if f.name in new_by_name):
+        if not nf.nullable:
+            raise SchemaEvolutionError(
+                f"new column {name!r} must be nullable — rows committed "
+                "before it existed have no value for it"
+            )
+        out.append(StructField(name, nf.dataType, True))
+    return StructType(out)
+
+
+def _cast_to(df: DataFrame, target) -> DataFrame:
+    """Project ``df`` onto the target schema: widen matching columns,
+    fill absent ones with typed NULLs.  Pure column expressions — the
+    cast folds into whatever scan/plan produced ``df``."""
+    cols = []
+    for f in target.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
 # Claims land by atomic rename WITH their owner file inside, so this
 # grace window applies only to legacy/foreign ownerless claims (nothing
 # this code creates): younger → treat as live, older → debris.
@@ -251,13 +342,77 @@ class VersionedTable:
         return self.latest_version() is not None
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Current snapshot, or time-travel to an explicit ``version``."""
+        """Current snapshot, or time-travel to an explicit ``version``
+        — read under that version's OWN recorded schema, so a
+        pre-evolution snapshot round-trips exactly as committed and a
+        post-evolution snapshot reads old shared segments with NULLs /
+        widened types for the columns they predate."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
-        return spark.read.parquet(
-            *[os.path.join(self.root, s) for s in self._segments(v)]
-        )
+        paths = [os.path.join(self.root, s) for s in self._segments(v)]
+        if os.path.exists(self._schema_path(v)):
+            return spark.read.schema(self.schema(spark, v)).parquet(*paths)
+        return spark.read.parquet(*paths)
+
+    # --- schema records (round 10 — schema evolution) -------------------------
+
+    def _schema_path(self, version: int) -> str:
+        return os.path.join(self.root, f"_SCHEMA_{version:08d}")
+
+    def schema(self, spark: SparkSession, version: int | None = None):
+        """The recorded schema of ``version`` (default latest).  Every
+        commit records its snapshot schema in a ``_SCHEMA_<v>`` sidecar;
+        pre-evolution tables (no sidecar) fall back to the segment
+        parquet footers — their files ARE their schema."""
+        from pyspark.sql.types import StructType
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        try:
+            with open(self._schema_path(v)) as f:
+                return StructType.fromJson(json.load(f))
+        except FileNotFoundError:
+            return spark.read.parquet(
+                *[os.path.join(self.root, s) for s in self._segments(v)]
+            ).schema
+
+    def _record_schema(self, df: DataFrame, version: int) -> None:
+        """Persist the snapshot schema sidecar — written while holding
+        the claim, before the pointer flip (same protocol as
+        ``_TOUCHED``): a crash in between leaves an unpublished version
+        whose record the next claimant overwrites."""
+        tmp = self._schema_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(df.schema.jsonValue(), f)
+        os.replace(tmp, self._schema_path(version))
+
+    def _evolved_or_raise(
+        self, df: DataFrame, version: int, schema_mode: str, allow_missing: bool
+    ) -> DataFrame:
+        """Validate ``df``'s schema as an evolution of version
+        ``version - 1`` and return ``df`` cast to the evolved target.
+        ``schema_mode``: "evolve" (default — widen/add-nullable legal,
+        narrowing raises), "strict" (exact match required), "overwrite"
+        (no check — deliberate whole-table replacement)."""
+        if schema_mode not in ("evolve", "strict", "overwrite"):
+            raise ValueError(f"unknown schema_mode: {schema_mode!r}")
+        if schema_mode == "overwrite" or version <= 1:
+            return df
+        old = self.schema(df.sparkSession, version=version - 1)
+        if schema_mode == "strict":
+            if [
+                (f.name, f.dataType) for f in old.fields
+            ] != [(f.name, f.dataType) for f in df.schema.fields]:
+                raise SchemaEvolutionError(
+                    f"schema_mode='strict': incoming schema "
+                    f"{df.schema.simpleString()} != table schema "
+                    f"{old.simpleString()}"
+                )
+            return df
+        target = evolve_schema(old, df.schema, allow_missing=allow_missing)
+        return _cast_to(df, target)
 
     def _touched_path(self, version: int) -> str:
         return os.path.join(self.root, f"_TOUCHED_{version:08d}")
@@ -277,6 +432,7 @@ class VersionedTable:
         df: DataFrame,
         expected_base: int | None = None,
         touched: dict | None = None,
+        schema_mode: str = "evolve",
     ) -> int:
         """Write ``df`` as the next immutable snapshot and flip the
         pointer.  Concurrent committers serialize on the version claim:
@@ -312,18 +468,23 @@ class VersionedTable:
                     "in between; re-read and retry (merge(on_conflict="
                     "'retry')) or force (on_conflict='force')"
                 )
+            # schema evolution check runs while HOLDING the claim (v-1
+            # is pinned), so a racing writer can't change the base
+            # schema between the check and the write
+            df = self._evolved_or_raise(df, v, schema_mode, allow_missing=False)
             df.write.mode("errorifexists").parquet(self._prepare_version(v))
             if touched is not None:
                 tmp = self._touched_path(v) + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(touched, f)
                 os.replace(tmp, self._touched_path(v))
+            self._record_schema(df, v)
             self._flip_manifest(v)
         finally:
             self._release_claim(v)
         return v
 
-    def commit_append(self, df: DataFrame) -> int:
+    def commit_append(self, df: DataFrame, schema_mode: str = "evolve") -> int:
         """Append-only commit: write ONLY ``df`` as a new immutable
         segment and publish snapshot N+1 = snapshot N's segments + the
         new one (a segment-sharing manifest — how Delta/Iceberg make
@@ -331,7 +492,16 @@ class VersionedTable:
         before the ``_LATEST`` pointer flips, so a crash in between
         leaves the old snapshot intact and the stray segment unreferenced.
         Incremental ingest (jobs/incremental_dedup.py) commits every
-        batch this way; ``compact`` later folds segments into one."""
+        batch this way; ``compact`` later folds segments into one.
+
+        Schema evolution (round 10): append rows may ADD nullable
+        columns or widen types (Delta ``mergeSchema`` semantics); they
+        may also OMIT existing columns — unlike a replacement commit,
+        an append that lacks a column only means ITS rows are NULL
+        there, so the omission is legal and the target column becomes
+        nullable.  Old shared segments keep their narrow files; the
+        evolved snapshot schema recorded with this version makes every
+        read consistent (verified parquet widening — see ``_WIDEN``)."""
         v = self._claim_version()
         try:
             # same stale-footprint clearing as commit(): a crashed merge
@@ -344,12 +514,14 @@ class VersionedTable:
             except FileNotFoundError:
                 pass
             prev = v - 1 if v > 1 else None
+            df = self._evolved_or_raise(df, v, schema_mode, allow_missing=True)
             df.write.mode("errorifexists").parquet(self._prepare_version(v))
             segs = (self._segments(prev) if prev is not None else []) + [f"v={v:08d}"]
             tmp = os.path.join(self.root, f"{_SEGMENTS}_{v:08d}.tmp")
             with open(tmp, "w") as f:
                 json.dump(segs, f)
             os.replace(tmp, os.path.join(self.root, f"{_SEGMENTS}_{v:08d}"))
+            self._record_schema(df, v)
             self._flip_manifest(v)
         finally:
             self._release_claim(v)
@@ -402,15 +574,23 @@ class VersionedTable:
         """
         if on_conflict not in ("error", "retry", "force"):
             raise ValueError(f"unknown on_conflict mode: {on_conflict!r}")
-        buckets = sorted(
-            r[0]
-            for r in updates.select(
-                F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(_KEY_BUCKETS))
+        if on_conflict == "force":
+            # force mode never records or checks a footprint — computing
+            # one would be a wasted full distinct-scan of updates
+            buckets: list[int] = []
+            touched = None
+        else:
+            buckets = sorted(
+                r[0]
+                for r in updates.select(
+                    F.pmod(
+                        F.xxhash64(F.col(key).cast("string")), F.lit(_KEY_BUCKETS)
+                    )
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
-        touched = {"key": key, "buckets": buckets}
+            touched = {"key": key, "buckets": buckets}
         attempts = max_retries if on_conflict in ("retry", "error") else 0
         for attempt in range(attempts + 1):
             base_v = self.latest_version()
@@ -435,7 +615,17 @@ class VersionedTable:
                     # the table appeared under us with provably-disjoint
                     # keys — rebase: the next pass merges against it
                     continue
-            merged = merge_upsert(self.read(spark, version=base_v), updates, key)
+            base = self.read(spark, version=base_v)
+            # schema evolution at the merge boundary: updates may add
+            # nullable columns / widen types — the BASE is cast up to
+            # the evolved target (old rows read NULL for new columns).
+            # Updates must carry every base column: merge_upsert is a
+            # whole-row upsert, so an omitted column would silently
+            # NULL-clobber matched rows (allow_missing=False raises).
+            target = evolve_schema(base.schema, updates.schema)
+            merged = merge_upsert(
+                _cast_to(base, target), _cast_to(updates, target), key
+            )
             try:
                 # force mode writes blind (may clobber keys outside its
                 # update set) — record NO footprint, so racing merges
@@ -518,4 +708,6 @@ class VersionedTable:
                     os.remove(seg_manifest)
                 if os.path.exists(self._touched_path(v)):
                     os.remove(self._touched_path(v))
+                if os.path.exists(self._schema_path(v)):
+                    os.remove(self._schema_path(v))
         return removed

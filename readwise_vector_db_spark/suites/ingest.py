@@ -72,9 +72,13 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            book.title AS source_title,
            COALESCE(url, book.source_url) AS source_url,
            CAST(epoch(TRY_CAST(highlighted_at AS TIMESTAMP)) AS BIGINT) AS highlighted_epoch,
-           array_to_string(
+           -- COALESCE: a doc whose every tag name is NULL has an EMPTY
+           -- tag list; its joined-string form is '' (Spark array_join)
+           -- but DuckDB array_to_string([]) returns NULL — normalize to
+           -- the list semantics (caught by the NULL-planted fixture)
+           COALESCE(array_to_string(
                list_filter(list_transform(tags, t -> t.name), n -> n IS NOT NULL),
-               ',') AS tags
+               ','), '') AS tags
     FROM raw
     """,
 )

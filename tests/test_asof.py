@@ -33,3 +33,25 @@ def test_asof_preserves_left_rowcount(spark):
     out = asof_join(left, right, key="uid", payload=["v"])
     assert out.count() == 100
     assert set(out.columns) == {"uid", "ts", "x", "v"}
+
+
+def test_asof_null_keys_never_match(spark):
+    """r10 (caught by the NULL-planted oracle fixture): SQL ASOF
+    equality never matches NULL keys — a NULL-key left row carries a
+    NULL payload even when NULL-key right rows exist, and NULL-key
+    right rows match nothing; non-NULL keys are unaffected."""
+    from readwise_vector_db_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, 7, 30)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 100), (7, 25, 200)],
+        "user_id long, ts long, cp_id long",
+    )
+    out = {
+        r["event_id"]: r["cp_id"]
+        for r in asof_join(left, right, key="user_id", payload=["cp_id"]).collect()
+    }
+    assert out == {1: None, 2: None, 3: 200}

@@ -371,3 +371,48 @@ def test_doc_dup_fraction_planted(spark):
     assert out[1]["dup_fraction"] == 0.5
     assert out[2]["dup_fraction"] == 1.0 and out[2]["dup_tokens"] == 8
     assert out[3]["dup_fraction"] == 0.0 and out[3]["dup_tokens"] == 0
+
+
+def test_maximal_span_vs_window_granularity_differ(spark):
+    """r10 verdict item 6 planted proof: a 50-token region duplicated
+    across two docs AND a short 8-token incidental repeat.  Window
+    granularity (min_span_tokens=None) cuts both; the maximal-span rule
+    (min_span_tokens=50) cuts only the long region — the short repeat
+    provably survives."""
+    from readwise_vector_db_spark.operators.dedup import (
+        doc_dup_fraction,
+        drop_repeated_spans,
+    )
+
+    region = " ".join(f"dup{i}" for i in range(50))      # 50-token region
+    short = "alpha beta gamma delta eps zeta eta theta"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{region} one unique tail here"),
+            (2, f"other head words {region}"),            # region duplicated
+            (3, f"{short} filler a b c d e f g h i j"),
+            (4, f"completely different text {short}"),    # short duplicated
+        ],
+        "doc_id long, text string",
+    )
+    win = {r["doc_id"]: r for r in drop_repeated_spans(docs, n=8).collect()}
+    maxi = {
+        r["doc_id"]: r
+        for r in drop_repeated_spans(docs, n=8, min_span_tokens=50).collect()
+    }
+    # window granularity cuts BOTH duplicated contents (second occurrence)
+    assert win[2]["n_tokens_removed"] == 50
+    assert win[4]["n_tokens_removed"] == 8
+    # maximal-span keeps the short repeat, still cuts the long region
+    assert maxi[2]["n_tokens_removed"] == 50
+    assert maxi[4]["n_tokens_removed"] == 0
+    assert short in maxi[4]["clean_text"]
+    # the scoring twin differs the same way
+    frac_win = {r["doc_id"]: r["dup_tokens"] for r in doc_dup_fraction(docs, n=8).collect()}
+    frac_max = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in doc_dup_fraction(docs, n=8, min_span_tokens=50).collect()
+    }
+    assert frac_win[3] == 8 and frac_win[4] == 8
+    assert frac_max[3] == 0 and frac_max[4] == 0
+    assert frac_max[1] == 50 and frac_max[2] == 50

@@ -663,3 +663,31 @@ def test_span_batch_retry_is_idempotent(spark, tmp_path):
     assert out2 == out1                      # kept-first NOT cut on retry
     assert stats2["fps_appended"] == 0       # nothing re-committed
     assert stats2["store_version"] == stats1["store_version"]
+
+
+def test_span_batch_interleave_keeps_unconsumed_cache(spark, docs, tmp_path):
+    """r10 verdict item 4: planning batch N+1 must NOT unpersist batch
+    N's cleaned frame before the caller consumes it (the old
+    drop-everything entry drain did), and the returned handle releases
+    its own persist once its first action completes."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        span_dedup_batch_against_store,
+    )
+
+    table = VersionedTable(str(tmp_path / "span_interleave"))
+    b1 = docs.filter(F.col("doc_id") < 30)
+    b2 = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+
+    cleaned1, s1 = span_dedup_batch_against_store(spark, b1, table)
+    # interleave: plan batch 2 BEFORE consuming batch 1's result
+    cleaned2, s2 = span_dedup_batch_against_store(spark, b2, table)
+    assert cleaned1.storageLevel.useMemory, (
+        "batch-2 planning drained batch-1's unconsumed cleaned frame"
+    )
+    rows1 = cleaned1.collect()
+    assert len(rows1) == s1["batch_raw"]  # all kept (first occurrences)
+    # the handle released its own persist at action completion
+    assert not cleaned1.storageLevel.useMemory
+    rows2 = cleaned2.collect()
+    assert len(rows2) == s2["batch_raw"]
+    assert not cleaned2.storageLevel.useMemory

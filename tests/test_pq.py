@@ -712,9 +712,12 @@ def test_estimate_rescore_factor_tracks_margin_hardness(spark):
 
 
 def test_pq_knn_join_drains_previous_call(spark, embs, books):
-    """Review finding (r8): consecutive rescored knn-joins must not
-    accumulate one InMemoryRelation each — the entry drain keeps the
-    registry at a single live shortlist."""
+    """Review finding (r8), updated to the r10 structural contract:
+    consecutive rescored knn-joins must not accumulate one
+    InMemoryRelation each.  The SELF-DRAINING handle now releases its
+    shortlist the moment its first action completes (registry returns
+    to empty), and the generation registry bounds any unconsumed
+    leftovers at the two newest calls."""
     from readwise_vector_db_spark.operators import dedup as dd
 
     dd.release_detector_cache()
@@ -730,8 +733,9 @@ def test_pq_knn_join_drains_previous_call(spark, embs, books):
         out = pq.pq_knn_join(
             codes, queries, books, k=3, id_col="vec_id", rescore=embs
         )
+        assert len(dd._CACHED_FRAMES) == 1  # this call's lazy shortlist
         assert out.count() > 0
-        assert len(dd._CACHED_FRAMES) == 1  # only THIS call's shortlist
+        assert len(dd._CACHED_FRAMES) == 0  # self-drained at the action
     dd.release_detector_cache()
 
 
@@ -867,10 +871,13 @@ def test_tombstone_delete_and_compaction(spark, embs, books, tmp_path):
 
 
 def test_compact_crash_recovery_and_concurrent_tombstones(spark, embs, books, tmp_path):
-    """r9 review findings: (a) a crash between compact_index's two
-    renames self-heals at the next load (roll-forward to the counted
-    stage); (b) a tombstone landing after compaction's file snapshot
-    survives the compaction and still applies."""
+    """r9 review findings + r10 ADVICE: (a) a crash between
+    compact_index's two renames self-heals at the next load —
+    roll-forward ONLY to the stage named in the swap-intent marker; a
+    stale orphan stage from an aborted run (no intent) must NOT be
+    installed (it may predate later appends/tombstones); (b) a
+    tombstone landing after compaction's file snapshot survives the
+    compaction and still applies."""
     import os
     import shutil
 
@@ -878,22 +885,56 @@ def test_compact_crash_recovery_and_concurrent_tombstones(spark, embs, books, tm
     pq.save_pq_index(pq.pq_encode(embs, books), books, path)
     total = spark.read.parquet(f"{path}/codes").count()
 
-    # simulate the crash window: codes renamed away, stage in place
-    shutil.copytree(f"{path}/codes", f"{path}/.codes_compact_999")
-    os.rename(f"{path}/codes", f"{path}/.codes_old_999")
+    # (a1) crash mid-swap WITH intent: codes renamed away, committed
+    # stage in place, intent names it → roll FORWARD to the stage
+    shutil.copytree(f"{path}/codes", f"{path}/.codes_compact_777_1")
+    with open(f"{path}/.codes_swap_intent", "w") as f:
+        f.write(".codes_compact_777_1")
+    os.rename(f"{path}/codes", f"{path}/.codes_old_777_1")
     codes, _ = pq.load_pq_index(spark, path)  # must self-heal
     assert os.path.isdir(f"{path}/codes") and codes.count() == total
+    assert not os.path.exists(f"{path}/.codes_swap_intent")
+    assert not os.path.isdir(f"{path}/.codes_compact_777_1")
+    shutil.rmtree(f"{path}/.codes_old_777_1", ignore_errors=True)
+
+    # (a2) crash mid-WRITE (orphan stage, NO intent): the orphan is a
+    # stale snapshot missing a row — recovery must roll BACK to the old
+    # dir, never install the orphan
+    shutil.copytree(f"{path}/codes", f"{path}/.codes_compact_888_1")
+    stale_file = next(
+        f"{path}/.codes_compact_888_1/{n}"
+        for n in os.listdir(f"{path}/.codes_compact_888_1")
+        if n.endswith(".parquet")
+    )
+    os.remove(stale_file)  # make the orphan provably stale
+    os.rename(f"{path}/codes", f"{path}/.codes_old_888_1")
+    codes, _ = pq.load_pq_index(spark, path)
+    assert codes.count() == total  # rolled back, not the gutted orphan
+    ids = [r["vec_id"] for r in codes.limit(2).collect()]
+    # the next compaction clears the orphan so it can never resurface
+    pq.compact_index(spark, path)
+    assert not os.path.isdir(f"{path}/.codes_compact_888_1")
 
     # concurrent tombstone: present in the dir but written AFTER the
     # compaction's file snapshot — emulate by monkey-ordering: snapshot
     # happens at compact entry, so write the late tombstone via a
     # pre-listed compact.  Here: tombstone A, compact (consumes it),
     # then tombstone B and verify B still applies after compaction.
-    ids = [r["vec_id"] for r in codes.limit(2).collect()]
     pq.delete_from_index(spark, path, [ids[0]])
     assert pq.compact_index(spark, path) == total - 1
     pq.delete_from_index(spark, path, [ids[1]])
     assert pq.load_pq_index(spark, path)[0].count() == total - 2
+
+
+def test_tombstone_column_mismatch_raises(spark, embs, books, tmp_path):
+    """r10 ADVICE: tombstones written under an id_col absent from the
+    codes schema must raise loudly, never guess a join key (guessing
+    matched nothing, so deleted ids silently kept serving)."""
+    path = str(tmp_path / "pq_badtomb")
+    pq.save_pq_index(pq.pq_encode(embs, books), books, path)
+    pq.delete_from_index(spark, path, ["1", "2"], id_col="doc_id")
+    with pytest.raises(ValueError, match="doc_id"):
+        pq.load_pq_index(spark, path)[0].count()
 
 
 def test_drift_gate_cardinality_guard(spark, embs, books, tmp_path, monkeypatch):
@@ -924,3 +965,188 @@ def test_drift_gate_cardinality_guard(spark, embs, books, tmp_path, monkeypatch)
         F.lit("crawl-a").alias("src"),
     )
     assert pq.append_to_ivfpq_index(ok, path, source_col="src") == 20
+
+
+def test_layout_version_stamp_and_migration(spark, embs, books, tmp_path):
+    """r10 verdict item 2 (index-layout half): layouts carry a
+    layout-version stamp; loaders refuse wrong-family and
+    newer-than-engine layouts with a migration hint; unstamped legacy
+    layouts load as v1 and migrate_layout stamps them in place."""
+    import json
+    import os
+
+    from readwise_vector_db_spark.layout import (
+        LAYOUT_VERSION,
+        LayoutVersionError,
+        migrate_layout,
+        read_stamp,
+    )
+
+    path = str(tmp_path / "pq_stamped")
+    pq.save_pq_index(pq.pq_encode(embs, books), books, path)
+    assert read_stamp(path) == {"layout_version": LAYOUT_VERSION, "family": "pq"}
+    pq.load_pq_index(spark, path)  # stamped current: loads
+
+    # wrong family refuses loudly
+    with pytest.raises(LayoutVersionError, match="family"):
+        pq.load_ivfpq_index(spark, path)
+
+    # newer-engine layout refuses with a hint
+    with open(f"{path}/layout.json", "w") as f:
+        json.dump({"layout_version": LAYOUT_VERSION + 1, "family": "pq"}, f)
+    with pytest.raises(LayoutVersionError, match="newer engine"):
+        pq.load_pq_index(spark, path)
+
+    # legacy (pre-stamp) layout: loads as v1, migrates in place
+    os.remove(f"{path}/layout.json")
+    pq.load_pq_index(spark, path)
+    assert migrate_layout(path, "pq", required=("codes", "codebooks")) == LAYOUT_VERSION
+    assert read_stamp(path)["family"] == "pq"
+    # migration refuses a directory that isn't the claimed family
+    with pytest.raises(LayoutVersionError, match="missing"):
+        migrate_layout(str(tmp_path / "empty"), "pq", required=("codes",))
+
+
+def test_recluster_cells_restores_gate_and_recall(spark, tmp_path):
+    """r10 verdict item 3: targeted drift remediation.  A drifted
+    append (shifted Gaussian mixture — the tools/bench_ann_recall.py
+    drift regime at test scale) first FAILS the gate; recluster_cells
+    splits only the offending cells (other partitions bit-untouched,
+    bytes_rewritten < total); the same append then passes the gate and
+    shifted-query recall@10 beats the force-append control."""
+    import os
+
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    d, n, n_centers, sigma = 48, 3000, 12, 0.5
+    rng = np.random.default_rng(5)
+    centers_a = rng.standard_normal((n_centers, d)).astype(np.float32)
+    base = centers_a[rng.integers(0, n_centers, n)] + sigma * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    rng2 = np.random.default_rng(29)
+    centers_b = rng2.standard_normal((n_centers, d)).astype(np.float32)
+    n_inc = n // 2
+    drifted = centers_b[rng2.integers(0, n_centers, n_inc)] + (
+        sigma * rng2.standard_normal((n_inc, d)).astype(np.float32)
+    )
+
+    def to_df(x, id0=0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(v) for v in x[i]]) for i in range(len(x))],
+            "vec_id long, embedding array<float>",
+        )
+
+    base_df, drifted_df = to_df(base), to_df(drifted, id0=1_000_000)
+    _, cents = sim.build_ivf_index(base_df, n_clusters=24)
+    books = pq.train_pq_codebooks(base_df, m=8, k=64, sample_rows=3000)
+
+    def build(path):
+        pq.save_ivfpq_index(
+            pq.ivfpq_encode(base_df, cents, books), cents, books, path,
+            base_vecs=base_df, rf_ks=(),
+        )
+
+    path = str(tmp_path / "remediate")
+    build(path)
+
+    # 1. the drifted append fails the gate
+    with pytest.raises(ValueError, match="stale"):
+        pq.append_to_ivfpq_index(drifted_df, path)
+
+    # snapshot untouched-partition files before remediation
+    def part_files(p):
+        return {
+            f"{root}/{fn}": os.path.getmtime(f"{root}/{fn}")
+            for root, _, files in os.walk(f"{p}/codes")
+            for fn in files
+        }
+
+    before = part_files(path)
+
+    # 2. targeted remediation
+    stats = pq.recluster_cells(spark, path, drifted_vecs=drifted_df, n_splits=4)
+    assert stats["cells_split"] and stats["new_cells"]
+    assert 0 < stats["bytes_rewritten"] < stats["bytes_total"]
+    touched = {f"cluster={c}" for c in stats["cells_split"] + stats["new_cells"]}
+    after = part_files(path)
+    for f, mt in before.items():
+        part = f.split("/codes/")[1].split("/")[0]
+        if part not in touched:
+            assert after.get(f) == mt, f"untouched partition rewritten: {f}"
+
+    # 3. the same append now passes the gate and lands
+    assert pq.append_to_ivfpq_index(drifted_df, path) == n_inc
+    codes2, cents2, books2 = pq.load_ivfpq_index(spark, path)
+    assert codes2.count() == n + n_inc
+
+    # 4. recall control: force-append into an unremediated copy
+    forced = str(tmp_path / "forced")
+    build(forced)
+    pq.append_to_ivfpq_index(drifted_df, forced, max_distortion_ratio=None)
+    codes_f, cents_f, books_f = pq.load_ivfpq_index(spark, forced)
+
+    full = np.vstack([base, drifted])
+    ids = np.concatenate([np.arange(n), 1_000_000 + np.arange(n_inc)])
+    queries = drifted[:12]
+
+    def exact_top(qi):
+        x = full / np.maximum(np.linalg.norm(full, axis=1, keepdims=True), 1e-12)
+        q = queries[qi] / np.linalg.norm(queries[qi])
+        return set(ids[np.argsort(-(x @ q))[:10]].tolist())
+
+    full_df = to_df(base).unionByName(to_df(drifted, id0=1_000_000))
+
+    def recall(codes, cts, bks):
+        rs = []
+        for qi in range(len(queries)):
+            got = {
+                int(r["vec_id"])
+                for r in pq.ivfpq_search(
+                    codes, cts, bks, [float(v) for v in queries[qi]],
+                    k=10, nprobe=4, rescore=full_df, rescore_factor=8,
+                ).collect()
+            }
+            rs.append(len(got & exact_top(qi)) / 10)
+        return sum(rs) / len(rs)
+
+    r_remediated = recall(codes2, cents2, books2)
+    r_forced = recall(codes_f, cents_f, books_f)
+    assert r_remediated > r_forced, (r_remediated, r_forced)
+    assert r_remediated >= 0.6, r_remediated
+
+
+def test_interleaved_rescored_knn_joins_single_scan(spark, embs, books):
+    """r10 verdict item 4: two INTERLEAVED lazy rescored pq_knn_join
+    results must each materialize with a single ADC scan — planning the
+    second join must not drop the first join's shortlist persist (the
+    old entry drain did; each materialization then re-ran the full scan
+    twice).  Scan volume counted by an accumulator in a pass-through
+    stage under the codes scan."""
+    acc = spark.sparkContext.accumulator(0)
+    codes = pq.pq_encode(embs, books)
+    n = codes.count()
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = codes.mapInPandas(counting, schema=codes.schema)
+    q = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embs.orderBy("vec_id").limit(4).collect()
+    ]
+    qdf1 = spark.createDataFrame(q[:2], "query_id long, query_vec array<float>")
+    qdf2 = spark.createDataFrame(q[2:], "query_id long, query_vec array<float>")
+    vecs = embs.select("vec_id", "embedding")
+
+    r1 = pq.pq_knn_join(counted, qdf1, books, k=5, rescore=vecs, rescore_factor=4)
+    r2 = pq.pq_knn_join(counted, qdf2, books, k=5, rescore=vecs, rescore_factor=4)
+    rows1 = r1.collect()  # materialized AFTER r2 was planned
+    rows2 = r2.collect()
+    assert {r["query_id"] for r in rows1} == {q[0][0], q[1][0]}
+    assert {r["query_id"] for r in rows2} == {q[2][0], q[3][0]}
+    # one ADC scan per join (cache-hit on the plan's second shortlist
+    # reference); the broken path re-scans — ≥ 4n total
+    assert acc.value <= int(2.5 * n), (acc.value, n)

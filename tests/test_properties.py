@@ -462,3 +462,59 @@ def test_doc_dup_fraction_matches_bruteforce(spark, docs):
         assert got[i][1] == len(cov[i])
         expect_frac = round(len(cov[i]) / nt, 6) if nt > 0 else 0.0
         assert abs(got[i][2] - expect_frac) < 1e-9
+
+
+@given(docs=_SPAN_DOCS, min_span=st.integers(min_value=3, max_value=7))
+@settings(**SETTINGS)
+def test_maximal_span_cut_matches_bruteforce(spark, docs, min_span):
+    """r10 verdict item 6: min_span_tokens cuts ONLY occurrences inside
+    maximal runs of consecutive repeated windows covering ≥ L tokens
+    (keep-first ranked among qualifying occurrences) — brute-forced
+    over the adversarial 3-letter corpus."""
+    from readwise_vector_db_spark.operators.dedup import drop_repeated_spans
+
+    n = 3
+    toks = {i: list(d) for i, d in enumerate(docs)}
+    occ: dict[tuple, list] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            occ.setdefault(tuple(ts[p : p + n]), []).append((i, p))
+    repeated = {
+        (i, p) for sites in occ.values() if len(sites) >= 2 for (i, p) in sites
+    }
+    # chain consecutive repeated positions per doc into maximal runs;
+    # qualifying = runs whose region covers >= min_span tokens
+    qual: set[tuple[int, int]] = set()
+    for i in toks:
+        ps = sorted(p for (j, p) in repeated if j == i)
+        run: list[int] = []
+        for p in ps + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if run[-1] - run[0] + n >= min_span:
+                    qual.update((i, q) for q in run)
+                run = []
+            if p is not None:
+                run.append(p)
+    cov: dict[int, set] = {i: set() for i in toks}
+    for sites in occ.values():
+        qsites = sorted(s for s in sites if s in qual)
+        if len(sites) < 2:
+            continue
+        for (i, p) in qsites[1:]:  # all but FIRST QUALIFYING occurrence
+            cov[i].update(range(p, p + n))
+    want = {
+        i: (
+            " ".join(t for j, t in enumerate(ts) if j not in cov[i]),
+            len(cov[i]),
+        )
+        for i, ts in toks.items()
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in toks.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in drop_repeated_spans(df, n=n, min_span_tokens=min_span).collect()
+    }
+    assert got == want

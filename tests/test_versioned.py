@@ -498,3 +498,100 @@ def test_force_merge_records_no_footprint(spark, table):
     table.merge(spark, spark.range(1).select("id", F.lit("M").alias("v")), "id")
     rec = table._touched_record(table.latest_version())
     assert rec is not None and rec["key"] == "id" and rec["buckets"]
+
+
+# --- schema evolution (round 10 — r9 verdict item 2) ---------------------
+
+
+def test_merge_evolves_schema_add_and_widen(spark, table):
+    """The `documents`-grows-a-column story: merge updates carrying a
+    new nullable column and a widened key type land as one evolved
+    snapshot; pre-evolution rows read NULL for the new column."""
+    table.merge(
+        spark,
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                              "id int, text string, n int"),
+        key="id",
+    )
+    table.merge(
+        spark,
+        spark.createDataFrame([(2, "B", 25, "en"), (3, "c", 30, "fr")],
+                              "id long, text string, n int, lang string"),
+        key="id",
+    )
+    cur = table.read(spark)
+    assert dict(cur.dtypes)["id"] == "bigint"
+    out = {r["id"]: (r["text"], r["lang"]) for r in cur.collect()}
+    assert out == {1: ("a", None), 2: ("B", "en"), 3: ("c", "fr")}
+
+
+def test_pre_evolution_version_round_trips_under_own_schema(spark, table):
+    """Time travel to a pre-evolution snapshot reads the OLD schema
+    exactly as committed — no phantom columns, original types."""
+    table.commit(spark.createDataFrame([(1, "a")], "id int, text string"))
+    table.merge(
+        spark,
+        spark.createDataFrame([(2, "b", "en")],
+                              "id long, text string, lang string"),
+        key="id",
+    )
+    old = table.read(spark, version=1)
+    assert old.columns == ["id", "text"]
+    assert dict(old.dtypes)["id"] == "int"
+    assert [tuple(r) for r in old.collect()] == [(1, "a")]
+    assert table.read(spark).columns == ["id", "text", "lang"]
+
+
+def test_schema_narrowing_rejected_loudly(spark, table):
+    from readwise_vector_db_spark.sources.versioned import SchemaEvolutionError
+
+    table.commit(spark.createDataFrame([(1, "a", 1.5)],
+                                       "id long, text string, x double"))
+    # dropped column
+    with pytest.raises(SchemaEvolutionError, match="text"):
+        table.merge(spark, spark.createDataFrame([(2, 2.5)],
+                                                 "id long, x double"), key="id")
+    # narrower incoming data is upcast, the TABLE schema never narrows
+    table.commit(
+        spark.createDataFrame([(1, "a", 1.5)], "id long, text string, x float")
+    )
+    assert dict(table.read(spark).dtypes)["x"] == "double"
+    # incompatible type change
+    with pytest.raises(SchemaEvolutionError, match="widening"):
+        table.merge(spark, spark.createDataFrame([(2, "b", "oops")],
+                                                 "id long, text string, x string"),
+                    key="id")
+    assert table.latest_version() == 2
+    # explicit escape hatch still works for deliberate replacement
+    table.commit(spark.createDataFrame([(1, 9)], "id long, n int"),
+                 schema_mode="overwrite")
+    assert table.read(spark).columns == ["id", "n"]
+    assert table.latest_version() == 3
+
+
+def test_append_evolution_omitted_column_reads_null(spark, table):
+    """Append commits may omit existing columns (their rows are NULL)
+    and add nullable ones — Delta mergeSchema semantics; old shared
+    segments stay physically narrow but read under the evolved schema."""
+    table.commit_append(spark.createDataFrame([(1, "a", 10)],
+                                              "id long, text string, n int"))
+    table.commit_append(spark.createDataFrame([(2, "b", "de")],
+                                              "id long, text string, lang string"))
+    cur = table.read(spark).orderBy("id").collect()
+    assert cur[0]["n"] == 10 and cur[0]["lang"] is None
+    assert cur[1]["n"] is None and cur[1]["lang"] == "de"
+    # v1 still reads without lang
+    assert table.read(spark, version=1).columns == ["id", "text", "n"]
+
+
+def test_strict_mode_requires_exact_schema(spark, table):
+    from readwise_vector_db_spark.sources.versioned import SchemaEvolutionError
+
+    table.commit(spark.createDataFrame([(1, "a")], "id long, text string"))
+    with pytest.raises(SchemaEvolutionError, match="strict"):
+        table.commit(spark.createDataFrame([(1, "a", "en")],
+                                           "id long, text string, lang string"),
+                     schema_mode="strict")
+    table.commit(spark.createDataFrame([(2, "b")], "id long, text string"),
+                 schema_mode="strict")
+    assert table.latest_version() == 2

@@ -425,6 +425,136 @@ def run_drift(n: int, d: int, n_centers: int, sigma: float) -> None:
         )
 
 
+def run_remediate(
+    n: int, d: int, n_centers: int, sigma: float, drift_centers: int | None = None
+) -> None:
+    """Round 10 (r9 verdict item 3): measure targeted drift remediation.
+    Same shifted-mixture regime as drift mode — a drifted increment
+    that FAILS the append gate — then three ways forward, each with
+    shifted-query recall@10 (rescored) and bytes rewritten:
+
+      forced:      max_distortion_ratio=None force-append (the r9-era
+                   only alternative to a rebuild)
+      recluster:   pq.recluster_cells on the offending cells, then the
+                   same append (now gate-clean)
+      retrain:     full model rebuild on the combined corpus (the upper
+                   bound, at full-rewrite cost)
+    """
+    from readwise_vector_db_spark.operators import pq
+    from readwise_vector_db_spark.operators import similarity as sim
+    from readwise_vector_db_spark.session import get_spark
+
+    spark = get_spark("ann_recall_remediate")
+    base, centers_a = make_mixture(n, d, n_centers, sigma, seed=5)
+    rng = np.random.default_rng(29)
+    # drift WIDTH is the economics knob: a single new crawl source is a
+    # FEW new blobs (localized — few offending cells, bytes_rewritten ≪
+    # rebuild); drift_centers=n_centers is whole-distribution shift
+    # (most cells offend and remediation honestly approaches retrain
+    # cost).  Default: localized.
+    if drift_centers is None:
+        drift_centers = max(2, n_centers // 8)
+    centers_b = rng.standard_normal((drift_centers, d)).astype(np.float32)
+    n_inc = max(200, (n * drift_centers) // (2 * n_centers))
+    inc, _ = make_mixture(n_inc, d, drift_centers, sigma, seed=41, centers=centers_b)
+    n_q = 16
+    q_b, _ = make_mixture(n_q, d, drift_centers, sigma, seed=31, centers=centers_b)
+
+    m = max(8, d // 48)
+    n_cells = max(32, int(2 * n ** 0.5))
+    base_path = f"{WORK}/rem_base"
+    write_corpus(base, base_path)
+    base_df = spark.read.parquet(base_path)
+    _, cents = sim.build_ivf_index(
+        base_df, n_clusters=n_cells, fit_sample_rows=min(n, 8000)
+    )
+    books = pq.train_pq_codebooks(base_df, m=m, k=256, sample_rows=8000)
+
+    inc_path = f"{WORK}/rem_inc"
+    write_corpus(inc, inc_path)
+    inc_df = spark.read.parquet(inc_path).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(int(n))
+    )
+    corpus = np.vstack([base, inc])
+    full_path = f"{WORK}/rem_full"
+    write_corpus(corpus, full_path)
+    full_df = spark.read.parquet(full_path)
+    truth = exact_topk_ids(corpus, q_b)
+
+    def recall_set(codes, cts, bks) -> float:
+        recs = []
+        for qi in range(len(q_b)):
+            got = {
+                int(r["vec_id"])
+                for r in pq.ivfpq_search(
+                    codes, cts, bks, [float(v) for v in q_b[qi]],
+                    k=10, nprobe=8, rescore=full_df, rescore_factor=8,
+                ).collect()
+            }
+            recs.append(recall(got, set(int(i) for i in truth[qi])))
+        return float(np.mean(recs))
+
+    def build(path):
+        shutil.rmtree(path, ignore_errors=True)
+        pq.save_ivfpq_index(
+            pq.ivfpq_encode(base_df, cents, books), cents, books, path,
+            base_vecs=base_df, rf_ks=(),
+        )
+
+    # gate trips?
+    idx = f"{WORK}/rem_idx"
+    build(idx)
+    try:
+        pq.append_to_ivfpq_index(inc_df, idx)
+        gate_tripped = False
+    except ValueError:
+        gate_tripped = True
+
+    # forced control
+    forced = f"{WORK}/rem_forced"
+    build(forced)
+    pq.append_to_ivfpq_index(inc_df, forced, max_distortion_ratio=None)
+    r_forced = recall_set(*pq.load_ivfpq_index(spark, forced))
+
+    # targeted remediation
+    t0 = time.time()
+    stats = pq.recluster_cells(spark, idx, drifted_vecs=inc_df, n_splits=4)
+    pq.append_to_ivfpq_index(inc_df, idx)
+    wall_recluster = time.time() - t0
+    r_reclustered = recall_set(*pq.load_ivfpq_index(spark, idx))
+
+    # retrain upper bound
+    t0 = time.time()
+    _, r_cents = sim.build_ivf_index(
+        full_df, n_clusters=n_cells, fit_sample_rows=min(len(corpus), 8000)
+    )
+    r_books = pq.train_pq_codebooks(full_df, m=m, k=256, sample_rows=8000)
+    r_codes = pq.ivfpq_encode(full_df, r_cents, r_books).persist()
+    r_codes.count()
+    wall_retrain = time.time() - t0
+    r_retrain = recall_set(r_codes, r_cents, r_books)
+    r_codes.unpersist()
+
+    emit(
+        mode="remediate", n=n, d=d, centers=n_centers, sigma=sigma,
+        drift_centers=drift_centers, inc_rows=n_inc,
+        gate_tripped=gate_tripped,
+        cells_split=len(stats["cells_split"]),
+        new_cells=len(stats["new_cells"]),
+        rows_rewritten=stats["rows_rewritten"],
+        bytes_rewritten=stats["bytes_rewritten"],
+        bytes_total=stats["bytes_total"],
+        rewrite_fraction=round(
+            stats["bytes_rewritten"] / max(1, stats["bytes_total"]), 4
+        ),
+        recall_forced=round(r_forced, 3),
+        recall_reclustered=round(r_reclustered, 3),
+        recall_retrained=round(r_retrain, 3),
+        wall_recluster_s=round(wall_recluster, 2),
+        wall_retrain_s=round(wall_retrain, 2),
+    )
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "sweep"
     if mode == "sweep":
@@ -445,8 +575,15 @@ def main() -> None:
         c = int(sys.argv[4]) if len(sys.argv) > 4 else 64
         s = float(sys.argv[5]) if len(sys.argv) > 5 else 0.9
         run_opq(n, d, c, s)
+    elif mode == "remediate":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000
+        d = int(sys.argv[3]) if len(sys.argv) > 3 else 768
+        c = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+        s = float(sys.argv[5]) if len(sys.argv) > 5 else 0.9
+        dc = int(sys.argv[6]) if len(sys.argv) > 6 else None
+        run_remediate(n, d, c, s, drift_centers=dc)
     else:
-        raise SystemExit(f"unknown mode {mode!r}: use sweep|drift|opq")
+        raise SystemExit(f"unknown mode {mode!r}: use sweep|drift|opq|remediate")
 
 
 if __name__ == "__main__":
