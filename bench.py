@@ -130,6 +130,8 @@ HEADLINE = [
     "text_stats",
     "tfidf_top_terms",
     "lm_quality",
+    "doc_quality_signals",  # round-10 fused per-doc signal row
+
     "multimodal_features",
     "upsert_merge",
     "quota_sample_sources",
@@ -219,6 +221,7 @@ def _setup_and_measure(run_idx: int) -> dict:
             "dedup_repeated_spans",
             "drift_by_source",
             "doc_dup_fraction",
+            "doc_quality_signals",
         )
     ]
     assert not off_surface, f"bench names not on the driver surface: {off_surface}"

@@ -564,18 +564,62 @@ def _resolve_rescore_factor(
     now = _time.monotonic()
     with _RF_LOCK:
         hit = _RF_CACHE.get(key)
-        if hit is not None and now - hit[0] < _RF_TTL_SEC:
+        if hit is not None:
             _RF_CACHE.move_to_end(key)
+            if now - hit[0] < _RF_TTL_SEC:
+                return hit[1]
+            # stale-while-revalidate (round 10 — r9 verdict item 8):
+            # serve the stale factor NOW and refresh it on a background
+            # thread — the ~8 s sampling probe must never ride the
+            # request thread once a value exists.  A too-small stale rf
+            # costs recall headroom for one TTL window at worst (the
+            # population drifts slowly; distribution change is the
+            # drift gate's job), which beats an 8 s serving stall.
+            if key not in _RF_REFRESHING:
+                _RF_REFRESHING.add(key)
+                _spawn_rf_refresh(key, rescore, codebooks, rotation, k, vec_col)
             return hit[1]
+    # first request for this (corpus, model, k): nothing to serve yet —
+    # the probe runs synchronously exactly once
     rf = estimate_rescore_factor(
         rescore, codebooks, rotation=rotation, k=k, vec_col=vec_col
     )
+    _rf_cache_put(key, rf)
+    return rf
+
+
+def _rf_cache_put(key, rf: int) -> None:
+    import time as _time
+
     with _RF_LOCK:
-        _RF_CACHE[key] = (now, rf)
+        _RF_CACHE[key] = (_time.monotonic(), rf)
         _RF_CACHE.move_to_end(key)
         while len(_RF_CACHE) > _RF_CACHE_MAX:
             _RF_CACHE.popitem(last=False)
-    return rf
+
+
+_RF_REFRESHING: set = set()
+
+
+def _spawn_rf_refresh(key, rescore, codebooks, rotation, k, vec_col) -> None:
+    """Daemon refresh of an expired rf cache entry.  Spark schedules
+    jobs from independent threads concurrently, so the probe runs
+    beside serving work; failures leave the stale value in place (a
+    later request retries) and always clear the in-flight marker."""
+
+    def _run() -> None:
+        try:
+            rf = estimate_rescore_factor(
+                rescore, codebooks, rotation=rotation, k=k, vec_col=vec_col
+            )
+            _rf_cache_put(key, rf)
+        except Exception:
+            pass  # keep serving the stale value; next expiry retries
+        finally:
+            with _RF_LOCK:
+                _RF_REFRESHING.discard(key)
+
+    threading.Thread(target=_run, name="rf-refresh", daemon=True).start()
 
 
 def pq_encode(

@@ -141,3 +141,34 @@ def test_curate_corpus_lm_gate(spark, tmp_path):
     assert loose["after_quality"] == base["after_quality"]
     assert tight["after_quality"] < base["after_quality"]
     assert set(tight) == set(base)  # gate adds no stage keys of its own
+
+
+def test_curate_corpus_with_signals(spark, tmp_path):
+    """r10 verdict item 7: with_signals=True commits every survivor with
+    its fused per-doc signal row (LM ppl + repetition fractions + dup
+    fraction), identical to the standalone fused operator run on the
+    survivor set."""
+    from readwise_vector_db_spark.operators.lm import train_bigram_lm
+    from readwise_vector_db_spark.operators.signals import doc_quality_signals
+
+    out = str(tmp_path / "curated_sig")
+    stats = curate_corpus(spark, SF_SMOKE, out, with_signals=True)
+    assert "wall_signals" in stats
+    committed = VersionedTable(out).read(spark)
+    for col in ("ppl", "top_unigram_frac", "dup_fraction", "rep_keep"):
+        assert col in committed.columns
+    assert committed.count() == stats["after_near_dup"]
+    # spot-check against the standalone fused operator on the survivors
+    survivors = committed.select("doc_id", "text", "lang")
+    uni, bi, v = train_bigram_lm(
+        survivors.filter(F.col("lang") == "en"), min_count=2
+    )
+    want = {
+        r["doc_id"]: (r["ppl"], r["dup_fraction"], r["rep_keep"])
+        for r in doc_quality_signals(survivors, uni, bi, v).collect()
+    }
+    got = {
+        r["doc_id"]: (r["ppl"], r["dup_fraction"], r["rep_keep"])
+        for r in committed.collect()
+    }
+    assert got == want

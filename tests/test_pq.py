@@ -457,9 +457,11 @@ def test_coarse_distortion_samples_uniformly_not_first_partitions(spark):
 
 
 def test_pq_knn_join_shortlist_registered_for_drain(spark, embs, books):
-    """ADVICE r8: the rescore path's persisted shortlist must land in the
-    shared drain registry so it is unpersisted on the next detector call
-    instead of leaking an InMemoryRelation per join for process life."""
+    """ADVICE r8, updated for the r10 self-draining contract: the
+    rescore path's persisted shortlist lands in the shared registry
+    while the result is LAZY (the backstop for never-materialized
+    handles) and is released the moment the first action completes —
+    no InMemoryRelation leaks per join either way."""
     from readwise_vector_db_spark.operators import dedup as dd
 
     dd.release_detector_cache()
@@ -475,8 +477,9 @@ def test_pq_knn_join_shortlist_registered_for_drain(spark, embs, books):
     out = pq.pq_knn_join(
         codes, queries, books, k=3, id_col="vec_id", rescore=embs
     )
+    assert len(dd._CACHED_FRAMES) == before + 1  # registered while lazy
     assert out.count() > 0
-    assert len(dd._CACHED_FRAMES) == before + 1
+    assert len(dd._CACHED_FRAMES) == before  # self-drained at the action
     dd.release_detector_cache()
     assert not dd._CACHED_FRAMES
 
@@ -697,13 +700,34 @@ def test_estimate_rescore_factor_tracks_margin_hardness(spark):
         codes_h, q, books_h2, k=10, rescore=hard, rescore_factor="auto"
     ).collect()
     assert pq._RF_CACHE[key][1] == 1 and len(pq._RF_CACHE) == 1
-    # TTL: an EXPIRED entry re-probes (plan hashes can't see same-path
-    # growth, so staleness is bounded by the TTL, not forever)
+    # TTL (r10 — stale-while-revalidate): an EXPIRED entry serves the
+    # STALE value on the request thread (zero sampling jobs there) and
+    # refreshes on a background thread; the fresh probe lands in the
+    # cache shortly after
+    import threading as _threading
+
+    probe_threads: list[str] = []
+    orig_probe = pq.estimate_rescore_factor
+
+    def _spy(*a, **kw):
+        probe_threads.append(_threading.current_thread().name)
+        return orig_probe(*a, **kw)
+
     pq._RF_CACHE[key] = (_time.monotonic() - 2 * pq._RF_TTL_SEC, 1)
-    pq.pq_search(
-        codes_h, q, books_h2, k=10, rescore=hard, rescore_factor="auto"
-    ).collect()
-    assert pq._RF_CACHE[key][1] != 1  # fresh probe overwrote the poison
+    pq.estimate_rescore_factor = _spy
+    try:
+        pq.pq_search(
+            codes_h, q, books_h2, k=10, rescore=hard, rescore_factor="auto"
+        ).collect()
+        # the request thread served the stale factor and never probed
+        assert all(t == "rf-refresh" for t in probe_threads)
+        deadline = _time.monotonic() + 60
+        while pq._RF_CACHE[key][1] == 1 and _time.monotonic() < deadline:
+            _time.sleep(0.1)
+        assert pq._RF_CACHE[key][1] != 1  # background refresh landed
+        assert probe_threads == ["rf-refresh"]
+    finally:
+        pq.estimate_rescore_factor = orig_probe
     pq._RF_CACHE.clear()
     codes_h.unpersist()
     # auto without rescore is a loud error, not a silent default
