@@ -319,9 +319,14 @@ def main() -> None:
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
 
     def one_pass(i: int) -> dict:
-        if i:
-            time.sleep(gap)
-        return _one_pass_subprocess() if (subproc and n_runs > 1) else _setup_and_measure(i)
+        if subproc and n_runs > 1:
+            # the inter-pass gap belongs to ISOLATED passes (temporal
+            # separation between fresh JVMs); the in-process quick mode
+            # shares one JVM anyway and stays gap-free for iteration
+            if i:
+                time.sleep(gap)
+            return _one_pass_subprocess()
+        return _setup_and_measure(i)
 
     runs = [one_pass(i) for i in range(n_runs)]
     # calibration gate (r10): discard transiently-degraded passes and

@@ -243,7 +243,10 @@ def curate_corpus(
         t_near = t_sig
 
     table = VersionedTable(out_root)
-    table.commit(survivors)
+    # whole-snapshot REPLACEMENT by design: each curation run's output
+    # schema is its own (with_signals toggles columns run-to-run), so
+    # the evolve check would wrongly refuse a narrower re-run
+    table.commit(survivors, schema_mode="overwrite")
     stats["committed_version"] = table.latest_version()
     stats["wall_commit"] = time.perf_counter() - t_near
     stats["wall_total"] = time.perf_counter() - t_start

@@ -759,6 +759,16 @@ def run_incremental_span_dedup(
             if name.isdigit() and int(name) < batch_id:
                 _os.remove(old)
         marker = f"{marker_dir}/{batch_id}"
+        # legacy location (pre-r10: {store_root}/_batch_base_<id>) — a
+        # stream upgraded mid-flight must keep its in-flight batch's
+        # pin or an at-least-once re-run would cut against a snapshot
+        # containing its OWN fingerprints; migrate, then GC all legacy
+        # markers (they belonged to this checkpoint's batch sequence)
+        legacy = f"{store_root}/_batch_base_{batch_id}"
+        if not _os.path.isfile(marker) and _os.path.isfile(legacy):
+            _os.replace(legacy, marker)
+        for old_legacy in _glob.glob(f"{store_root}/_batch_base_*"):
+            _os.remove(old_legacy)
         if _os.path.isfile(marker):
             with open(marker) as f:
                 base_v = int(f.read().strip())

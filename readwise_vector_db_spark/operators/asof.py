@@ -62,14 +62,21 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
         F.lit(None).cast(payload_t).alias(_PAYLOAD),
     )
-    # SQL join semantics for NULL keys (round 10 — caught by the
-    # NULL-planted oracle fixture): the window decomposition would
-    # otherwise put every NULL-key row in ONE partition and match
-    # NULL-key left rows to NULL-key right rows, where DuckDB/kdb ASOF
-    # equality never matches NULL.  Dropping NULL-key RIGHT rows
-    # restores that exactly: NULL-key left rows still flow through
-    # (left join) and always carry a NULL payload.
-    r_tag = right.filter(F.col(key).isNotNull()).select(
+    # SQL join semantics for NULL keys AND NULL timestamps (round 10 —
+    # caught by the NULL-planted oracle fixture + review): the window
+    # decomposition would otherwise (a) put every NULL-key row in ONE
+    # partition and match NULL-key left rows to NULL-key right rows,
+    # where DuckDB/kdb ASOF equality never matches NULL, and (b) sort a
+    # NULL-ts right row FIRST (asc NULLS FIRST) so its payload attached
+    # to every row of its key, where SQL's ``left.ts >= right.ts`` is
+    # never true for NULL.  Dropping NULL-key/NULL-ts RIGHT rows
+    # restores both exactly: such left rows still flow through (left
+    # join) and carry a NULL payload — a NULL-ts LEFT row then sorts
+    # before every surviving right row of its key, so it matches
+    # nothing, again the SQL answer.
+    r_tag = right.filter(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias(_ORIGIN),

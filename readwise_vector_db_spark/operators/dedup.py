@@ -72,9 +72,32 @@ _CACHE_GENERATION = 0
 _KEEP_GENERATIONS = 2
 
 
+_GEN_TLS = threading.local()
+
+
+class _same_generation:
+    """Composition guard (r10 review): a detector that invokes another
+    detector inside its own body (the group-exact fan-out delegating to
+    its ungrouped self) wraps the inner call so it does NOT advance the
+    cache generation — one PUBLIC call, one generation, or the
+    documented 'interleave depth ≤ _KEEP_GENERATIONS is cache-exact'
+    guarantee silently halves for grouped detectors."""
+
+    def __enter__(self):
+        self._prev = getattr(_GEN_TLS, "hold", False)
+        _GEN_TLS.hold = True
+
+    def __exit__(self, *exc):
+        _GEN_TLS.hold = self._prev
+        return False
+
+
 def _begin_detector_call() -> None:
     """Entry hook for every detector / rescored-join / batch call:
-    advance the generation and drain entries ≥ _KEEP_GENERATIONS old."""
+    advance the generation and drain entries ≥ _KEEP_GENERATIONS old.
+    No-op inside a :class:`_same_generation` block (nested composition)."""
+    if getattr(_GEN_TLS, "hold", False):
+        return
     global _CACHE_GENERATION
     with _CACHED_FRAMES_LOCK:
         _CACHE_GENERATION += 1
@@ -311,22 +334,23 @@ def _exact_group_fanout(
         # fully dead on this path — release now, not at the next call
         ids.unpersist()
         groups.unpersist()
-        return inner(docs)
+        with _same_generation():
+            return inner(docs)
     # (member id → group rep id, group size): narrow — two longs and a
     # hash — persisted because it feeds rep selection, the intra
     # self-join, and both sides of the cross fan-out.  ids/groups stay
     # persisted (members' lineage reads them lazily); all three are
-    # drained by the generation registry.  Registered AFTER the inner
-    # call below: ``inner`` starts with its own _begin_detector_call()
-    # and must not count this call's frames a generation older than
-    # they are.
+    # drained by the generation registry.  The inner call (the same
+    # public detector, ungrouped) runs under _same_generation so ONE
+    # public call advances ONE generation (r10 review).
     members = ids.join(groups, "_gfp").select("id", "gid", "gn").persist()
     reps = docs.join(
         members.filter(F.col("id") == F.col("gid")).select(F.col("id").alias(id_col)),
         id_col,
         "left_semi",
     )
-    rep_pairs = inner(reps)
+    with _same_generation():
+        rep_pairs = inner(reps)
     _register_cached(ids, groups, members)
     ga = members.select(F.col("gid").alias("id_a"), F.col("id").alias("_ma"))
     gb = members.select(F.col("gid").alias("id_b"), F.col("id").alias("_mb"))

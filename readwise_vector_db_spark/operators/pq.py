@@ -613,13 +613,32 @@ def _spawn_rf_refresh(key, rescore, codebooks, rotation, k, vec_col) -> None:
                 rescore, codebooks, rotation=rotation, k=k, vec_col=vec_col
             )
             _rf_cache_put(key, rf)
-        except Exception:
-            pass  # keep serving the stale value; next expiry retries
+        except Exception as e:
+            # keep serving the stale VALUE, but refresh its timestamp:
+            # otherwise every subsequent request re-spawns a doomed
+            # probe — rate-limit retries to once per TTL, with a
+            # diagnostic instead of silence (r10 review)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "background rescore-factor refresh failed for k=%s: %s "
+                "(serving the stale factor; retrying next TTL window)",
+                key[2], e,
+            )
+            with _RF_LOCK:
+                hit = _RF_CACHE.get(key)
+            if hit is not None:
+                _rf_cache_put(key, hit[1])
         finally:
             with _RF_LOCK:
                 _RF_REFRESHING.discard(key)
 
-    threading.Thread(target=_run, name="rf-refresh", daemon=True).start()
+    try:
+        threading.Thread(target=_run, name="rf-refresh", daemon=True).start()
+    except Exception:
+        with _RF_LOCK:
+            _RF_REFRESHING.discard(key)
+        raise
 
 
 def pq_encode(
@@ -1893,6 +1912,26 @@ def recluster_cells(
             "bytes_total": _dir_bytes(f"{path}/codes"),
         }
 
+    # --- publish the new centroid table FIRST ----------------------------
+    # Crash-ordering (r10 review): a centroid with no partition is
+    # harmless (probes read an empty directory), but a partition whose
+    # cluster id is missing from the centroid table is silently
+    # unsearchable.  Publishing centroids before the rewrite means any
+    # crash window leaves every row reachable: pre-rewrite rows are
+    # still in their old cell id, which the new table keeps (sub0
+    # reuses it); re-running recluster_cells completes the move.
+    new_centroids = [
+        (cid, vec) for cid, vec in centroids if cid not in split_cents
+    ]
+    for c, (ids, sub) in split_cents.items():
+        new_centroids.extend(
+            (int(i), [float(x) for x in sub[j]]) for j, i in enumerate(ids)
+        )
+    spark.createDataFrame(
+        sorted(new_centroids),
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
     # --- re-assign ONLY the offending cells' rows ------------------------
     cols = codes_all.columns
     books32 = [np.asarray(b, dtype=np.float32) for b in books]
@@ -1943,19 +1982,6 @@ def recluster_cells(
     for c in split_cents:
         if c not in written_cells:
             _shutil.rmtree(f"{path}/codes/cluster={c}", ignore_errors=True)
-
-    # --- publish the new centroid table -----------------------------------
-    new_centroids = [
-        (cid, vec) for cid, vec in centroids if cid not in split_cents
-    ]
-    for c, (ids, sub) in split_cents.items():
-        new_centroids.extend(
-            (int(i), [float(x) for x in sub[j]]) for j, i in enumerate(ids)
-        )
-    spark.createDataFrame(
-        sorted(new_centroids),
-        "cluster int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
     bytes_rewritten = sum(
         _dir_bytes(f"{path}/codes/cluster={c}")

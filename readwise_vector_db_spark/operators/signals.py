@@ -86,7 +86,9 @@ def doc_quality_signals(
 
     schema = T.StructType(
         [
-            T.StructField("sig_id", T.LongType(), False),
+            # id passes through with the INPUT's type (r10 review: a
+            # long cast silently NULLed string/uuid ids)
+            T.StructField("sig_id", docs.schema[id_col].dataType, False),
             T.StructField("n_tokens", T.IntegerType(), False),
             T.StructField("u_frac", T.DoubleType(), True),
             T.StructField("b_frac", T.DoubleType(), True),
@@ -129,7 +131,7 @@ def doc_quality_signals(
             yield pd.DataFrame(out)
 
     base = docs.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t")
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
     ).filter(F.col("t").isNotNull())
     sig = base.mapInPandas(run, schema=schema)
 

@@ -55,3 +55,25 @@ def test_asof_null_keys_never_match(spark):
         for r in asof_join(left, right, key="user_id", payload=["cp_id"]).collect()
     }
     assert out == {1: None, 2: None, 3: 200}
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """r10 review: SQL `left.ts >= right.ts` is never true when either
+    side's ts is NULL — a NULL-ts right row must not attach its payload
+    (window NULLS-FIRST would otherwise hand it to EVERY row of its
+    key), and a NULL-ts left row matches nothing."""
+    from readwise_vector_db_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, 30), (2, 7, None)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(7, None, 100), (7, 25, 200)],
+        "user_id long, ts long, cp_id long",
+    )
+    out = {
+        r["event_id"]: r["cp_id"]
+        for r in asof_join(left, right, key="user_id", payload=["cp_id"]).collect()
+    }
+    assert out == {1: 200, 2: None}

@@ -501,14 +501,18 @@ def run_remediate(
             base_vecs=base_df, rf_ks=(),
         )
 
-    # gate trips?
-    idx = f"{WORK}/rem_idx"
-    build(idx)
+    # gate trips?  Probed on a SCRATCH copy: when the gate does NOT
+    # trip this append COMMITS, and reusing that layout would land the
+    # increment twice after the unconditional append below (r10 review)
+    scratch = f"{WORK}/rem_gate_probe"
+    build(scratch)
     try:
-        pq.append_to_ivfpq_index(inc_df, idx)
+        pq.append_to_ivfpq_index(inc_df, scratch)
         gate_tripped = False
     except ValueError:
         gate_tripped = True
+    idx = f"{WORK}/rem_idx"
+    build(idx)
 
     # forced control
     forced = f"{WORK}/rem_forced"
