@@ -573,10 +573,20 @@ def _measure(spark, qs, run_idx: int) -> dict:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    from readwise_vector_db_spark.operators.dedup import release_detector_cache
+
     for name in HEADLINE:
         fn = qs[name]
         samples = []
         for _ in range(reps):
+            # drain detector-internal persists BEFORE each rep: the r10
+            # generation registry keeps the two newest calls' frames, so
+            # without this reps 2+ would hit rep 1's internal caches and
+            # the row would silently change meaning mid-trend (measured:
+            # dedup_lsh_embedding 3.4 -> 1.1 "improvement" that was just
+            # cache reuse).  Every rep measures the COLD end-to-end run,
+            # the same semantics as every prior round.
+            release_detector_cache()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -607,6 +617,7 @@ def _measure(spark, qs, run_idx: int) -> dict:
     stage_walls: list[dict[str, float]] = []
     for _ in range(reps):
         out_root = tempfile.mkdtemp(prefix="bench_curate_")
+        release_detector_cache()  # cold rep (see the query loop note)
         t0 = time.perf_counter()
         stats = curate_corpus(spark, SF_DIR, out_root)
         samples.append(time.perf_counter() - t0)
@@ -643,6 +654,7 @@ def _measure(spark, qs, run_idx: int) -> dict:
     for _ in range(reps):
         root = tempfile.mkdtemp(prefix="bench_incdedup_")
         table = VersionedTable(root)
+        release_detector_cache()  # cold rep (see the query loop note)
         t0 = time.perf_counter()
         dedup_batch_against_store(
             spark, docs_inc.filter(_Fi.col("doc_id") % 2 == 0), table
@@ -681,6 +693,7 @@ def _measure(spark, qs, run_idx: int) -> dict:
     for _ in range(max(2, reps // 2)):
         root = tempfile.mkdtemp(prefix="bench_semincdedup_")
         table = VersionedTable(root)
+        release_detector_cache()  # cold rep (see the query loop note)
         t0 = time.perf_counter()
         semantic_dedup_batch_against_store(
             spark, embs_inc.filter(_Fi.col("vec_id") % 2 == 0), table, semq
