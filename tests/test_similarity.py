@@ -418,3 +418,97 @@ def test_ivf_layout_tombstone_delete_and_compaction(spark, tmp_path):
     assert [
         r["neighbor_id"] for r in sim.ivf_search(loaded3, cents, q, k=5, nprobe=4).collect()
     ] == got
+
+
+def test_recluster_ivf_cells_targeted_remediation(spark, tmp_path):
+    """r10: the raw-vector sibling of pq.recluster_cells — a drifted
+    batch's cells split with EXACT vectors and a SELF-CALIBRATED
+    baseline (no distortion.json sidecar); untouched partitions stay
+    bit-identical; shifted-query recall at small nprobe beats the
+    unremediated index."""
+    import os
+
+    import numpy as np
+
+    d, n, n_centers, sigma = 32, 2400, 10, 0.4
+    rng = np.random.default_rng(11)
+    centers_a = rng.standard_normal((n_centers, d)).astype(np.float32)
+    base = centers_a[rng.integers(0, n_centers, n)] + sigma * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    rng2 = np.random.default_rng(37)
+    centers_b = rng2.standard_normal((n_centers, d)).astype(np.float32)
+    n_inc = n // 3
+    drifted = centers_b[rng2.integers(0, n_centers, n_inc)] + (
+        sigma * rng2.standard_normal((n_inc, d)).astype(np.float32)
+    )
+
+    def to_df(x, id0=0):
+        return spark.createDataFrame(
+            [(id0 + i, [float(v) for v in x[i]]) for i in range(len(x))],
+            "vec_id long, embedding array<float>",
+        )
+
+    base_df = to_df(base)
+    drifted_df = to_df(drifted, id0=1_000_000)
+    assigned, cents = sim.build_ivf_index(base_df, n_clusters=20)
+
+    def build(p):
+        sim.save_ivf_index(assigned, cents, p)
+        # the increment lands via plain partition append (the ivf
+        # family has no gated append; remediation is what fixes fit)
+        inc_assigned = sim.assign_cells(drifted_df, cents)
+        inc_assigned.write.mode("append").partitionBy("cluster").parquet(
+            f"{p}/assigned"
+        )
+
+    before = str(tmp_path / "ivf_before")
+    build(before)
+    path = str(tmp_path / "ivf_rem")
+    build(path)
+
+    def part_files(p):
+        return {
+            f"{root}/{fn}": os.path.getmtime(f"{root}/{fn}")
+            for root, _, files in os.walk(f"{p}/assigned")
+            for fn in files
+        }
+
+    pre = part_files(path)
+    stats = sim.recluster_ivf_cells(spark, path, drifted_vecs=drifted_df, n_splits=4)
+    assert stats["cells_split"] and stats["new_cells"]
+    assert 0 < stats["bytes_rewritten"] < stats["bytes_total"]
+    touched = {f"cluster={c}" for c in stats["cells_split"] + stats["new_cells"]}
+    post = part_files(path)
+    for f, mt in pre.items():
+        part = f.split("/assigned/")[1].split("/")[0]
+        if part not in touched:
+            assert post.get(f) == mt, f"untouched partition rewritten: {f}"
+
+    # recall on shifted queries at small nprobe: remediated beats before
+    full = np.vstack([base, drifted])
+    ids = np.concatenate([np.arange(n), 1_000_000 + np.arange(n_inc)])
+    queries = drifted[:10]
+    xn = full / np.maximum(np.linalg.norm(full, axis=1, keepdims=True), 1e-12)
+
+    def exact_top(qi):
+        q = queries[qi] / np.linalg.norm(queries[qi])
+        return set(ids[np.argsort(-(xn @ q))[:10]].tolist())
+
+    def recall(p):
+        loaded, cts = sim.load_ivf_index(spark, p)
+        rs = []
+        for qi in range(len(queries)):
+            got = {
+                r["neighbor_id"]
+                for r in sim.ivf_search(
+                    loaded, cts, [float(v) for v in queries[qi]], k=10, nprobe=3
+                ).collect()
+            }
+            rs.append(len(got & exact_top(qi)) / 10)
+        return sum(rs) / len(rs)
+
+    r_before, r_after = recall(before), recall(path)
+    assert stats["rows_rewritten"] > 0
+    assert r_after > r_before, (r_before, r_after)
+    assert r_after >= 0.8, r_after
