@@ -595,3 +595,30 @@ def test_strict_mode_requires_exact_schema(spark, table):
     table.commit(spark.createDataFrame([(2, "b")], "id long, text string"),
                  schema_mode="strict")
     assert table.latest_version() == 2
+
+
+def test_compact_and_vacuum_preserve_evolution(spark, table):
+    """Compaction of an evolved table keeps the evolved schema (its
+    commit re-records the sidecar), and vacuum drops retired versions'
+    schema sidecars with their snapshots while kept versions still
+    time-travel under their own schema."""
+    import os
+
+    table.commit_append(spark.createDataFrame([(1, "a", 10)],
+                                              "id long, text string, n int"))
+    table.commit_append(spark.createDataFrame([(2, "b", "de")],
+                                              "id long, text string, lang string"))
+    v_before = table.latest_version()
+    table.compact(spark)
+    cur = table.read(spark)
+    assert cur.columns == ["id", "text", "n", "lang"]
+    rows = {r["id"]: (r["n"], r["lang"]) for r in cur.collect()}
+    assert rows == {1: (10, None), 2: (None, "de")}
+    # pre-compaction version still reads under its own schema
+    assert table.read(spark, version=1).columns == ["id", "text", "n"]
+    removed = table.vacuum(keep=1)
+    assert removed and v_before in removed or 1 in removed
+    for v in removed:
+        assert not os.path.exists(table._schema_path(v))
+    assert os.path.exists(table._schema_path(table.latest_version()))
+    assert table.read(spark).count() == 2
