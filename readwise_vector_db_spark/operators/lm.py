@@ -143,6 +143,65 @@ def train_bigram_lm(
     return uni, bi, len(uni)
 
 
+def save_bigram_lm(
+    path: str,
+    uni: dict[str, int],
+    bi: dict[tuple[str, str], int],
+    vocab_size: int,
+    add_k: float = 0.5,
+) -> None:
+    """Persist the trained LM as a serving artifact (round 10): the
+    trained counts are the analogue of a KenLM binary — training runs
+    in the offline job (two counting aggregates over the reference
+    slice), serving processes only ever :func:`load_bigram_lm` and
+    broadcast.  Without this, every batch/process that wants
+    `lm_quality` / `doc_quality_signals` retrains from the corpus.
+
+    Format: one atomic JSON (the model is vocab-bounded by
+    construction — see ``train_bigram_lm(max_model_rows=)``); bigram
+    keys join with a single space, unambiguous because tokens come
+    from a whitespace split and cannot contain whitespace.  Layout is
+    stamped family ``bigram_lm`` (readwise_vector_db_spark.layout):
+    loaders refuse wrong-family/newer-engine artifacts loudly."""
+    import json
+    import os
+
+    from readwise_vector_db_spark.layout import stamp_layout
+
+    os.makedirs(path, exist_ok=True)
+    rec = {
+        "add_k": float(add_k),
+        "vocab_size": int(vocab_size),
+        "uni": {w: int(c) for w, c in uni.items()},
+        "bi": {f"{w1} {w2}": int(c) for (w1, w2), c in bi.items()},
+    }
+    tmp = os.path.join(path, f"model.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(path, "model.json"))
+    stamp_layout(path, "bigram_lm")
+
+
+def load_bigram_lm(path: str) -> tuple[dict, dict, int, float]:
+    """(uni, bi, vocab_size, add_k) from a :func:`save_bigram_lm`
+    artifact — pass the first three as the ``lm_model=`` tuple
+    (curate funnel, ``lm_score_docs``, ``doc_quality_signals``)."""
+    import json
+    import os
+
+    from readwise_vector_db_spark.layout import check_layout
+
+    check_layout(path, "bigram_lm")
+    with open(os.path.join(path, "model.json")) as f:
+        rec = json.load(f)
+    bi = {}
+    for k, c in rec["bi"].items():
+        w1, w2 = k.split(" ", 1)
+        bi[(w1, w2)] = int(c)
+    uni = {w: int(c) for w, c in rec["uni"].items()}
+    return uni, bi, int(rec["vocab_size"]), float(rec["add_k"])
+
+
 def _make_scorer(uni, bi, vocab_size: int, add_k: float):
     """Per-text closure → (n_bigrams, raw mean logp | None).
 

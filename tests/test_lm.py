@@ -146,3 +146,33 @@ def test_lm_empty_reference_rejects_loudly(spark):
             spark.createDataFrame([(0, "a b")], "doc_id long, text string"),
             {}, {}, 0,
         )
+
+
+def test_bigram_lm_save_load_roundtrip(spark, tmp_path):
+    """r10: the LM persists as a serving artifact — training is the
+    offline job; a loaded model scores bit-identically, and the layout
+    stamp refuses wrong-family directories."""
+    import pytest as _pytest
+
+    from readwise_vector_db_spark.layout import LayoutVersionError, read_stamp
+    from readwise_vector_db_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran"),
+         (3, " leading space edge"), (4, "the mat sat")],
+        "doc_id long, text string",
+    )
+    uni, bi, v = lm.train_bigram_lm(docs, min_count=1)
+    path = str(tmp_path / "lm_artifact")
+    lm.save_bigram_lm(path, uni, bi, v, add_k=0.5)
+    assert read_stamp(path)["family"] == "bigram_lm"
+    uni2, bi2, v2, add_k2 = lm.load_bigram_lm(path)
+    assert (uni2, bi2, v2, add_k2) == (uni, bi, v, 0.5)
+    want = lm.lm_score_docs(docs, uni, bi, v).collect()
+    got = lm.lm_score_docs(docs, uni2, bi2, v2).collect()
+    assert sorted(map(tuple, want)) == sorted(map(tuple, got))
+    # wrong family refuses loudly
+    with _pytest.raises(LayoutVersionError, match="family"):
+        from readwise_vector_db_spark.operators import pq
+
+        pq.load_pq_index(spark, path)
