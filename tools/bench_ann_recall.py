@@ -426,7 +426,11 @@ def run_drift(n: int, d: int, n_centers: int, sigma: float) -> None:
 
 
 def run_remediate(
-    n: int, d: int, n_centers: int, sigma: float, drift_centers: int | None = None
+    n: int,
+    d: int,
+    n_centers: int,
+    sigma: float,
+    drift_centers: int | None = None,
 ) -> None:
     """Round 10 (r9 verdict item 3): measure targeted drift remediation.
     Same shifted-mixture regime as drift mode — a drifted increment
@@ -559,6 +563,107 @@ def run_remediate(
     )
 
 
+def run_remediate_ivf(
+    n: int, d: int, n_centers: int, sigma: float, drift_centers: int | None = None
+) -> None:
+    """IVF-family sibling of remediate mode: raw-vector layout, no
+    append gate (plain partition append), exact in-cell scores — so
+    shifted-query recall at small nprobe isolates CELL-SELECTION loss,
+    and recluster_ivf_cells' recovery is measured directly against the
+    unremediated copy and a full rebuild."""
+    from readwise_vector_db_spark.operators import similarity as sim
+    from readwise_vector_db_spark.session import get_spark
+
+    spark = get_spark("ann_recall_remediate_ivf")
+    base, centers_a = make_mixture(n, d, n_centers, sigma, seed=5)
+    rng = np.random.default_rng(29)
+    if drift_centers is None:
+        drift_centers = max(2, n_centers // 8)
+    centers_b = rng.standard_normal((drift_centers, d)).astype(np.float32)
+    n_inc = max(200, (n * drift_centers) // (2 * n_centers))
+    inc, _ = make_mixture(n_inc, d, drift_centers, sigma, seed=41, centers=centers_b)
+    n_q = 16
+    q_b, _ = make_mixture(n_q, d, drift_centers, sigma, seed=31, centers=centers_b)
+
+    n_cells = max(32, int(2 * n ** 0.5))
+    base_path = f"{WORK}/remivf_base"
+    write_corpus(base, base_path)
+    base_df = spark.read.parquet(base_path)
+    assigned, cents = sim.build_ivf_index(
+        base_df, n_clusters=n_cells, fit_sample_rows=min(n, 8000)
+    )
+    inc_path = f"{WORK}/remivf_inc"
+    write_corpus(inc, inc_path)
+    inc_df = spark.read.parquet(inc_path).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(int(n))
+    )
+    corpus = np.vstack([base, inc])
+    truth = exact_topk_ids(corpus, q_b)
+
+    def build(p):
+        shutil.rmtree(p, ignore_errors=True)
+        sim.save_ivf_index(assigned, cents, p)
+        sim.assign_cells(inc_df, cents).write.mode("append").partitionBy(
+            "cluster"
+        ).parquet(f"{p}/assigned")
+
+    def recall_at(p, nprobe=8) -> float:
+        loaded, cts = sim.load_ivf_index(spark, p)
+        recs = []
+        for qi in range(len(q_b)):
+            got = {
+                int(r["neighbor_id"])
+                for r in sim.ivf_search(
+                    loaded, cts, [float(v) for v in q_b[qi]], k=10, nprobe=nprobe
+                ).collect()
+            }
+            recs.append(recall(got, set(int(i) for i in truth[qi])))
+        return float(np.mean(recs))
+
+    before = f"{WORK}/remivf_before"
+    build(before)
+    r_before = recall_at(before)
+
+    idx = f"{WORK}/remivf_idx"
+    build(idx)
+    t0 = time.time()
+    stats = sim.recluster_ivf_cells(spark, idx, drifted_vecs=inc_df, n_splits=4)
+    wall_recluster = time.time() - t0
+    r_after = recall_at(idx)
+
+    # rebuild upper bound
+    full_path = f"{WORK}/remivf_full"
+    write_corpus(corpus, full_path)
+    full_df = spark.read.parquet(full_path)
+    t0 = time.time()
+    r_assigned, r_cents = sim.build_ivf_index(
+        full_df, n_clusters=n_cells, fit_sample_rows=min(len(corpus), 8000)
+    )
+    rebuilt = f"{WORK}/remivf_rebuilt"
+    shutil.rmtree(rebuilt, ignore_errors=True)
+    sim.save_ivf_index(r_assigned, r_cents, rebuilt)
+    wall_rebuild = time.time() - t0
+    r_rebuilt = recall_at(rebuilt)
+
+    emit(
+        mode="remediate_ivf", n=n, d=d, centers=n_centers, sigma=sigma,
+        drift_centers=drift_centers, inc_rows=n_inc,
+        cells_split=len(stats["cells_split"]),
+        new_cells=len(stats["new_cells"]),
+        rows_rewritten=stats["rows_rewritten"],
+        bytes_rewritten=stats["bytes_rewritten"],
+        bytes_total=stats["bytes_total"],
+        rewrite_fraction=round(
+            stats["bytes_rewritten"] / max(1, stats["bytes_total"]), 4
+        ),
+        recall_before=round(r_before, 3),
+        recall_reclustered=round(r_after, 3),
+        recall_rebuilt=round(r_rebuilt, 3),
+        wall_recluster_s=round(wall_recluster, 2),
+        wall_rebuild_s=round(wall_rebuild, 2),
+    )
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "sweep"
     if mode == "sweep":
@@ -586,8 +691,17 @@ def main() -> None:
         s = float(sys.argv[5]) if len(sys.argv) > 5 else 0.9
         dc = int(sys.argv[6]) if len(sys.argv) > 6 else None
         run_remediate(n, d, c, s, drift_centers=dc)
+    elif mode == "remediate_ivf":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000
+        d = int(sys.argv[3]) if len(sys.argv) > 3 else 768
+        c = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+        s = float(sys.argv[5]) if len(sys.argv) > 5 else 0.9
+        dc = int(sys.argv[6]) if len(sys.argv) > 6 else None
+        run_remediate_ivf(n, d, c, s, drift_centers=dc)
     else:
-        raise SystemExit(f"unknown mode {mode!r}: use sweep|drift|opq|remediate")
+        raise SystemExit(
+            f"unknown mode {mode!r}: use sweep|drift|opq|remediate|remediate_ivf"
+        )
 
 
 if __name__ == "__main__":
