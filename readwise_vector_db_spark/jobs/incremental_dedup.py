@@ -696,6 +696,115 @@ def span_dedup_batch_against_store(
     return SelfDrainingFrame(cleaned, [cleaned]), stats
 
 
+def span_dup_fraction_batch_against_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: VersionedTable,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    read_version: int | None = None,
+) -> DataFrame:
+    """The INCREMENTAL face of the per-doc duplicated-n-gram signal
+    (round 10): score each batch document's ``dup_fraction`` against
+    the accumulated corpus WITHOUT rescanning it — a window counts as
+    duplicated iff its fingerprint is already in the span store (seen
+    in any prior batch's accepted content) OR it repeats within this
+    batch.  Scoring only — the store is never written; compose with
+    :func:`span_dedup_batch_against_store` (which owns the cut and the
+    fingerprint commit) in the same micro-batch loop.
+
+    Equivalence: for a store whose prior batches were accepted uncut
+    (one fingerprint per distinct prior window), the result is exactly
+    :func:`operators.dedup.doc_dup_fraction` over (prior corpus ∪
+    batch) restricted to the batch docs — tested.  With prior CUTS the
+    store keeps each window's surviving first occurrence, so the
+    signal remains "share of tokens whose window exists elsewhere in
+    the accepted corpus or this batch"; windows destroyed at cut
+    boundaries (spanning removed + kept tokens) are no longer anyone's
+    content and don't count — the approximation is stated, not hidden.
+
+    Scale shape: the batch's 8-byte window hashes broadcast against the
+    store scan (store never shuffles); in-batch repeats are one partial
+    aggregation; coverage counts distinct (id, index) ints.
+    ``read_version`` pins the snapshot for streaming retries, exactly
+    like the cut path."""
+    from readwise_vector_db_spark.functions.text import ws_tokens
+
+    if read_version is None:
+        read_version = table.latest_version() or 0
+
+    toks = batch.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("toks")
+    )
+    wins = (
+        toks.filter(F.size("toks") >= n)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(n) + 1),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                )
+            ).alias("pos", "ngram"),
+        )
+        .select(
+            "id", "pos",
+            F.xxhash64("ngram").alias("h1"), F.hash("ngram").alias("h2"),
+        )
+    )
+    dup_parts = []
+    if read_version > 0:
+        store = table.read(spark, version=read_version)
+        batch_fps = wins.select("h1", "h2").distinct()
+        store_hits = (
+            store.join(F.broadcast(batch_fps), ["h1", "h2"], "left_semi")
+            .select("h1", "h2")
+            .distinct()
+        )
+        dup_parts.append(
+            wins.join(F.broadcast(store_hits), ["h1", "h2"]).select("id", "pos")
+        )
+    batch_hot = (
+        wins.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("h1", "h2")
+    )
+    dup_parts.append(
+        wins.join(batch_hot, ["h1", "h2"], "left_semi").select("id", "pos")
+    )
+    dup = dup_parts[0]
+    for p in dup_parts[1:]:
+        dup = dup.unionByName(p)
+    cov = (
+        dup.select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("i"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("int").alias("dup_tokens"))
+    )
+    base = toks.select("id", F.size("toks").cast("int").alias("n_tokens"))
+    return (
+        base.join(cov, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce(F.col("dup_tokens"), F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def run_incremental_span_dedup(
     spark: SparkSession,
     stream_docs: DataFrame,

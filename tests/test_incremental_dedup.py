@@ -691,3 +691,62 @@ def test_span_batch_interleave_keeps_unconsumed_cache(spark, docs, tmp_path):
     rows2 = cleaned2.collect()
     assert len(rows2) == s2["batch_raw"]
     assert not cleaned2.storageLevel.useMemory
+
+
+def test_span_dup_fraction_batch_against_store(spark, docs, tmp_path):
+    """r10: incremental per-doc dup-fraction — batch windows scored
+    against the accumulated span store + in-batch repeats, equivalent
+    to corpus-wide doc_dup_fraction over (prior ∪ batch) restricted to
+    the batch when prior batches were accepted uncut."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        span_dedup_batch_against_store,
+        span_dup_fraction_batch_against_store,
+    )
+    from readwise_vector_db_spark.operators.dedup import doc_dup_fraction
+
+    table = VersionedTable(str(tmp_path / "span_frac"))
+    # batch 1: synthetic docs with globally-unique tokens — accepted
+    # UNCUT by construction, the premise of the exact-equivalence check
+    b1 = spark.createDataFrame(
+        [
+            (i, " ".join(f"b1d{i}w{j}" for j in range(40)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    cleaned1, s1 = span_dedup_batch_against_store(spark, b1, table)
+    cleaned1.count()
+    assert s1["tokens_removed"] == 0
+
+    # batch 2: fresh docs + a re-labeled copy of a batch-1 doc + an
+    # in-batch duplicated pair of fresh text
+    fresh = spark.createDataFrame(
+        [
+            (25 + i, " ".join(f"b2d{i}w{j}" for j in range(40)))
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    copy_of_b1 = b1.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    pair_text = " ".join(f"tok{i}" for i in range(30))
+    pair = spark.createDataFrame(
+        [(900100, pair_text), (900101, pair_text)], "doc_id long, text string"
+    )
+    b2 = fresh.unionByName(copy_of_b1).unionByName(pair)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in span_dup_fraction_batch_against_store(spark, b2, table).collect()
+    }
+    # the re-labeled copy and the in-batch pair are fully duplicated
+    assert got[900003][2] == 1.0  # copy of batch-1 doc 3
+    assert got[900100][2] == 1.0 and got[900101][2] == 1.0
+    # equivalence with the corpus-wide operator over (b1 ∪ b2)
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in doc_dup_fraction(b1.unionByName(b2)).collect()
+        if r["doc_id"] in got
+    }
+    assert got == want
