@@ -805,6 +805,43 @@ def span_dup_fraction_batch_against_store(
     )
 
 
+def batch_quality_signals(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: VersionedTable,
+    lm_model: tuple,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    read_version: int | None = None,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """The STREAMING face of the fused signal row (round 10): per-batch
+    documents scored with the same one-Arrow-pass per-doc half as
+    ``operators.signals.doc_quality_signals`` (LM perplexity from a
+    persisted artifact — ``lm.load_bigram_lm``'s ``(uni, bi, vocab)``
+    tuple — plus the Gopher repetition fractions), joined with the
+    INCREMENTAL dup fraction (:func:`span_dup_fraction_batch_against_store`
+    — windows duplicated against the accumulated store or within the
+    batch).  This is the production shape: one batch arrives, one Arrow
+    pass + one broadcast store probe + one id join scores it — no
+    corpus rescan, no per-batch LM retraining."""
+    from readwise_vector_db_spark.operators.signals import (
+        _join_signals,
+        per_doc_signal_frame,
+    )
+
+    uni, bi, vocab = lm_model[0], lm_model[1], lm_model[2]
+    per_doc = per_doc_signal_frame(
+        batch, uni, bi, vocab, add_k=add_k, id_col=id_col, text_col=text_col
+    )
+    dup = span_dup_fraction_batch_against_store(
+        spark, batch, table, n=n, id_col=id_col, text_col=text_col,
+        read_version=read_version,
+    ).select(id_col, "dup_tokens", "dup_fraction")
+    return _join_signals(per_doc, dup, id_col)
+
+
 def run_incremental_span_dedup(
     spark: SparkSession,
     stream_docs: DataFrame,

@@ -79,8 +79,51 @@ def doc_quality_signals(
     default to 0 (no repeated window).  ``uni``/``bi``/``vocab_size``
     come from :func:`operators.lm.train_bigram_lm` — training is the
     caller's artifact exactly as in the sequential pipeline."""
+    per_doc = per_doc_signal_frame(
+        docs, uni, bi, vocab_size, add_k=add_k, id_col=id_col, text_col=text_col
+    )
+    dup = doc_dup_fraction(
+        docs, id_col=id_col, text_col=text_col, n=n,
+        min_repeats=min_repeats, min_span_tokens=min_span_tokens,
+    ).select(id_col, "dup_tokens", "dup_fraction")
+    return _join_signals(per_doc, dup, id_col)
+
+
+def _join_signals(per_doc: DataFrame, dup: DataFrame, id_col: str) -> DataFrame:
+    """The one corpus-wide signal joins on the id — everything else
+    never left its document."""
+    return per_doc.join(dup, id_col, "left").select(
+        per_doc[id_col],
+        "n_tokens",
+        "top_unigram_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "rep_keep",
+        "n_bigrams",
+        "avg_logp",
+        "ppl",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.coalesce(F.col("dup_fraction"), F.lit(0.0)).alias("dup_fraction"),
+    )
+
+
+def per_doc_signal_frame(
+    docs: DataFrame,
+    uni: dict,
+    bi: dict,
+    vocab_size: int,
+    add_k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The fused PER-DOCUMENT half alone (LM score + repetition
+    fractions, one Arrow pass, zero shuffle) — composed with whichever
+    corpus-wide dup signal fits the context: :func:`doc_dup_fraction`
+    for a batch corpus (:func:`doc_quality_signals`), or the span
+    store's incremental fraction for streaming
+    (``jobs.incremental_dedup.batch_quality_signals``)."""
     if vocab_size <= 0 or add_k <= 0:
-        raise ValueError("doc_quality_signals needs vocab_size > 0 and add_k > 0")
+        raise ValueError("per_doc_signal_frame needs vocab_size > 0 and add_k > 0")
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast((uni, bi, int(vocab_size), float(add_k)))
 
@@ -141,7 +184,7 @@ def doc_quality_signals(
     top_bi = F.round(F.col("b_frac"), 6)
     dup_tri = F.round(F.col("t_frac"), 6)
     avg = F.round(F.col("raw_avg"), 6)
-    per_doc = sig.select(
+    return sig.select(
         F.col("sig_id").alias(id_col),
         "n_tokens",
         top_uni.alias("top_unigram_frac"),
@@ -154,24 +197,4 @@ def doc_quality_signals(
         "n_bigrams",
         avg.alias("avg_logp"),
         F.round(F.exp(-avg), 6).alias("ppl"),
-    )
-
-    dup = doc_dup_fraction(
-        docs, id_col=id_col, text_col=text_col, n=n,
-        min_repeats=min_repeats, min_span_tokens=min_span_tokens,
-    ).select(id_col, "dup_tokens", "dup_fraction")
-    # the one corpus-wide signal joins on the id — everything else never
-    # left its document
-    return per_doc.join(dup, id_col, "left").select(
-        per_doc[id_col],
-        "n_tokens",
-        "top_unigram_frac",
-        "top_bigram_frac",
-        "dup_trigram_frac",
-        "rep_keep",
-        "n_bigrams",
-        "avg_logp",
-        "ppl",
-        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
-        F.coalesce(F.col("dup_fraction"), F.lit(0.0)).alias("dup_fraction"),
     )

@@ -750,3 +750,52 @@ def test_span_dup_fraction_batch_against_store(spark, docs, tmp_path):
         if r["doc_id"] in got
     }
     assert got == want
+
+
+def test_batch_quality_signals_streaming_face(spark, tmp_path):
+    """r10: per-batch fused signal row — persisted-LM scoring + the
+    incremental dup fraction — matches the batch-corpus operator when
+    the store holds exactly the prior corpus's windows."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        batch_quality_signals,
+        span_dedup_batch_against_store,
+    )
+    from readwise_vector_db_spark.operators import lm
+    from readwise_vector_db_spark.operators.signals import doc_quality_signals
+
+    table = VersionedTable(str(tmp_path / "sig_store"))
+    b1 = spark.createDataFrame(
+        [(i, " ".join(f"p{i}w{j}" for j in range(30))) for i in range(12)],
+        "doc_id long, text string",
+    )
+    cleaned1, s1 = span_dedup_batch_against_store(spark, b1, table)
+    cleaned1.count()
+    assert s1["tokens_removed"] == 0
+
+    uni, bi, v = lm.train_bigram_lm(b1, min_count=1)
+    art = str(tmp_path / "lm_art")
+    lm.save_bigram_lm(art, uni, bi, v)
+    model = lm.load_bigram_lm(art)
+
+    b2 = spark.createDataFrame(
+        [(100, " ".join(["spam"] * 30)),                      # repetitive
+         (101, b1.filter(F.col("doc_id") == 2).first()["text"]),  # store dup
+         (102, " ".join(f"fresh{j}" for j in range(25)))],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in batch_quality_signals(spark, b2, table, model).collect()
+    }
+    assert got[101]["dup_fraction"] == 1.0   # store duplicate
+    assert got[102]["dup_fraction"] == 0.0   # fresh
+    assert got[100]["rep_keep"] is False     # repetitive text flagged
+    # per-doc half matches the batch-corpus operator over (b1 ∪ b2)
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in doc_quality_signals(
+            b1.unionByName(b2), model[0], model[1], model[2]
+        ).collect()
+        if r["doc_id"] in got
+    }
+    assert got == want
