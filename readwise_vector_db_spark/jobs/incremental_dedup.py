@@ -849,6 +849,8 @@ def run_incremental_span_dedup(
     out_dir: str,
     n: int = 8,
     compact_every: int = 64,
+    signals_lm: tuple | None = None,
+    signals_out_dir: str | None = None,
     **kwargs,
 ):
     """Streaming face of span-level dedup — the third member of the
@@ -924,6 +926,17 @@ def run_incremental_span_dedup(
             with open(tmp, "w") as f:
                 f.write(str(base_v))
             _os.replace(tmp, marker)
+        # optional per-batch signal row (round 10): scored against the
+        # SAME pinned snapshot as the cut, BEFORE this batch's
+        # fingerprints commit — so signals and cut agree on what counts
+        # as "already seen", and a retried batch re-scores identically.
+        # Overwrite-mode per-batch partition, same retry contract as
+        # the cleaned output.
+        if signals_lm is not None:
+            sig_dir = signals_out_dir or f"{out_dir}_signals"
+            batch_quality_signals(
+                spark, batch_df, table, signals_lm, n=n, read_version=base_v
+            ).write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
         cleaned, _stats = span_dedup_batch_against_store(
             spark, batch_df, table, n=n, read_version=base_v, **kwargs
         )

@@ -799,3 +799,44 @@ def test_batch_quality_signals_streaming_face(spark, tmp_path):
         if r["doc_id"] in got
     }
     assert got == want
+
+
+def test_streaming_span_dedup_with_signals(spark, tmp_path):
+    """r10: the streaming loop optionally emits the per-batch fused
+    signal row, scored against the SAME pinned snapshot as the cut —
+    a batch-2 copy of batch-1 content reads dup_fraction 1.0 while
+    batch-1's own copy read 0 (nothing seen before it)."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        run_incremental_span_dedup,
+    )
+    from readwise_vector_db_spark.operators import lm
+
+    rows1 = [(i, " ".join(f"s{i}w{j}" for j in range(20))) for i in range(8)]
+    rows2 = [(100 + i, " ".join(f"t{i}w{j}" for j in range(20))) for i in range(7)]
+    rows2.append((199, rows1[0][1]))  # copy of a batch-1 doc
+    schema = "doc_id LONG, text STRING"
+    src = str(tmp_path / "sig_incoming")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    uni, bi, v = lm.train_bigram_lm(spark.createDataFrame(rows1, schema), min_count=1)
+    store_root = str(tmp_path / "sig_span_store")
+    out_dir = str(tmp_path / "sig_cleaned")
+    sig_dir = str(tmp_path / "sig_rows")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = run_incremental_span_dedup(
+        spark, stream, store_root, out_dir,
+        signals_lm=(uni, bi, v), signals_out_dir=sig_dir,
+    )
+    q.awaitTermination(120)
+
+    sig = {r["doc_id"]: r for r in spark.read.parquet(sig_dir).collect()}
+    assert len(sig) == 16
+    assert sig[199]["dup_fraction"] == 1.0   # batch-2 copy of batch-1 doc
+    assert sig[0]["dup_fraction"] == 0.0     # the original, scored first
+    assert all(sig[i]["dup_fraction"] == 0.0 for i in range(1, 8))
+    assert sig[105]["ppl"] is not None or sig[105]["n_bigrams"] >= 0
+    # cleaned output unaffected by the signals side-channel
+    assert spark.read.parquet(out_dir).count() == 16
