@@ -563,22 +563,7 @@ def span_dedup_batch_against_store(
     store_exists = read_version > 0
 
     def fps(frame: DataFrame, txt: str) -> DataFrame:
-        """(id, pos, h1, h2) window fingerprints of a text column."""
-        toks = frame.filter(F.col(txt).isNotNull()).select(
-            F.col(id_col).alias("id"), ws_tokens(F.col(txt)).alias("toks")
-        ).filter(F.size("toks") >= n)
-        return toks.select(
-            "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - F.lit(n) + 1),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
-                )
-            ).alias("pos", "ngram"),
-        ).select(
-            "id", "pos",
-            F.xxhash64("ngram").alias("h1"), F.hash("ngram").alias("h2"),
-        )
+        return _window_fps(frame, txt, n, id_col)
 
     stats: dict[str, int] = {"batch_raw": batch.count()}
     wins = fps(batch, text_col).persist()
@@ -696,6 +681,32 @@ def span_dedup_batch_against_store(
     return SelfDrainingFrame(cleaned, [cleaned]), stats
 
 
+def _window_fps(frame: DataFrame, txt: str, n: int, id_col: str) -> DataFrame:
+    """(id, pos, h1, h2) window fingerprints of a text column — THE
+    span store's fingerprint contract, shared by the cut path
+    (:func:`span_dedup_batch_against_store`) and the scoring path
+    (:func:`span_dup_fraction_batch_against_store`): a second copy of
+    this scheme drifting (different join, hash, or position base)
+    would make the scorer's store probe silently match nothing."""
+    from readwise_vector_db_spark.functions.text import ws_tokens
+
+    toks = frame.filter(F.col(txt).isNotNull()).select(
+        F.col(id_col).alias("id"), ws_tokens(F.col(txt)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    return toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(n) + 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            )
+        ).alias("pos", "ngram"),
+    ).select(
+        "id", "pos",
+        F.xxhash64("ngram").alias("h1"), F.hash("ngram").alias("h2"),
+    )
+
+
 def span_dup_fraction_batch_against_store(
     spark: SparkSession,
     batch: DataFrame,
@@ -734,25 +745,9 @@ def span_dup_fraction_batch_against_store(
     if read_version is None:
         read_version = table.latest_version() or 0
 
-    toks = batch.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("toks")
-    )
-    wins = (
-        toks.filter(F.size("toks") >= n)
-        .select(
-            "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - F.lit(n) + 1),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
-                )
-            ).alias("pos", "ngram"),
-        )
-        .select(
-            "id", "pos",
-            F.xxhash64("ngram").alias("h1"), F.hash("ngram").alias("h2"),
-        )
-    )
+    # persisted: the window explosion feeds four branches below
+    # (batch_fps, the store-hit join, batch_hot, the hot semi-join)
+    wins = _window_fps(batch, text_col, n, id_col).persist()
     dup_parts = []
     if read_version > 0:
         store = table.read(spark, version=read_version)
@@ -786,7 +781,15 @@ def span_dup_fraction_batch_against_store(
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("int").alias("dup_tokens"))
     )
-    base = toks.select("id", F.size("toks").cast("int").alias("n_tokens"))
+    base = batch.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.size(ws_tokens(F.col(text_col))).cast("int").alias("n_tokens"),
+    )
+    # wins' persist outlives this lazy plan — the generation registry
+    # (two newest calls kept) releases it, same as the cut path's frames
+    from readwise_vector_db_spark.operators.dedup import _register_cached
+
+    _register_cached(wins)
     return (
         base.join(cov, "id", "left")
         .select(
@@ -814,24 +817,29 @@ def batch_quality_signals(
     id_col: str = "doc_id",
     text_col: str = "text",
     read_version: int | None = None,
-    add_k: float = 0.5,
+    add_k: float | None = None,
 ) -> DataFrame:
     """The STREAMING face of the fused signal row (round 10): per-batch
     documents scored with the same one-Arrow-pass per-doc half as
     ``operators.signals.doc_quality_signals`` (LM perplexity from a
-    persisted artifact — ``lm.load_bigram_lm``'s ``(uni, bi, vocab)``
-    tuple — plus the Gopher repetition fractions), joined with the
-    INCREMENTAL dup fraction (:func:`span_dup_fraction_batch_against_store`
-    — windows duplicated against the accumulated store or within the
-    batch).  This is the production shape: one batch arrives, one Arrow
-    pass + one broadcast store probe + one id join scores it — no
-    corpus rescan, no per-batch LM retraining."""
+    persisted artifact — ``lm.load_bigram_lm``'s tuple, whose 4th
+    element is the artifact's add_k and is HONORED when present, so a
+    model saved with a non-default smoothing scores identically here
+    and offline — plus the Gopher repetition fractions), joined with
+    the INCREMENTAL dup fraction
+    (:func:`span_dup_fraction_batch_against_store` — windows duplicated
+    against the accumulated store or within the batch).  This is the
+    production shape: one batch arrives, one Arrow pass + one broadcast
+    store probe + one id join scores it — no corpus rescan, no
+    per-batch LM retraining."""
     from readwise_vector_db_spark.operators.signals import (
         _join_signals,
         per_doc_signal_frame,
     )
 
     uni, bi, vocab = lm_model[0], lm_model[1], lm_model[2]
+    if add_k is None:
+        add_k = float(lm_model[3]) if len(lm_model) > 3 else 0.5
     per_doc = per_doc_signal_frame(
         batch, uni, bi, vocab, add_k=add_k, id_col=id_col, text_col=text_col
     )

@@ -509,9 +509,12 @@ def recluster_ivf_cells(
     Two ways this family is SIMPLER than IVF-PQ: the layout stores raw
     vectors, so sub-centroid training and row re-assignment are EXACT
     (no PQ reconstruction, no scale correction), and the drift baseline
-    is SELF-CALIBRATED — one bounded ``coarse_distortion`` sample over
-    the index's own rows replaces the ``distortion.json`` sidecar the
-    code-only layout needs.  Crash ordering matches the PQ variant:
+    is SELF-CALIBRATED — the MEDIAN of the index's own per-cell mean
+    distortions replaces the ``distortion.json`` sidecar the code-only
+    layout needs (median, not mean: the increment is usually already
+    appended when remediation runs, and a mean would be inflated by the
+    very drift being detected; the median holds while drifted cells are
+    a minority — whole-distribution shift is retrain territory).  Crash ordering matches the PQ variant:
     centroids publish FIRST (a centroid without a partition is
     harmless; the reverse is silently unsearchable), then the offending
     partitions rewrite via dynamic partition overwrite.  Tombstones
@@ -528,7 +531,6 @@ def recluster_ivf_cells(
         _kmeans_np,
         _uniform_vector_sample,
         cell_distortion_frame,
-        coarse_distortion,
     )
 
     assigned, centroids = load_ivf_index(spark, path)
@@ -537,9 +539,22 @@ def recluster_ivf_cells(
     if cells is None:
         if drifted_vecs is None:
             raise ValueError("recluster_ivf_cells: pass drifted_vecs or cells")
-        # self-calibrated baseline: the index's own rows ARE the trained
-        # distribution (bounded sample, one driver gemm)
-        base = coarse_distortion(assigned, centroids, vec_col=vec_col)
+        # Self-calibrated baseline, ROBUST to the usual call order (the
+        # drifted increment is already appended): a plain mean over the
+        # index rows would be inflated by the very drift being detected
+        # — a large increment dilutes mean_dist/base below the threshold
+        # and the remediation silently no-ops (r10 review).  The MEDIAN
+        # of per-cell mean distortions stays anchored to the healthy
+        # majority as long as drift is a minority of CELLS; whole-
+        # distribution shift (most cells drifted) breaks any
+        # self-calibration and is retrain territory anyway.
+        idx_cells = cell_distortion_frame(
+            assigned, centroids, vec_col=vec_col
+        ).collect()
+        means = sorted(float(r["mean_dist"]) for r in idx_cells)
+        if not means:
+            raise ValueError("recluster_ivf_cells: empty index")
+        base = means[len(means) // 2]
         rows = cell_distortion_frame(
             drifted_vecs, centroids, vec_col=vec_col
         ).collect()

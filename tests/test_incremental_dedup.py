@@ -837,6 +837,8 @@ def test_streaming_span_dedup_with_signals(spark, tmp_path):
     assert sig[199]["dup_fraction"] == 1.0   # batch-2 copy of batch-1 doc
     assert sig[0]["dup_fraction"] == 0.0     # the original, scored first
     assert all(sig[i]["dup_fraction"] == 0.0 for i in range(1, 8))
-    assert sig[105]["ppl"] is not None or sig[105]["n_bigrams"] >= 0
+    # LM scoring really ran in the streaming face: every 20-token doc
+    # has 19 bigram terms and a finite smoothed perplexity
+    assert sig[105]["n_bigrams"] == 19 and sig[105]["ppl"] is not None
     # cleaned output unaffected by the signals side-channel
     assert spark.read.parquet(out_dir).count() == 16
