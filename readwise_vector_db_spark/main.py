@@ -88,7 +88,13 @@ def _cmd_curate(args: argparse.Namespace) -> int:
 
     spark = get_spark("rwv-curate")
     lm_model = None
-    if args.lm_ppl_max is not None:
+    if args.lm_artifact is not None:
+        # persisted serving artifact (save_bigram_lm) — no retraining
+        from readwise_vector_db_spark.operators.lm import load_bigram_lm
+
+        uni, bi, v, _add_k = load_bigram_lm(args.lm_artifact)
+        lm_model = (uni, bi, v)
+    elif args.lm_ppl_max is not None or args.with_signals:
         # CCNet shape: train the reference LM on the target-language
         # slice of the corpus itself (stand-in for a curated wiki dump)
         from pyspark.sql import functions as F
@@ -113,6 +119,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         boilerplate_min_df_frac=args.boilerplate_min_df_frac,
         lm_model=lm_model,
         lm_ppl_max=args.lm_ppl_max,
+        with_signals=args.with_signals,
     )
     print(json.dumps(stats))
     return 0
@@ -189,6 +196,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--boilerplate-min-df-frac", type=float, default=None,
         help="enable the CCNet boilerplate pass: drop word segments "
         "present in at least this fraction of documents",
+    )
+    c.add_argument(
+        "--with-signals", action="store_true",
+        help="commit every survivor with its fused per-doc signal row "
+        "(LM perplexity + repetition fractions + duplicated-n-gram "
+        "fraction, one Arrow pass)",
+    )
+    c.add_argument(
+        "--lm-artifact", default=None,
+        help="path to a persisted bigram-LM layout (save_bigram_lm) — "
+        "used for the perplexity gate and/or --with-signals instead of "
+        "retraining on the --lang slice",
     )
     c.set_defaults(fn=_cmd_curate)
 
