@@ -1614,8 +1614,10 @@ def append_to_ivfpq_index(
                     f"append_to_ivfpq_index: {what} coarse distortion "
                     f"{inc:.4f} is {inc / base:.1f}x the train-time "
                     f"{base:.4f} (limit {max_distortion_ratio}x) — the "
-                    "frozen model is stale for this source; retrain the "
-                    "index (or pass max_distortion_ratio=None to force)"
+                    "frozen model is stale for this source; remediate the "
+                    "offending cells with recluster_cells(spark, path, "
+                    "drifted_vecs=...) and retry, retrain the index, or "
+                    "pass max_distortion_ratio=None to force"
                 )
     # persist: count + write are two actions — uncached they would each
     # run the encode pass, doubling the increment's cost.  The layout's
