@@ -60,7 +60,7 @@ def curate_corpus(
     boilerplate_seg_words: int = 8,
     quality_model=None,
     quality_model_tau: float = 0.5,
-    lm_model: tuple[dict, dict, int] | None = None,
+    lm_model: tuple | None = None,
     lm_ppl_max: float | None = None,
     with_signals: bool = False,
 ) -> dict[str, float]:
@@ -228,7 +228,11 @@ def curate_corpus(
         from readwise_vector_db_spark.operators.signals import doc_quality_signals
 
         if lm_model is not None:
-            uni_m, bi_m, v_m = lm_model
+            # 3-tuple (in-run training) or 4-tuple (persisted artifact,
+            # whose add_k is part of the model and is honored here —
+            # same contract as batch_quality_signals)
+            uni_m, bi_m, v_m = lm_model[0], lm_model[1], lm_model[2]
+            add_k_m = float(lm_model[3]) if len(lm_model) > 3 else 0.5
         else:
             uni_m, bi_m, v_m = train_bigram_lm(
                 survivors.filter(F.col("lang") == lang)
@@ -236,7 +240,8 @@ def curate_corpus(
                 else survivors,
                 min_count=2,
             )
-        sig = doc_quality_signals(survivors, uni_m, bi_m, v_m)
+            add_k_m = 0.5
+        sig = doc_quality_signals(survivors, uni_m, bi_m, v_m, add_k=add_k_m)
         survivors = survivors.join(sig.drop("n_tokens"), "doc_id", "left")
         t_sig = time.perf_counter()
         stats["wall_signals"] = t_sig - t_near

@@ -741,7 +741,13 @@ def span_dup_fraction_batch_against_store(
     ``read_version`` pins the snapshot for streaming retries, exactly
     like the cut path."""
     from readwise_vector_db_spark.functions.text import ws_tokens
+    from readwise_vector_db_spark.operators.dedup import _begin_detector_call
 
+    # r10 ADVICE: this is a PUBLIC detector entry — a scoring-only
+    # per-batch loop (no cut call to bump the generation) must still
+    # advance the cache generation, or each batch's persisted `wins`
+    # accumulates unboundedly — the exact leak the registry prevents.
+    _begin_detector_call()
     if read_version is None:
         read_version = table.latest_version() or 0
 
@@ -942,8 +948,14 @@ def run_incremental_span_dedup(
         # the cleaned output.
         if signals_lm is not None:
             sig_dir = signals_out_dir or f"{out_dir}_signals"
+            # r10 ADVICE: the cut path forwards **kwargs (which may carry
+            # custom id_col/text_col); the signal row must score the SAME
+            # columns or a non-default stream fails/mis-scores here while
+            # the cut works
             batch_quality_signals(
-                spark, batch_df, table, signals_lm, n=n, read_version=base_v
+                spark, batch_df, table, signals_lm, n=n, read_version=base_v,
+                id_col=kwargs.get("id_col", "doc_id"),
+                text_col=kwargs.get("text_col", "text"),
             ).write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
         cleaned, _stats = span_dedup_batch_against_store(
             spark, batch_df, table, n=n, read_version=base_v, **kwargs

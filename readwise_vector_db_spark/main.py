@@ -92,8 +92,10 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         # persisted serving artifact (save_bigram_lm) — no retraining
         from readwise_vector_db_spark.operators.lm import load_bigram_lm
 
-        uni, bi, v, _add_k = load_bigram_lm(args.lm_artifact)
-        lm_model = (uni, bi, v)
+        # keep the 4-tuple: the artifact's add_k is part of the model —
+        # scoring with a different smoothing than training contradicts
+        # the honored-add_k contract batch_quality_signals documents
+        lm_model = load_bigram_lm(args.lm_artifact)
     elif args.lm_ppl_max is not None or args.with_signals:
         # CCNet shape: train the reference LM on the target-language
         # slice of the corpus itself (stand-in for a curated wiki dump)

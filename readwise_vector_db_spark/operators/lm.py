@@ -184,8 +184,10 @@ def save_bigram_lm(
 
 def load_bigram_lm(path: str) -> tuple[dict, dict, int, float]:
     """(uni, bi, vocab_size, add_k) from a :func:`save_bigram_lm`
-    artifact — pass the first three as the ``lm_model=`` tuple
-    (curate funnel, ``lm_score_docs``, ``doc_quality_signals``)."""
+    artifact — pass the WHOLE 4-tuple as the ``lm_model=`` where the
+    consumer honors it (curate funnel, ``batch_quality_signals``): the
+    artifact's add_k is part of the model, and scoring with a different
+    smoothing than training silently shifts every perplexity."""
     import json
     import os
 

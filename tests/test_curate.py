@@ -172,3 +172,40 @@ def test_curate_corpus_with_signals(spark, tmp_path):
         for r in committed.collect()
     }
     assert got == want
+
+
+def test_curate_signals_honor_artifact_add_k(spark, tmp_path):
+    """r10 ADVICE: a persisted-LM 4-tuple carries its training add_k —
+    curate's --with-signals scoring must use IT, not the default 0.5
+    (a different smoothing silently shifts every perplexity)."""
+    from readwise_vector_db_spark.operators.lm import (
+        load_bigram_lm,
+        save_bigram_lm,
+        train_bigram_lm,
+    )
+    from readwise_vector_db_spark.operators.signals import doc_quality_signals
+    from readwise_vector_db_spark.sources.tables import load_table
+
+    ref = load_table(spark, SF_SMOKE, "documents").filter(F.col("lang") == "en")
+    uni, bi, v = train_bigram_lm(ref, min_count=2)
+    art = str(tmp_path / "lm_art")
+    save_bigram_lm(art, uni, bi, v, add_k=0.05)  # non-default smoothing
+    model = load_bigram_lm(art)  # 4-tuple, the CLI's --lm-artifact shape
+    assert model[3] == 0.05
+
+    out = str(tmp_path / "curated_addk")
+    stats = curate_corpus(spark, SF_SMOKE, out, with_signals=True, lm_model=model)
+    committed = VersionedTable(out).read(spark)
+    assert committed.count() == stats["after_near_dup"]
+    survivors = committed.select("doc_id", "text", "lang")
+    want = {
+        r["doc_id"]: r["ppl"]
+        for r in doc_quality_signals(survivors, uni, bi, v, add_k=0.05).collect()
+    }
+    wrong = {
+        r["doc_id"]: r["ppl"]
+        for r in doc_quality_signals(survivors, uni, bi, v, add_k=0.5).collect()
+    }
+    got = {r["doc_id"]: r["ppl"] for r in committed.collect()}
+    assert got == want
+    assert got != wrong  # the default smoothing really scores differently

@@ -842,3 +842,73 @@ def test_streaming_span_dedup_with_signals(spark, tmp_path):
     assert sig[105]["n_bigrams"] == 19 and sig[105]["ppl"] is not None
     # cleaned output unaffected by the signals side-channel
     assert spark.read.parquet(out_dir).count() == 16
+
+
+def test_streaming_signals_follow_custom_columns(spark, tmp_path):
+    """r10 ADVICE: a stream configured with non-default id_col/text_col
+    must score its signal rows over THOSE columns — previously the
+    kwargs reached only the cut path and the signals side failed with
+    AnalysisException on the missing defaults."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        run_incremental_span_dedup,
+    )
+    from readwise_vector_db_spark.operators import lm
+
+    rows1 = [(i, " ".join(f"c{i}w{j}" for j in range(20))) for i in range(6)]
+    rows2 = [(100, rows1[0][1]),  # copy of a batch-1 doc
+             (101, " ".join(f"n1w{j}" for j in range(20)))]
+    schema = "uid LONG, body STRING"
+    src = str(tmp_path / "cc_incoming")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    df1 = spark.createDataFrame(rows1, schema)
+    uni, bi, v = lm.train_bigram_lm(df1, text_col="body", min_count=1)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sig_dir = str(tmp_path / "cc_signals")
+    q = run_incremental_span_dedup(
+        spark, stream, str(tmp_path / "cc_store"), str(tmp_path / "cc_out"),
+        signals_lm=(uni, bi, v), signals_out_dir=sig_dir,
+        id_col="uid", text_col="body",
+    )
+    q.awaitTermination(120)
+
+    sig = {r["uid"]: r for r in spark.read.parquet(sig_dir).collect()}
+    assert len(sig) == 8
+    assert sig[100]["dup_fraction"] == 1.0  # batch-2 copy of batch-1 doc
+    assert sig[101]["dup_fraction"] == 0.0
+    assert sig[0]["n_bigrams"] == 19 and sig[0]["ppl"] is not None
+
+
+def test_scoring_only_loop_bounds_detector_cache(spark, docs, tmp_path):
+    """r10 ADVICE: span_dup_fraction_batch_against_store is a PUBLIC
+    detector entry — a scoring-only per-batch loop (no cut call to bump
+    the generation) must stay bounded at _KEEP_GENERATIONS batches'
+    frames instead of accumulating one persisted frame per batch."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        span_dedup_batch_against_store,
+        span_dup_fraction_batch_against_store,
+    )
+    from readwise_vector_db_spark.operators import dedup as D
+
+    table = VersionedTable(str(tmp_path / "frac_loop"))
+    seed = spark.createDataFrame(
+        [(i, " ".join(f"fl{i}w{j}" for j in range(30))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    cleaned, _ = span_dedup_batch_against_store(spark, seed, table)
+    cleaned.count()
+
+    D.release_detector_cache()
+    for b in range(5):
+        batch = spark.createDataFrame(
+            [(1000 + 10 * b + i, " ".join(f"b{b}x{i}w{j}" for j in range(25)))
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+        span_dup_fraction_batch_against_store(spark, batch, table).count()
+        with D._CACHED_FRAMES_LOCK:
+            live = len(D._CACHED_FRAMES)
+        assert live <= D._KEEP_GENERATIONS  # one `wins` frame per generation
