@@ -25,8 +25,13 @@ reading before it trusts the bytes.  Rules:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import shutil
+import threading
+import time
+import uuid
 
 # The CURRENT on-disk contract version.  History:
 #   1 — implicit (pre-round-10): no stamp file.
@@ -100,6 +105,149 @@ def check_layout(path: str, family) -> int:
             "rebuild, or migrate_layout() if the data dirs are intact"
         )
     return v
+
+
+# --- maintenance lease --------------------------------------------------------
+#
+# Round 11 (r10 verdict item 1): index-layout maintenance — compaction,
+# cell reclustering, appends — previously excluded each other only by a
+# docstring ("single-maintainer contract"), while the versioned table
+# solved the identical problem structurally (staged-rename CAS claim +
+# pid-liveness recovery, sources/versioned.py:_claim_version).  Two
+# concurrent maintainers on one layout can interleave partition
+# overwrites (a compactor's directory swap silently drops files an
+# appender wrote into the old directory after the rewrite snapshotted
+# it).  The same CAS pattern applied here makes exclusion a LAYOUT
+# property: one lease directory per layout root, acquired by renaming a
+# fully-built staging dir (owner json already inside) onto the lease
+# path — exactly one maintainer lands, a visible lease is never
+# ownerless, and a crashed holder (pid gone) is recovered by the next
+# acquirer.  The reference never faces this: Postgres serializes HNSW
+# maintenance internally (alembic/...create_initial_tables.py:43-50).
+
+_LEASE = "_MAINT_LEASE"
+# grace window for an OWNERLESS lease (foreign protocol / torn write):
+# liveness for our own leases comes from the pid, never from time
+_LEASE_GRACE_SEC = 60.0
+
+_HELD_TLS = threading.local()
+
+
+class MaintenanceBusy(RuntimeError):
+    """Another maintainer holds the layout's lease.  Carries the
+    holder's pid/purpose so the operator knows WHAT is running."""
+
+
+def _lease_owner(lease: str) -> dict | None:
+    try:
+        with open(os.path.join(lease, "owner")) as f:
+            return json.load(f)
+    except (FileNotFoundError, NotADirectoryError, ValueError, OSError):
+        return None
+
+
+def _lease_is_dead(lease: str) -> bool:
+    """True iff the lease belongs to a maintainer that no longer exists
+    — same oracle as VersionedTable._claim_is_dead: pid liveness for
+    owned leases, an mtime grace window for ownerless debris."""
+    owner = _lease_owner(lease)
+    if owner is None or "pid" not in owner:
+        try:
+            age = time.time() - os.stat(lease).st_mtime
+        except FileNotFoundError:
+            return False  # released while we looked — retry, not stale
+        return age > _LEASE_GRACE_SEC
+    pid = int(owner["pid"])
+    if pid == os.getpid():
+        return False  # another thread of THIS process — live
+    try:
+        os.kill(pid, 0)
+        return False
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # exists, owned by someone else
+
+
+def _sweep_stale_lease_tmps(root: str) -> None:
+    """Staging dirs left by maintainers that crashed between building
+    and renaming — the name embeds the pid, so liveness needs no grace
+    window (same sweep as VersionedTable._sweep_stale_claim_tmps)."""
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if not name.startswith(f"{_LEASE}.tmp-"):
+            continue
+        try:
+            pid = int(name.split(".tmp-", 1)[1].split("-", 1)[0])
+            os.kill(pid, 0)
+        except (ValueError, IndexError, PermissionError):
+            continue  # unparsable or live-but-foreign: leave it
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+@contextlib.contextmanager
+def maintenance_lease(path: str, purpose: str, wait: float = 0.0,
+                      poll: float = 0.05):
+    """Exclusive maintenance lease on the layout at ``path``.
+
+    ``wait=0`` (default) REFUSES immediately with :class:`MaintenanceBusy`
+    when a live maintainer holds the lease; ``wait=N`` polls up to N
+    seconds for the holder to finish first.  Re-entrant per thread: a
+    composed maintainer (``maintain_index`` invoking ``compact_index``)
+    passes straight through its own lease — while a SECOND thread of the
+    same process is excluded like any foreign maintainer (FAIR-scheduler
+    threads racing on one layout is exactly the interleave this
+    prevents).  A lease whose owning pid is gone is swept and
+    re-acquired — crash recovery needs no operator action."""
+    root = os.path.abspath(path)
+    held = getattr(_HELD_TLS, "paths", None)
+    if held is None:
+        held = _HELD_TLS.paths = set()
+    if root in held:
+        yield  # re-entrant: the outer context owns the lease
+        return
+    lease = os.path.join(root, _LEASE)
+    os.makedirs(root, exist_ok=True)
+    _sweep_stale_lease_tmps(root)
+    deadline = time.monotonic() + max(0.0, float(wait))
+    while True:
+        # fully-built stage (owner inside) → rename is the CAS: exactly
+        # one maintainer lands, and a visible lease is never ownerless
+        stage = os.path.join(
+            root, f"{_LEASE}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(stage)
+        with open(os.path.join(stage, "owner"), "w") as f:
+            json.dump(
+                {"pid": os.getpid(), "purpose": purpose, "ts": time.time()}, f
+            )
+        try:
+            os.rename(stage, lease)
+            break
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+        if _lease_is_dead(lease):
+            shutil.rmtree(lease, ignore_errors=True)
+            continue
+        if time.monotonic() >= deadline:
+            owner = _lease_owner(lease) or {}
+            raise MaintenanceBusy(
+                f"layout at {path!r} is under maintenance "
+                f"({owner.get('purpose', 'unknown')!r} by pid "
+                f"{owner.get('pid', '?')}) — wait for it, pass wait=N, "
+                "or remove the lease if you know the holder is gone"
+            )
+        time.sleep(poll)
+    held.add(root)
+    try:
+        yield
+    finally:
+        held.discard(root)
+        shutil.rmtree(lease, ignore_errors=True)
 
 
 def migrate_layout(path: str, family: str, required: tuple[str, ...]) -> int:

@@ -908,7 +908,8 @@ def _clean_orphan_stage_dirs(path: str, subdir: str) -> None:
 
 
 def compact_index(
-    spark, path: str, partition_cluster: bool | None = None, subdir: str = "codes"
+    spark, path: str, partition_cluster: bool | None = None,
+    subdir: str = "codes", lease_wait: float = 0.0,
 ) -> int:
     """Physically remove tombstoned rows: rewrite ``{path}/codes`` minus
     the tombstone set into a staging dir, swap it into place, then drop
@@ -921,7 +922,22 @@ def compact_index(
     serving never regresses past one touch.  ``partition_cluster``
     controls whether the rewrite keeps the IVF-PQ cluster partitioning
     (auto-detected from the schema when None).  Returns surviving row
-    count."""
+    count.
+
+    Mutual exclusion is STRUCTURAL (round 11): the layout's maintenance
+    lease (``layout.maintenance_lease``) is held for the duration — a
+    concurrent compact/recluster/append refuses with
+    ``MaintenanceBusy`` (or waits up to its own ``lease_wait``), and a
+    crashed holder's lease is recovered by pid-liveness."""
+    from readwise_vector_db_spark.layout import maintenance_lease
+
+    with maintenance_lease(path, "compact", wait=lease_wait):
+        return _compact_index_locked(spark, path, partition_cluster, subdir)
+
+
+def _compact_index_locked(
+    spark, path: str, partition_cluster: bool | None, subdir: str
+) -> int:
     import os as _os
     import shutil as _shutil
     import time as _time
@@ -1518,6 +1534,7 @@ def append_to_ivfpq_index(
     vec_col: str = "embedding",
     max_distortion_ratio: float | None = 2.0,
     source_col: str | None = None,
+    lease_wait: float = 0.0,
 ) -> int:
     """Incrementally add vectors to a :func:`save_ivfpq_index` layout:
     encode the increment against the FROZEN centroids and codebooks and
@@ -1563,7 +1580,29 @@ def append_to_ivfpq_index(
     ``source_col=`` are the granularity that makes the signal sharp.
     Deletes go through a rebuild (or a probe-side exclusion filter),
     exactly like parquet compaction.
+
+    Holds the layout's maintenance lease (round 11): an append racing a
+    compaction writes files into the directory the compactor is about
+    to swap away — silent row loss; the lease makes the exclusion
+    structural (``lease_wait`` seconds of patience, then
+    ``MaintenanceBusy``).
     """
+    from readwise_vector_db_spark.layout import maintenance_lease
+
+    with maintenance_lease(path, "append", wait=lease_wait):
+        return _append_to_ivfpq_index_locked(
+            new_vecs, path, id_col, vec_col, max_distortion_ratio, source_col
+        )
+
+
+def _append_to_ivfpq_index_locked(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    max_distortion_ratio: float | None,
+    source_col: str | None,
+) -> int:
     import json as _json
 
     spark = new_vecs.sparkSession
@@ -1749,6 +1788,7 @@ def recluster_cells(
     min_cell_rows: int = 10,
     sample_per_cell: int = 4_000,
     seed: int = 7,
+    lease_wait: float = 0.0,
 ) -> dict:
     """Targeted drift remediation for a :func:`save_ivfpq_index` layout
     (round 10 — r9 verdict item 3): when :func:`append_to_ivfpq_index`'s
@@ -1778,8 +1818,31 @@ def recluster_cells(
 
     Returns stats including ``rows_rewritten`` and
     ``bytes_rewritten`` / ``bytes_total`` — the ≪-full-rebuild record.
-    Single-maintainer contract (same as ``compact_index``): don't run
-    two recluster/compact jobs on one layout concurrently."""
+    Mutual exclusion with compact/append/other reclusters is structural
+    (round 11): the layout's maintenance lease is held throughout —
+    a concurrent maintainer refuses with ``MaintenanceBusy`` or waits
+    ``lease_wait`` seconds; a crashed holder is pid-liveness-recovered."""
+    from readwise_vector_db_spark.layout import maintenance_lease
+
+    with maintenance_lease(path, "recluster", wait=lease_wait):
+        return _recluster_cells_locked(
+            spark, path, drifted_vecs, cells, n_splits, max_distortion_ratio,
+            vec_col, min_cell_rows, sample_per_cell, seed,
+        )
+
+
+def _recluster_cells_locked(
+    spark,
+    path: str,
+    drifted_vecs: DataFrame | None,
+    cells: Sequence[int] | None,
+    n_splits: int,
+    max_distortion_ratio: float,
+    vec_col: str,
+    min_cell_rows: int,
+    sample_per_cell: int,
+    seed: int,
+) -> dict:
     import json as _json
     import os as _os
     import shutil as _shutil

@@ -500,6 +500,7 @@ def recluster_ivf_cells(
     min_cell_rows: int = 10,
     sample_per_cell: int = 4_000,
     seed: int = 7,
+    lease_wait: float = 0.0,
 ) -> dict:
     """Targeted drift remediation for a :func:`save_ivf_index` layout —
     the raw-vector sibling of ``pq.recluster_cells`` (round 10, r9
@@ -521,7 +522,29 @@ def recluster_ivf_cells(
     ride through untouched (id-based anti-join).  Multi-assign layouts
     work per copy: an offending cell's copies re-assign among its
     splits; copies living in healthy cells are never touched.
-    Single-maintainer contract, same as ``compact_index``."""
+    Mutual exclusion with compact/other maintainers is structural
+    (round 11): the layout's maintenance lease is held throughout."""
+    from readwise_vector_db_spark.layout import maintenance_lease
+
+    with maintenance_lease(path, "recluster", wait=lease_wait):
+        return _recluster_ivf_cells_locked(
+            spark, path, drifted_vecs, cells, n_splits, max_distortion_ratio,
+            vec_col, min_cell_rows, sample_per_cell, seed,
+        )
+
+
+def _recluster_ivf_cells_locked(
+    spark,
+    path: str,
+    drifted_vecs: DataFrame | None,
+    cells,
+    n_splits: int,
+    max_distortion_ratio: float,
+    vec_col: str,
+    min_cell_rows: int,
+    sample_per_cell: int,
+    seed: int,
+) -> dict:
     import shutil as _shutil
 
     import numpy as np

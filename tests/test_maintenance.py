@@ -1,0 +1,395 @@
+"""Maintenance lease + autovacuum policy (layout.py maintenance_lease,
+maintenance.maintain_index) — round 11, r10 verdict item 1."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from readwise_vector_db_spark.layout import (
+    MaintenanceBusy,
+    maintenance_lease,
+)
+from readwise_vector_db_spark.maintenance import (
+    MaintenancePolicy,
+    maintain_index,
+    read_maintenance_log,
+)
+from readwise_vector_db_spark.operators import pq
+from readwise_vector_db_spark.operators import similarity as sim
+
+
+# --- lease semantics ----------------------------------------------------------
+
+
+def test_lease_refuses_waits_and_reenters(tmp_path):
+    path = str(tmp_path / "layout")
+    results: list[str] = []
+
+    with maintenance_lease(path, "outer"):
+        # a second THREAD of the same process is a foreign maintainer
+        def try_acquire():
+            try:
+                with maintenance_lease(path, "intruder"):
+                    results.append("acquired")
+            except MaintenanceBusy:
+                results.append("busy")
+
+        t = threading.Thread(target=try_acquire)
+        t.start()
+        t.join()
+        assert results == ["busy"]
+
+        # the SAME thread re-enters its own lease (composed maintainers)
+        with maintenance_lease(path, "nested"):
+            assert os.path.isdir(f"{path}/_MAINT_LEASE")
+        # inner exit must not release the outer holder's lease
+        assert os.path.isdir(f"{path}/_MAINT_LEASE")
+
+        # wait=N blocks until the holder finishes, then succeeds
+        def wait_acquire():
+            with maintenance_lease(path, "patient", wait=10.0):
+                results.append("waited")
+
+        t2 = threading.Thread(target=wait_acquire)
+        t2.start()
+        time.sleep(0.3)
+        assert results == ["busy"]  # still held — waiter is polling
+    t2.join(timeout=10)
+    assert results == ["busy", "waited"]
+    assert not os.path.isdir(f"{path}/_MAINT_LEASE")
+
+
+def test_crashed_lease_is_recovered(tmp_path):
+    """A lease whose owning pid is gone is debris — the next acquirer
+    sweeps it without operator action (pid-liveness, the versioned
+    store's claim-recovery rule)."""
+    path = str(tmp_path / "layout")
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead_pid = proc.pid
+    lease = f"{path}/_MAINT_LEASE"
+    os.makedirs(lease)
+    with open(f"{lease}/owner", "w") as f:
+        json.dump({"pid": dead_pid, "purpose": "compact", "ts": 0}, f)
+    # crashed stage dirs with a dead pid in the name are swept too
+    stage = f"{path}/_MAINT_LEASE.tmp-{dead_pid}-deadbeef"
+    os.makedirs(stage)
+
+    with maintenance_lease(path, "recovered"):
+        with open(f"{lease}/owner") as f:
+            assert json.load(f)["pid"] == os.getpid()
+    assert not os.path.isdir(lease)
+    assert not os.path.isdir(stage)
+
+
+# --- index fixtures -----------------------------------------------------------
+
+
+def _to_df(spark, x, id0=0):
+    return spark.createDataFrame(
+        [(id0 + i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _blobs(n, d, n_centers, seed, sigma=0.4):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    return centers[rng.integers(0, n_centers, n)] + sigma * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+
+
+@pytest.fixture()
+def ivfpq_layout(spark, tmp_path):
+    d, n = 32, 2400
+    base = _blobs(n, d, 10, seed=3)
+    base_df = _to_df(spark, base)
+    _, cents = sim.build_ivf_index(base_df, n_clusters=16)
+    books = pq.train_pq_codebooks(base_df, m=8, k=32, sample_rows=2400)
+    path = str(tmp_path / "ivfpq")
+    pq.save_ivfpq_index(
+        pq.ivfpq_encode(base_df, cents, books), cents, books, path,
+        base_vecs=base_df, rf_ks=(10,),
+    )
+    return path, base_df, cents, books, d, n
+
+
+# --- structural exclusion on the real maintainers -----------------------------
+
+
+def test_maintainers_exclude_under_lease(spark, ivfpq_layout):
+    """The r10 docstring contract ('don't run two concurrently') is now
+    structure: every maintainer refuses while the lease is held, and
+    proceeds once it's released (wait)."""
+    path, base_df, cents, books, d, n = ivfpq_layout
+    inc = _to_df(spark, _blobs(40, d, 10, seed=3), id0=10_000)
+
+    with maintenance_lease(path, "simulated-compactor"):
+        hold = threading.Thread(target=lambda: None)  # placeholder
+        err = {}
+
+        def in_thread(name, fn):
+            def run():
+                try:
+                    fn()
+                    err[name] = None
+                except MaintenanceBusy as e:
+                    err[name] = e
+
+            t = threading.Thread(target=run)
+            t.start()
+            t.join()
+
+        in_thread("compact", lambda: pq.compact_index(spark, path))
+        in_thread(
+            "append",
+            lambda: pq.append_to_ivfpq_index(
+                inc, path, max_distortion_ratio=None
+            ),
+        )
+        in_thread(
+            "recluster",
+            lambda: pq.recluster_cells(spark, path, cells=[0], n_splits=2),
+        )
+        in_thread(
+            "maintain", lambda: maintain_index(spark, path, execute=False)
+        )
+        assert all(isinstance(e, MaintenanceBusy) for e in err.values()), err
+        hold.start(), hold.join()
+
+    # released: the same append now lands (waits-or-refuses — both shown)
+    releaser_done = threading.Event()
+
+    def hold_briefly():
+        with maintenance_lease(path, "brief"):
+            time.sleep(0.4)
+        releaser_done.set()
+
+    t = threading.Thread(target=hold_briefly)
+    t.start()
+    time.sleep(0.1)
+    assert (
+        pq.append_to_ivfpq_index(
+            inc, path, max_distortion_ratio=None, lease_wait=10.0
+        )
+        == 40
+    )
+    t.join()
+    assert releaser_done.is_set()
+
+
+# --- the policy ----------------------------------------------------------------
+
+
+def test_maintain_index_policy_walk(spark, ivfpq_layout):
+    """The verdict's done-criterion walk: healthy → none; drifted
+    force-append → recluster (executed, gate restored); tombstone
+    buildup → compact (executed, dead weight gone); healthy again →
+    none.  Every decision lands in the layout's maintenance log."""
+    path, base_df, cents, books, d, n = ivfpq_layout
+
+    # 1. healthy layout: nothing to do
+    rec = maintain_index(spark, path)
+    assert rec["action"] == "none" and not rec["executed"]
+    assert rec["measurements"]["tombstone_fraction"] == 0.0
+
+    # 2. a LOCALIZED drifted source force-appended (gate bypassed
+    # upstream): two shifted modes — the regime recluster is FOR; a
+    # whole-distribution shift is the rebuild test below
+    drifted = _blobs(400, d, 2, seed=91)
+    drifted_df = _to_df(spark, drifted, id0=1_000_000)
+    with pytest.raises(ValueError, match="stale"):
+        pq.append_to_ivfpq_index(drifted_df, path)  # gate catches it...
+    pq.append_to_ivfpq_index(drifted_df, path, max_distortion_ratio=None)
+
+    # the autovacuum model: each run measures, repairs ONE thing, and
+    # the next run re-measures — loop to convergence like a vacuum
+    # daemon's successive passes.  The offending increment is still in
+    # hand, so the hint path trains sub-centroids on raw directions
+    # (codes-only remediation is bounded by reconstruction fidelity —
+    # see maintain_index's docstring and the codes-only test below).
+    rec2 = maintain_index(spark, path, drifted_vecs=drifted_df)
+    assert rec2["action"] == "recluster" and rec2["executed"]
+    assert rec2["measurements"]["drifted_cells"]
+    assert rec2["measurements"]["drift_hint"] is True
+    assert rec2["result"]["rows_rewritten"] > 0
+    assert 0 < rec2["result"]["bytes_rewritten"] < rec2["result"]["bytes_total"]
+    n_reclusters = 1
+    for _ in range(4):
+        r = maintain_index(spark, path, drifted_vecs=drifted_df)
+        if r["action"] == "none":
+            break
+        assert r["action"] == "recluster"
+        n_reclusters += 1
+    else:
+        pytest.fail("maintenance never converged to 'none'")
+    # the repair restored the append gate for the drifted distribution
+    more = _to_df(spark, _blobs(60, d, 2, seed=91), id0=2_000_000)
+    assert pq.append_to_ivfpq_index(more, path) == 60
+
+    # 3. tombstone buildup past the policy threshold → compact
+    ids = [int(r["vec_id"]) for r in base_df.select("vec_id").collect()]
+    pq.delete_from_index(spark, path, ids[: n // 2])
+    rec3 = maintain_index(spark, path)
+    assert rec3["action"] == "compact" and rec3["executed"]
+    assert rec3["measurements"]["tombstone_fraction"] > 0.2
+    assert not os.path.isdir(f"{path}/tombstones")
+
+    # 4. healthy again
+    rec4 = maintain_index(spark, path)
+    assert rec4["action"] == "none"
+
+    log = read_maintenance_log(path)
+    assert [r["action"] for r in log] == (
+        ["none"] + ["recluster"] * n_reclusters + ["none", "compact", "none"]
+    )
+    assert all(r["family"] == "ivfpq" for r in log)
+
+
+def test_maintain_codes_only_recluster_improves_not_restores(spark, ivfpq_layout):
+    """The honest bound on hint-less remediation: a codes layout stores
+    reconstructions' worth of direction information, so the autovacuum
+    recluster IMPROVES the drifted layout's coarse fit (measured here:
+    the gate statistic drops materially) but cannot fully restore the
+    append gate — reconstructions of out-of-distribution rows are
+    direction-biased toward the base manifold.  The docstring quotes
+    the measured floor; this test pins the improvement AND the residual
+    so neither silently changes."""
+    path, base_df, cents, books, d, n = ivfpq_layout
+    drifted = _blobs(400, d, 2, seed=91)
+    drifted_df = _to_df(spark, drifted, id0=1_000_000)
+    pq.append_to_ivfpq_index(drifted_df, path, max_distortion_ratio=None)
+
+    def gate_ratio():
+        import json as _json
+
+        _, cents_now, _ = pq.load_ivfpq_index(spark, path)
+        with open(f"{path}/distortion.json") as f:
+            base = float(_json.load(f)["base_coarse_distortion"])
+        return pq.coarse_distortion(drifted_df, cents_now) / base
+
+    before = gate_ratio()
+    assert before > 4.0  # badly drifted
+    for _ in range(5):  # codes-only: no drifted_vecs hint
+        if maintain_index(spark, path)["action"] == "none":
+            break
+    else:
+        pytest.fail("codes-only maintenance never converged")
+    after = gate_ratio()
+    assert after < before * 0.7   # material improvement...
+    assert after > 1.0            # ...but not full restoration (honest)
+
+
+def test_maintain_index_rebuild_recommended_not_executed(spark, ivfpq_layout):
+    """When drift covers more cells than the policy's rebuild fraction,
+    splitting chases a moved distribution — the decision is 'rebuild',
+    recorded with a reason, and the layout is NOT touched (retraining
+    needs the raw corpus the codes layout doesn't store)."""
+    path, base_df, cents, books, d, n = ivfpq_layout
+    drifted_df = _to_df(spark, _blobs(1200, d, 8, seed=91), id0=1_000_000)
+    pq.append_to_ivfpq_index(drifted_df, path, max_distortion_ratio=None)
+
+    before = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(f"{path}/codes")
+        for f in fs
+    )
+    rec = maintain_index(
+        spark, path, policy=MaintenancePolicy(rebuild_cell_frac=0.0)
+    )
+    assert rec["action"] == "rebuild" and not rec["executed"]
+    assert any("retrain" in s for s in rec["recommendations"])
+    after = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(f"{path}/codes")
+        for f in fs
+    )
+    assert before == after  # dry decision: no partition touched
+
+
+def test_maintain_index_dry_run_and_rf_note(spark, ivfpq_layout):
+    """execute=False is the ANALYZE mode: the decision is recorded but
+    nothing runs; rescore-factor growth past the policy's note
+    threshold surfaces as a recommendation."""
+    path, base_df, cents, books, d, n = ivfpq_layout
+    inc = _to_df(spark, _blobs(n, d, 10, seed=3), id0=5_000_000)
+    pq.append_to_ivfpq_index(inc, path, max_distortion_ratio=None)
+
+    ids = [int(r["vec_id"]) for r in base_df.select("vec_id").collect()]
+    pq.delete_from_index(spark, path, ids[: n // 2])
+    rec = maintain_index(
+        spark, path, execute=False,
+        policy=MaintenancePolicy(rf_growth_note=1.5),
+    )
+    assert rec["action"] == "compact" and not rec["executed"]
+    assert os.path.isdir(f"{path}/tombstones")  # untouched — dry run
+    assert rec["measurements"]["rf_growth"] >= 1.9
+    assert any("size_rescore_factors" in s for s in rec["recommendations"])
+
+
+def test_maintain_index_ivf_family(spark, tmp_path):
+    """The raw-vector family walks the same ladder through its own
+    loaders/repairers (assigned subdir, exact re-assignment)."""
+    d, n = 32, 2000
+    base = _blobs(n, d, 10, seed=7)
+    base_df = _to_df(spark, base)
+    assigned, cents = sim.build_ivf_index(base_df, n_clusters=16)
+    path = str(tmp_path / "ivf")
+    sim.save_ivf_index(assigned, cents, path)
+
+    rec = maintain_index(spark, path)
+    assert rec["family"] == "ivf" and rec["action"] == "none"
+
+    # drifted rows appended straight into the layout (ivf stores raw
+    # vectors; append = encode-assign + append write)
+    drifted = _blobs(1000, d, 6, seed=55)
+    drifted_df = _to_df(spark, drifted, id0=1_000_000)
+    from readwise_vector_db_spark.operators.similarity import assign_cells
+
+    assign_cells(drifted_df, cents, method="blas").write.mode(
+        "append"
+    ).partitionBy("cluster").parquet(f"{path}/assigned")
+
+    rec2 = maintain_index(spark, path)
+    assert rec2["action"] == "recluster" and rec2["executed"]
+    assert rec2["result"]["rows_rewritten"] > 0
+    for _ in range(4):  # converge, autovacuum-style
+        if maintain_index(spark, path)["action"] == "none":
+            break
+    else:
+        pytest.fail("ivf maintenance never converged")
+
+    ids = [int(r["vec_id"]) for r in base_df.select("vec_id").collect()]
+    pq.delete_from_index(spark, path, ids[: (n + 1000) // 3])
+    rec3 = maintain_index(spark, path)
+    assert rec3["action"] == "compact" and rec3["executed"]
+    acts = [r["action"] for r in read_maintenance_log(path)]
+    assert acts[0] == "none" and acts[1] == "recluster"
+    assert acts[-2:] == ["none", "compact"]
+
+
+def test_maintain_index_flat_pq_compacts_only(spark, tmp_path):
+    """The flat pq family has no coarse structure — the ladder reduces
+    to tombstones-vs-none."""
+    d, n = 32, 1200
+    base_df = _to_df(spark, _blobs(n, d, 8, seed=11))
+    books = pq.train_pq_codebooks(base_df, m=8, k=32, sample_rows=1200)
+    path = str(tmp_path / "pq_flat")
+    pq.save_pq_index(pq.pq_encode(base_df, books), books, path)
+
+    rec = maintain_index(spark, path)
+    assert rec["family"] == "pq" and rec["action"] == "none"
+    assert "drifted_cells" not in rec["measurements"]
+
+    pq.delete_from_index(spark, path, list(range(n // 2)))
+    rec2 = maintain_index(spark, path)
+    assert rec2["action"] == "compact" and rec2["executed"]
+    assert rec2["result"]["rows_surviving"] == n - n // 2
