@@ -856,6 +856,118 @@ def batch_quality_signals(
     return _join_signals(per_doc, dup, id_col)
 
 
+def commit_batch_signals(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: VersionedTable,
+    sig_table: VersionedTable,
+    lm_model: tuple,
+    batch_id: int,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    read_version: int | None = None,
+    gate: dict | None = None,
+    retention: int | None = None,
+) -> dict:
+    """Score one batch's fused signal rows, gate them for quality
+    drift, and commit them to the VERSIONED signals table (round 11 —
+    r10 verdict items 2+3 in one place: the rows get retention/time
+    travel/schema evolution instead of bare parquet dirs, and the
+    distribution gets a gate instead of flowing unwatched).
+
+    Per batch, O(batch) work: one Arrow pass + one broadcast store
+    probe (:func:`batch_quality_signals`), ONE bounded summary row
+    (:func:`operators.signals.quality_signal_summary` — exact
+    percentiles over the batch only), and a driver-side band check
+    against the MEDIAN of prior batches' summaries read from the
+    commit metas (tiny json sidecars — no data rescan, no corpus
+    scan).  The summary rides the commit's ``meta`` next to the batch
+    id, so the reference window is assembled without touching parquet.
+
+    At-least-once re-delivery: the batch id in the commit meta makes a
+    retried batch detectable — ``status='skipped'`` — so signal rows
+    are exactly-once per batch id even though foreachBatch is
+    at-least-once.  Quarantine (``gate={'on_drift': 'quarantine'}``):
+    a tripped batch's rows STILL commit (flagged ``quarantined=True``
+    column + meta — the audit trail and the retry-skip both need the
+    commit) but are excluded from future reference windows, and the
+    caller is told to divert the batch.  ``on_drift='raise'`` (the
+    default) re-raises :class:`QualityDriftError` — loud, like the
+    embedding drift gate.  ``retention=R`` bounds the signals table's
+    CURRENT view to the newest R batches (``commit_append(
+    retain_segments=R)``); older batches stay time-travelable until
+    ``vacuum``.
+
+    Returns ``{"status": "committed"|"skipped"|"quarantined",
+    "version": ..., "summary": ..., "quarantined": ...}``."""
+    from readwise_vector_db_spark.operators.signals import (
+        QualityDriftError,
+        quality_drift_gate,
+        quality_signal_summary,
+    )
+
+    metas = sig_table.commit_metas()
+    for _, m in metas:
+        if m.get("batch_id") == batch_id:
+            return {
+                "status": "skipped",
+                "version": None,
+                "summary": m.get("summary"),
+                "quarantined": bool(m.get("quarantined", False)),
+            }
+
+    sig = batch_quality_signals(
+        spark, batch, table, lm_model, n=n, id_col=id_col,
+        text_col=text_col, read_version=read_version,
+    ).withColumn("batch_id", F.lit(int(batch_id)))
+    # persist: the summary aggregate and the commit write are two
+    # actions over the same Arrow pass + store probe
+    sig = sig.persist()
+    try:
+        summary = quality_signal_summary(sig).first().asDict()
+        quarantined = False
+        if gate is not None:
+            refs = [
+                m["summary"]
+                for _, m in metas
+                if m.get("summary") is not None
+                and not m.get("quarantined", False)
+            ]
+            ref_window = int(gate.get("ref_window", 8))
+            band = {
+                k: gate[k]
+                for k in (
+                    "max_ppl_ratio", "max_dup_frac_delta",
+                    "max_rep_bad_delta", "min_ref",
+                )
+                if k in gate
+            }
+            try:
+                quality_drift_gate(summary, refs[-ref_window:], **band)
+            except QualityDriftError:
+                if gate.get("on_drift", "raise") != "quarantine":
+                    raise
+                quarantined = True
+        v = sig_table.commit_append(
+            sig.withColumn("quarantined", F.lit(quarantined)),
+            meta={
+                "batch_id": int(batch_id),
+                "summary": summary,
+                "quarantined": quarantined,
+            },
+            retain_segments=retention,
+        )
+    finally:
+        sig.unpersist()
+    return {
+        "status": "quarantined" if quarantined else "committed",
+        "version": v,
+        "summary": summary,
+        "quarantined": quarantined,
+    }
+
+
 def run_incremental_span_dedup(
     spark: SparkSession,
     stream_docs: DataFrame,
@@ -865,6 +977,8 @@ def run_incremental_span_dedup(
     compact_every: int = 64,
     signals_lm: tuple | None = None,
     signals_out_dir: str | None = None,
+    signals_gate: dict | None = None,
+    signals_retention: int | None = None,
     **kwargs,
 ):
     """Streaming face of span-level dedup — the third member of the
@@ -940,23 +1054,36 @@ def run_incremental_span_dedup(
             with open(tmp, "w") as f:
                 f.write(str(base_v))
             _os.replace(tmp, marker)
-        # optional per-batch signal row (round 10): scored against the
+        # optional per-batch signal row (round 10; round 11 moved it to
+        # the VERSIONED signals table + drift gate): scored against the
         # SAME pinned snapshot as the cut, BEFORE this batch's
         # fingerprints commit — so signals and cut agree on what counts
-        # as "already seen", and a retried batch re-scores identically.
-        # Overwrite-mode per-batch partition, same retry contract as
-        # the cleaned output.
+        # as "already seen", and a retried batch re-scores identically
+        # (the batch id in the commit meta makes the retry a skip).
+        # r10 ADVICE: the cut path forwards **kwargs (which may carry
+        # custom id_col/text_col); the signal row must score the SAME
+        # columns or a non-default stream fails/mis-scores here while
+        # the cut works.
         if signals_lm is not None:
-            sig_dir = signals_out_dir or f"{out_dir}_signals"
-            # r10 ADVICE: the cut path forwards **kwargs (which may carry
-            # custom id_col/text_col); the signal row must score the SAME
-            # columns or a non-default stream fails/mis-scores here while
-            # the cut works
-            batch_quality_signals(
-                spark, batch_df, table, signals_lm, n=n, read_version=base_v,
+            sig_root = signals_out_dir or f"{out_dir}_signals"
+            sig_res = commit_batch_signals(
+                spark, batch_df, table, VersionedTable(sig_root),
+                signals_lm, batch_id, n=n,
                 id_col=kwargs.get("id_col", "doc_id"),
                 text_col=kwargs.get("text_col", "text"),
-            ).write.mode("overwrite").parquet(f"{sig_dir}/batch={batch_id}")
+                read_version=base_v,
+                gate=signals_gate, retention=signals_retention,
+            )
+            if sig_res["quarantined"]:
+                # divert the whole batch: its docs reach neither the
+                # cleaned output nor the fingerprint store — they land
+                # in the quarantine partition for the operator to
+                # inspect (overwrite mode: a retried quarantined batch
+                # re-diverts identically)
+                batch_df.write.mode("overwrite").parquet(
+                    f"{out_dir}_quarantine/batch={batch_id}"
+                )
+                return
         cleaned, _stats = span_dedup_batch_against_store(
             spark, batch_df, table, n=n, read_version=base_v, **kwargs
         )

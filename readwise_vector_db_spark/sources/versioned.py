@@ -454,13 +454,14 @@ class VersionedTable:
         version whose stale record the next claimant of ``v`` clears."""
         v = self._claim_version()
         try:
-            # clear any stale footprint a crashed previous claimant of
-            # this version number left — it described a commit that
+            # clear any stale footprint/meta a crashed previous claimant
+            # of this version number left — they described a commit that
             # never published
-            try:
-                os.remove(self._touched_path(v))
-            except FileNotFoundError:
-                pass
+            for stale in (self._touched_path(v), self._meta_path(v)):
+                try:
+                    os.remove(stale)
+                except FileNotFoundError:
+                    pass
             if expected_base is not None and v != expected_base + 1:
                 raise VersionConflictError(
                     f"commit read snapshot v{expected_base} but the table "
@@ -484,7 +485,41 @@ class VersionedTable:
             self._release_claim(v)
         return v
 
-    def commit_append(self, df: DataFrame, schema_mode: str = "evolve") -> int:
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.root, f"_META_{version:08d}")
+
+    def commit_meta(self, version: int) -> dict | None:
+        """The commit's application metadata (``commit_append(meta=)``)
+        — e.g. the streaming batch id a signal commit carries, what
+        makes at-least-once re-delivery detectable without scanning
+        data."""
+        try:
+            with open(self._meta_path(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def commit_metas(self) -> list[tuple[int, dict]]:
+        """(version, meta) for every live version that recorded one,
+        ascending — the reference window a per-batch gate reads.  O(#
+        versions) tiny json files; retention + vacuum bound it."""
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        out = []
+        for v in range(1, latest + 1):
+            m = self.commit_meta(v)
+            if m is not None:
+                out.append((v, m))
+        return out
+
+    def commit_append(
+        self,
+        df: DataFrame,
+        schema_mode: str = "evolve",
+        meta: dict | None = None,
+        retain_segments: int | None = None,
+    ) -> int:
         """Append-only commit: write ONLY ``df`` as a new immutable
         segment and publish snapshot N+1 = snapshot N's segments + the
         new one (a segment-sharing manifest — how Delta/Iceberg make
@@ -501,7 +536,17 @@ class VersionedTable:
         there, so the omission is legal and the target column becomes
         nullable.  Old shared segments keep their narrow files; the
         evolved snapshot schema recorded with this version makes every
-        read consistent (verified parquet widening — see ``_WIDEN``)."""
+        read consistent (verified parquet widening — see ``_WIDEN``).
+
+        ``meta`` (round 11) records application metadata — a streaming
+        batch id, a gate summary — in a ``_META_<v>`` sidecar written
+        before the pointer flip (read back via :meth:`commit_meta` /
+        :meth:`commit_metas`).  ``retain_segments=R`` bounds the NEW
+        snapshot's manifest to the newest R segments (this one
+        included): a retention horizon for append-only telemetry
+        tables — older segments drop out of the current view but stay
+        time-travelable via their own snapshots until :meth:`vacuum`
+        reclaims them."""
         v = self._claim_version()
         try:
             # same stale-footprint clearing as commit(): a crashed merge
@@ -515,12 +560,25 @@ class VersionedTable:
                 pass
             prev = v - 1 if v > 1 else None
             df = self._evolved_or_raise(df, v, schema_mode, allow_missing=True)
+            # stale meta from a crashed claimant of this version number
+            # described a commit that never published — clear it
+            try:
+                os.remove(self._meta_path(v))
+            except FileNotFoundError:
+                pass
             df.write.mode("errorifexists").parquet(self._prepare_version(v))
             segs = (self._segments(prev) if prev is not None else []) + [f"v={v:08d}"]
+            if retain_segments is not None:
+                segs = segs[-max(1, int(retain_segments)):]
             tmp = os.path.join(self.root, f"{_SEGMENTS}_{v:08d}.tmp")
             with open(tmp, "w") as f:
                 json.dump(segs, f)
             os.replace(tmp, os.path.join(self.root, f"{_SEGMENTS}_{v:08d}"))
+            if meta is not None:
+                mtmp = self._meta_path(v) + ".tmp"
+                with open(mtmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(mtmp, self._meta_path(v))
             self._record_schema(df, v)
             self._flip_manifest(v)
         finally:
@@ -710,4 +768,6 @@ class VersionedTable:
                     os.remove(self._touched_path(v))
                 if os.path.exists(self._schema_path(v)):
                     os.remove(self._schema_path(v))
+                if os.path.exists(self._meta_path(v)):
+                    os.remove(self._meta_path(v))
         return removed

@@ -609,3 +609,43 @@ def doc_quality_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     uni, bi, v = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"), min_count=2)
     return doc_quality_signals(docs, uni, bi, v)
+
+
+# ---------------------------------------------------------------------------
+# Bounded signal-distribution summary (round 11 — r10 verdict item 2):
+# the ONE row the streaming quality-drift gate compares per batch.  The
+# oracle wraps the fused-signals twin in the same exact-percentile
+# aggregate, so the gate's input statistic is value-hash-checked
+# end-to-end (NULL ppl excluded by both engines' quantile semantics,
+# NULL-domain rep_keep excluded from the flagged fraction by both).
+# ---------------------------------------------------------------------------
+_SUMMARY_SQL = f"""
+    WITH sig AS ({_SIGNALS_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(ppl, 0.5), 6) AS ppl_p50,
+           ROUND(quantile_cont(ppl, 0.9), 6) AS ppl_p90,
+           ROUND(quantile_cont(dup_fraction, 0.5), 6) AS dup_frac_p50,
+           ROUND(quantile_cont(dup_fraction, 0.9), 6) AS dup_frac_p90,
+           ROUND(AVG(CASE WHEN rep_keep IS NULL THEN NULL
+                          WHEN rep_keep THEN 0.0 ELSE 1.0 END), 6)
+               AS rep_bad_frac,
+           ROUND(AVG(CASE WHEN ppl IS NULL THEN 1.0 ELSE 0.0 END), 6)
+               AS ppl_null_frac
+    FROM sig
+    """
+
+
+@register_extra("quality_signal_summary", _SUMMARY_SQL)
+def quality_signal_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One bounded distribution row over the fused signal frame — what
+    the streaming gate consumes per batch, hash-checked against the
+    composed sequential twins wrapped in the same exact percentiles."""
+    from readwise_vector_db_spark.operators import lm
+    from readwise_vector_db_spark.operators.signals import (
+        doc_quality_signals,
+        quality_signal_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    uni, bi, v = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"), min_count=2)
+    return quality_signal_summary(doc_quality_signals(docs, uni, bi, v))

@@ -832,7 +832,10 @@ def test_streaming_span_dedup_with_signals(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    sig = {r["doc_id"]: r for r in spark.read.parquet(sig_dir).collect()}
+    # r11: signal rows live in a VersionedTable (retention/time travel/
+    # schema evolution), one append commit per batch, batch id in meta
+    sig_table = VersionedTable(sig_dir)
+    sig = {r["doc_id"]: r for r in sig_table.read(spark).collect()}
     assert len(sig) == 16
     assert sig[199]["dup_fraction"] == 1.0   # batch-2 copy of batch-1 doc
     assert sig[0]["dup_fraction"] == 0.0     # the original, scored first
@@ -840,6 +843,11 @@ def test_streaming_span_dedup_with_signals(spark, tmp_path):
     # LM scoring really ran in the streaming face: every 20-token doc
     # has 19 bigram terms and a finite smoothed perplexity
     assert sig[105]["n_bigrams"] == 19 and sig[105]["ppl"] is not None
+    assert {sig[0]["batch_id"], sig[105]["batch_id"]} == {0, 1}
+    assert not sig[0]["quarantined"]
+    metas = sig_table.commit_metas()
+    assert [m["batch_id"] for _, m in metas] == [0, 1]
+    assert all(m["summary"]["n_docs"] == 8 for _, m in metas)
     # cleaned output unaffected by the signals side-channel
     assert spark.read.parquet(out_dir).count() == 16
 
@@ -875,7 +883,7 @@ def test_streaming_signals_follow_custom_columns(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    sig = {r["uid"]: r for r in spark.read.parquet(sig_dir).collect()}
+    sig = {r["uid"]: r for r in VersionedTable(sig_dir).read(spark).collect()}
     assert len(sig) == 8
     assert sig[100]["dup_fraction"] == 1.0  # batch-2 copy of batch-1 doc
     assert sig[101]["dup_fraction"] == 0.0
@@ -912,3 +920,151 @@ def test_scoring_only_loop_bounds_detector_cache(spark, docs, tmp_path):
         with D._CACHED_FRAMES_LOCK:
             live = len(D._CACHED_FRAMES)
         assert live <= D._KEEP_GENERATIONS  # one `wins` frame per generation
+
+
+def _lm_for(spark, rows, schema="doc_id long, text string"):
+    from readwise_vector_db_spark.operators import lm
+
+    return lm.train_bigram_lm(spark.createDataFrame(rows, schema), min_count=1)
+
+
+def test_signal_commit_is_exactly_once_per_batch(spark, tmp_path):
+    """r11 (verdict item 3): the batch id rides the signals commit's
+    meta, so an at-least-once re-delivery of the same batch is a SKIP —
+    one version, no duplicate signal rows."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        commit_batch_signals,
+    )
+
+    table = VersionedTable(str(tmp_path / "store"))
+    sig_table = VersionedTable(str(tmp_path / "signals"))
+    rows = [(i, " ".join(f"eo{i}w{j}" for j in range(20))) for i in range(6)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    model = _lm_for(spark, rows)
+
+    first = commit_batch_signals(
+        spark, batch, table, sig_table, model, batch_id=0
+    )
+    assert first["status"] == "committed" and first["version"] == 1
+    assert first["summary"]["n_docs"] == 6
+
+    again = commit_batch_signals(
+        spark, batch, table, sig_table, model, batch_id=0
+    )
+    assert again["status"] == "skipped" and again["version"] is None
+    assert sig_table.latest_version() == 1
+    assert sig_table.read(spark).count() == 6  # no duplicates
+
+
+def test_quality_drift_gate_trips_on_planted_shift(spark, tmp_path):
+    """r10 verdict item 2's done-criterion: a planted quality shift (a
+    source turned spammy — saturated duplicated windows + flagged
+    repetition) trips the gate while clean batches sail through;
+    quarantine mode commits the flagged rows, diverts the batch, and
+    keeps the quarantined summary OUT of future reference windows."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        commit_batch_signals,
+    )
+    from readwise_vector_db_spark.operators.signals import QualityDriftError
+
+    table = VersionedTable(str(tmp_path / "store"))
+    sig_table = VersionedTable(str(tmp_path / "signals"))
+    gate = {"min_ref": 2, "on_drift": "raise"}
+
+    def clean_batch(b):
+        return [
+            (1000 * b + i, " ".join(f"g{b}d{i}w{j}" for j in range(25)))
+            for i in range(8)
+        ]
+
+    model = _lm_for(spark, clean_batch(0))
+    for b in range(3):  # clean reference window — all green
+        res = commit_batch_signals(
+            spark, spark.createDataFrame(clean_batch(b), "doc_id long, text string"),
+            table, sig_table, model, batch_id=b, gate=gate,
+        )
+        assert res["status"] == "committed"
+
+    spam_text = " ".join(["buy now click here"] * 12)
+    spam = spark.createDataFrame(
+        [(9000 + i, spam_text) for i in range(8)], "doc_id long, text string"
+    )
+    with pytest.raises(QualityDriftError, match="quarantine"):
+        commit_batch_signals(
+            spark, spam, table, sig_table, model, batch_id=3, gate=gate,
+        )
+    assert sig_table.latest_version() == 3  # raise mode: nothing landed
+
+    q = commit_batch_signals(
+        spark, spam, table, sig_table, model, batch_id=3,
+        gate={**gate, "on_drift": "quarantine"},
+    )
+    assert q["status"] == "quarantined"
+    flagged = sig_table.read(spark).filter(F.col("quarantined"))
+    assert flagged.count() == 8 and flagged.first()["batch_id"] == 3
+
+    # the quarantined summary is excluded from the reference window: a
+    # following clean batch still measures against CLEAN normal
+    res = commit_batch_signals(
+        spark, spark.createDataFrame(clean_batch(4), "doc_id long, text string"),
+        table, sig_table, model, batch_id=4, gate=gate,
+    )
+    assert res["status"] == "committed"
+
+
+def test_streaming_quality_gate_quarantines_spam_batch(spark, tmp_path):
+    """End-to-end streaming walk: clean, clean, SPAM, clean — the spam
+    micro-batch is diverted to the quarantine partition (reaching
+    neither the cleaned output nor the fingerprint store) while the
+    stream keeps running and the clean batches land normally."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        run_incremental_span_dedup,
+    )
+
+    def clean_rows(b):
+        return [
+            (1000 * b + i, " ".join(f"s{b}d{i}w{j}" for j in range(20)))
+            for i in range(6)
+        ]
+
+    spam_text = " ".join(["spam spam wonderful spam"] * 10)
+    batches = [
+        clean_rows(0),
+        clean_rows(1),
+        [(9000 + i, spam_text) for i in range(6)],
+        clean_rows(3),
+    ]
+    schema = "doc_id LONG, text STRING"
+    src = str(tmp_path / "gate_incoming")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+
+    model = _lm_for(spark, clean_rows(0))
+    store_root = str(tmp_path / "gate_store")
+    out_dir = str(tmp_path / "gate_out")
+    sig_dir = str(tmp_path / "gate_signals")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = run_incremental_span_dedup(
+        spark, stream, store_root, out_dir,
+        signals_lm=model, signals_out_dir=sig_dir,
+        signals_gate={"min_ref": 2, "on_drift": "quarantine"},
+        signals_retention=16,
+    )
+    q.awaitTermination(180)
+
+    out_ids = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert out_ids == {r[0] for b in (0, 1, 3) for r in batches[b]}
+    quarantined = spark.read.parquet(f"{out_dir}_quarantine").collect()
+    assert {r["doc_id"] for r in quarantined} == {9000 + i for i in range(6)}
+    sig_table = VersionedTable(sig_dir)
+    metas = {m["batch_id"]: m for _, m in sig_table.commit_metas()}
+    assert set(metas) == {0, 1, 2, 3}
+    assert metas[2]["quarantined"] and not metas[0]["quarantined"]
+    # the spam batch's windows never reached the fingerprint store: a
+    # clean batch's dup signal vs the store stays 0 for spam-free text,
+    # and batch 3 committed normally after the quarantine
+    assert not metas[3]["quarantined"]

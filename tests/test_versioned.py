@@ -622,3 +622,58 @@ def test_compact_and_vacuum_preserve_evolution(spark, table):
         assert not os.path.exists(table._schema_path(v))
     assert os.path.exists(table._schema_path(table.latest_version()))
     assert table.read(spark).count() == 2
+
+
+def test_commit_append_meta_and_retention(spark, table):
+    """r11: append commits carry application metadata in a _META sidecar
+    (batch ids, gate summaries) and can bound the CURRENT view to the
+    newest R segments — the retention horizon for append-only telemetry
+    tables; dropped segments stay time-travelable until vacuum."""
+    import os
+
+    for b in range(5):
+        table.commit_append(
+            spark.createDataFrame([(b, f"row{b}")], "batch long, text string"),
+            meta={"batch_id": b, "summary": {"n_docs": 1}},
+            retain_segments=3,
+        )
+    # metas round-trip, ascending
+    metas = table.commit_metas()
+    assert [m["batch_id"] for _, m in metas] == [0, 1, 2, 3, 4]
+    assert table.commit_meta(3) == {"batch_id": 2, "summary": {"n_docs": 1}}
+    # current view: newest 3 batches only (retention)
+    assert sorted(
+        r["batch"] for r in table.read(spark).collect()
+    ) == [2, 3, 4]
+    # time travel still sees the older batches under their own snapshots
+    assert sorted(
+        r["batch"] for r in table.read(spark, version=2).collect()
+    ) == [0, 1]
+    # vacuum reclaims the pre-retention segment dirs AND their metas
+    removed = table.vacuum(keep=1)
+    assert removed
+    assert not os.path.exists(table._version_dir(1))
+    assert not os.path.exists(table._version_dir(2))
+    assert table.commit_meta(1) is None
+    assert sorted(
+        r["batch"] for r in table.read(spark).collect()
+    ) == [2, 3, 4]
+    with pytest.raises(Exception):
+        table.read(spark, version=2).collect()
+
+
+def test_crashed_append_meta_not_attributed_to_next_commit(spark, table):
+    """A crashed claimant's _META sidecar must not describe a later
+    commit that reuses its version number."""
+    import json
+    import os
+
+    table.commit_append(
+        spark.createDataFrame([(0,)], "batch long"), meta={"batch_id": 0}
+    )
+    # simulate a crashed writer that wrote meta for v2 but never published
+    with open(table._meta_path(2), "w") as f:
+        json.dump({"batch_id": 999}, f)
+    table.commit_append(spark.createDataFrame([(1,)], "batch long"))
+    assert table.commit_meta(2) is None  # stale record cleared, not reused
+    assert [m["batch_id"] for _, m in table.commit_metas()] == [0]
