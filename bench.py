@@ -407,6 +407,11 @@ def main() -> None:
         "calib": calibs,
         "calib_spark_ratio": out["calib_spark_ratio"],
         "host_degraded": out["host_degraded"],
+        # one scalar, not the per-query norm dict — the compact line
+        # must stay inside the driver's stdout-tail window; per-query
+        # normalized values live in BENCH_FULL.json and are derivable
+        # from queries × calib_spark_ratio (tools/trend.py does)
+        "value_norm": out["value_min_norm"],
         "per_run_detail": "BENCH_FULL.json",
     }
     print(json.dumps(compact))
