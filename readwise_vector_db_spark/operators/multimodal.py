@@ -279,14 +279,37 @@ def frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     (media_id, frame_idx, frame_ms, features[16]), one row per sampled
     frame.  The real counterpart of :func:`sample_frames`'s timestamp
     math, at the same fan-out boundary a production pipeline gives
-    ffmpeg.  Non-GIF video mimes raise through :func:`decode_stub` —
-    fail loudly, never garble."""
+    ffmpeg — and (round 11) ``video/mp4`` payloads DO go to ffmpeg when
+    the binary is present (functions/ffmpeg.py: one subprocess per
+    video inside this same Arrow stage, the sampling tick pushed into
+    the decoder's ``fps`` filter so unsampled frames never cross the
+    process boundary; the filter picks the nearest frame per tick
+    where the GIF walk picks first-at-or-after — stated, not hidden).
+    With ffmpeg absent, and for every other video mime, the decode
+    raises the stub's loud ``NotImplementedError`` — fail loudly,
+    never garble.  Plan shape either way: ONE Python stage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from readwise_vector_db_spark.functions.ffmpeg import (
+            decode_mp4_frames,
+        )
+
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame_ms": [], "features": []}
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 if payload is None:
+                    continue
+                if meta["mime"] == "video/mp4":
+                    frames, stamps = decode_mp4_frames(
+                        bytes(payload), every_ms=every_ms
+                    )
+                    for i in range(frames.shape[0]):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["frame_ms"].append(stamps[i])
+                        out["features"].append(
+                            [float(x) for x in pixel_features(frames[i])]
+                        )
                     continue
                 frames, delays = real_decode(bytes(payload), meta["mime"])
                 t, next_tick = 0, 0

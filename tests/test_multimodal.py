@@ -492,3 +492,73 @@ def test_codecs_never_garble_garbage(data):
         except (ValueError, NotImplementedError):
             pass
 
+
+
+# --- mp4 via the optional ffmpeg plug (r11) -----------------------------------
+
+
+def _mp4_media_df(spark, payload: bytes | None, mid: int = 1):
+    return spark.createDataFrame(
+        [(mid, "video", payload, ("video/mp4", None, None, 4000))],
+        mm.MEDIA_SCHEMA,
+    )
+
+
+def test_mp4_without_ffmpeg_raises_the_stub_error(spark):
+    """With ffmpeg absent the mp4 branch fails exactly like the
+    documented decode_stub — a loud NotImplementedError naming the
+    missing codec, surfaced through the Arrow stage."""
+    from readwise_vector_db_spark.functions.ffmpeg import (
+        decode_mp4_frames,
+        ffmpeg_available,
+    )
+
+    if ffmpeg_available():
+        pytest.skip("ffmpeg present — the real-decode test covers this host")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_mp4_frames(b"\x00\x00\x00\x18ftypmp42", every_ms=500)
+    with pytest.raises(Exception, match="ffmpeg"):
+        mm.frame_features(
+            _mp4_media_df(spark, b"\x00\x00\x00\x18ftypmp42"), every_ms=500
+        ).collect()
+
+
+def test_mp4_frame_features_with_real_ffmpeg(spark, tmp_path):
+    """With ffmpeg present: a REAL mp4 fixture (encoded from synthetic
+    frames) yields frame_features-class rows — sampled timestamps,
+    16-bin histogram features — through the same single Arrow stage
+    the GIF path uses.  Auto-skipped where the binary is absent."""
+    from readwise_vector_db_spark.functions.ffmpeg import (
+        decode_mp4_frames,
+        encode_mp4,
+        ffmpeg_available,
+    )
+
+    if not ffmpeg_available():
+        pytest.skip("ffmpeg not on PATH — external-codec path unavailable")
+
+    # 2 s of 10 fps video: frame i is a flat gray level 12*i
+    frames = np.stack(
+        [np.full((48, 64, 3), 12 * i, dtype=np.uint8) for i in range(20)]
+    )
+    path = str(tmp_path / "fixture.mp4")
+    encode_mp4(frames, fps=10, path=path)
+    with open(path, "rb") as f:
+        payload = f.read()
+
+    got, stamps = decode_mp4_frames(payload, every_ms=500)
+    assert got.shape[1:] == (48, 64, 3)
+    assert 3 <= got.shape[0] <= 5  # ~4 ticks over 2 s at 500 ms
+    assert stamps == [i * 500 for i in range(got.shape[0])]
+
+    rows = mm.frame_features(_mp4_media_df(spark, payload), every_ms=500).collect()
+    assert len(rows) == got.shape[0]
+    for r in rows:
+        assert r["media_id"] == 1
+        assert len(r["features"]) == mm.FEATURE_DIM
+        assert abs(sum(r["features"]) - 1.0) < 1e-3  # normalized histogram
+    # the sampled gray levels rise over time: later frames' histogram
+    # mass sits in higher bins
+    first_bin = [max(range(16), key=lambda b: rows[i]["features"][b])
+                 for i in range(len(rows))]
+    assert first_bin == sorted(first_bin)
