@@ -19,11 +19,18 @@ CCNet's pipelines).  This module is that stage, MLlib-native:
   coefficient vector dotted against each document's hashed features,
   map-only at any scale; returns P(reference-like) per document.
 
-The classifier's coefficients depend on float aggregation order, so
-scores are deterministic only per-fit — the operator is therefore
-covered by tests (separation on planted labels), not a value-hash
-oracle; the repo-wide oracle pattern applies to everything downstream
-of the scores.
+The PARALLEL fit's coefficients depend on float aggregation order
+(L-BFGS tree-aggregates gradients), so its scores are deterministic
+only per-fit.  Round 11 (r10 verdict item 6) adds
+``deterministic=True``: single-partition, sorted-input training —
+L-BFGS over one partition folds gradients in a fixed row order, so
+coefficients REPRODUCE bit-for-bit run-to-run.  On top,
+``export_term_weight_artifact`` flattens the fitted model to a
+(term → integer-nano weight) table + intercept: scoring from the
+artifact is a broadcast join + EXACT integer sum + sigmoid — the form
+BOTH engines can compute identically, which is what finally gives this
+operator a value-hash oracle (``quality_model_scores``) instead of the
+tests-only coverage it had.  The parallel path stays the scale path.
 
 No reference counterpart (the reference ingests pre-curated
 highlights) — north-star scope, SURVEY §2.7.
@@ -31,7 +38,7 @@ highlights) — north-star scope, SURVEY §2.7.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_FEATURES = 1 << 18  # hashed feature space; collisions are the usual
@@ -45,6 +52,7 @@ def train_quality_model(
     n_features: int = N_FEATURES,
     reg_param: float = 1e-3,
     max_iter: int = 50,
+    deterministic: bool = False,
 ):
     """Fit the quality classifier: ``good`` = trusted reference docs
     (label 1), ``bad`` = raw/rejected docs (label 0).  Returns a fitted
@@ -53,7 +61,16 @@ def train_quality_model(
     Feature hashing keeps the pipeline stateless — no vocabulary fit,
     nothing corpus-sized to broadcast; the only learned state is one
     ``n_features``-long coefficient vector.
-    """
+
+    ``deterministic=True`` (round 11): coalesce the labeled set to ONE
+    partition and sort it by (label, text) before fitting — the L-BFGS
+    gradient fold then runs in a fixed sequential order, so repeated
+    fits on the same data reproduce coefficients exactly (pinned by
+    test).  Slow by construction (no parallel aggregation) and meant
+    for BOUNDED labeled sets — which quality-classifier training sets
+    are (a labeled sample, not the corpus); the default parallel path
+    is the 100 TB-corpus route where per-fit determinism doesn't
+    matter."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, RegexTokenizer
@@ -61,6 +78,8 @@ def train_quality_model(
     labeled = good.select(
         F.col(text_col).alias("text"), F.lit(1.0).alias("label")
     ).unionByName(bad.select(F.col(text_col).alias("text"), F.lit(0.0).alias("label")))
+    if deterministic:
+        labeled = labeled.coalesce(1).sortWithinPartitions("label", "text")
     pipe = Pipeline(
         stages=[
             RegexTokenizer(
@@ -76,6 +95,162 @@ def train_quality_model(
         ]
     )
     return pipe.fit(labeled)
+
+
+def planted_training_corpora(spark: SparkSession, sf_dir: str):
+    """The DETERMINISTIC planted training split shared by the artifact
+    tool, the reproducibility test, and the oracle entry: good = the
+    first 200 fixture documents by id (natural word soup); bad = 200
+    synthetic junk docs drawn hash-deterministically from a 50-token
+    junk vocabulary disjoint from the fixture's — each class has a
+    stable token DISTRIBUTION (what the classifier learns) while every
+    individual document is distinct."""
+    good = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+    junk = F.array(*[F.lit(f"qjunk{k}") for k in range(50)])
+    bad = spark.range(200).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: junk[
+                    F.pmod(F.xxhash64(F.col("id"), j), F.lit(50)).cast("int")
+                ],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return good, bad
+
+
+def export_term_weight_artifact(
+    model, vocab_docs: DataFrame, out_dir: str, text_col: str = "text"
+) -> dict:
+    """Flatten a fitted pipeline to a SERVING/ORACLE artifact: one row
+    per distinct (lowercased, whitespace-split) token of ``vocab_docs``
+    with the token's coefficient as INTEGER NANO-UNITS
+    (round(coef × 1e9) — the exact-decimal-sum rule every cross-engine
+    float path in this repo uses), plus the intercept in model.json.
+
+    Token→bucket goes through the model's OWN HashingTF stage
+    (``indexOf`` — spark.ml's murmur3 variant differs from SQL
+    ``hash()``, verified, so no hash is reimplemented).  Scoring from
+    the artifact is then hash-free: tokens join terms, nano-weights
+    SUM exactly, sigmoid at the end — computable identically by Spark
+    and DuckDB, which is what buys the value-hash oracle.  Collisions
+    keep their usual semantics: two terms in one bucket export the
+    same weight, exactly what the model's dot product gives each.
+
+    The artifact covers ``vocab_docs``'s vocabulary; scoring treats
+    absent tokens as weight 0 (a stated approximation vs
+    ``model.transform``, exact whenever the scoring corpus ⊆ the
+    vocabulary corpus — the oracle's configuration)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from readwise_vector_db_spark.layout import stamp_layout
+
+    tf = model.stages[1]
+    lr = model.stages[2]
+    coef = lr.coefficients
+    terms = [
+        r["t"]
+        for r in vocab_docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+        .collect()
+    ]
+    rows = sorted(
+        (t, int(round(float(coef[tf.indexOf(t)]) * 1e9))) for t in terms
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "term": [t for t, _ in rows],
+                "w_nano": pa.array([w for _, w in rows], type=pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "terms.parquet"),
+    )
+    rec = {
+        "intercept_nano": int(round(float(lr.intercept) * 1e9)),
+        "n_features": int(tf.getNumFeatures()),
+        "n_terms": len(rows),
+    }
+    tmp = os.path.join(out_dir, f"model.json.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(out_dir, "model.json"))
+    stamp_layout(out_dir, "quality_lr")
+    return rec
+
+
+def score_from_artifact(
+    docs: DataFrame,
+    artifact_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, quality_prob) from a persisted term-weight artifact — the
+    production linear-text-model scoring shape: tokens explode, the
+    vocabulary-bounded term table broadcast-joins them, nano-weights
+    sum EXACTLY per document (BIGINT — no float-order variance), one
+    sigmoid at the end.  Map + broadcast join + partial-aggregated
+    sum: no corpus shuffle beyond (id, nano) pairs.  Absent tokens
+    weigh 0 (see :func:`export_term_weight_artifact`)."""
+    import json
+    import os
+
+    from readwise_vector_db_spark.layout import check_layout
+
+    check_layout(artifact_dir, "quality_lr")
+    spark = docs.sparkSession
+    with open(os.path.join(artifact_dir, "model.json")) as f:
+        rec = json.load(f)
+    terms = spark.read.parquet(os.path.join(artifact_dir, "terms.parquet"))
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    margin_nano = F.coalesce(F.sum("w_nano"), F.lit(0)) + F.lit(
+        int(rec["intercept_nano"])
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(id_col)
+    summed = (
+        toks.join(F.broadcast(terms), "term", "left")
+        .groupBy(id_col)
+        .agg(margin_nano.alias("m_nano"))
+    )
+    return base.join(summed, id_col, "left").select(
+        F.col(id_col),
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -F.coalesce(F.col("m_nano"), F.lit(int(rec["intercept_nano"])))
+                    .cast("double")
+                    / F.lit(1e9)
+                )
+            ),
+            6,
+        ).alias("quality_prob"),
+    )
 
 
 def score_quality(

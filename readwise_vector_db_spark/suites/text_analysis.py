@@ -7,6 +7,9 @@ DuckDB SQL, so the whole suite is oracle-checked.
 
 from __future__ import annotations
 
+import json as _json
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -649,3 +652,57 @@ def quality_signal_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     uni, bi, v = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"), min_count=2)
     return quality_signal_summary(doc_quality_signals(docs, uni, bi, v))
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier scoring from the deterministic artifact (round 11 —
+# r10 verdict item 6): the one component that had NO value-oracle (L-BFGS
+# coefficients depend on float aggregation order) gets one via the
+# committed term-weight artifact: deterministic single-partition training
+# (tools/train_quality_artifact.py, reproducibility pinned by test)
+# exports (term → integer-nano coefficient) + intercept, and BOTH engines
+# score by the same broadcast join + EXACT BIGINT sum + sigmoid.
+# ---------------------------------------------------------------------------
+_QLR_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures", "quality_lr_sf001",
+)
+try:
+    with open(_os.path.join(_QLR_DIR, "model.json")) as _f:
+        _QLR_INTERCEPT = int(_json.load(_f)["intercept_nano"])
+except OSError:  # artifact not built — the spark fn raises loudly instead
+    _QLR_INTERCEPT = 0
+
+_QLR_SQL = f"""
+    WITH t AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    w AS (SELECT term, w_nano
+          FROM read_parquet('{_QLR_DIR}/terms.parquet')),
+    s AS (
+        SELECT tok2.doc_id,
+               COALESCE(SUM(w.w_nano), 0) + {_QLR_INTERCEPT} AS m_nano
+        FROM tok2 LEFT JOIN w USING (term)
+        GROUP BY tok2.doc_id
+    )
+    SELECT t.doc_id,
+           ROUND(1.0 / (1.0 + exp(-(CAST(COALESCE(s.m_nano,
+                 {_QLR_INTERCEPT}) AS DOUBLE) / 1e9))), 6) AS quality_prob
+    FROM t LEFT JOIN s ON s.doc_id = t.doc_id
+    """
+
+
+@register_extra("quality_model_scores", _QLR_SQL)
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(reference-like) per document from the committed deterministic
+    LR artifact — broadcast term join, exact nano-unit margin sum,
+    sigmoid; hash-checked against the identical DuckDB computation."""
+    from readwise_vector_db_spark.operators.quality_model import (
+        score_from_artifact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return score_from_artifact(docs, _QLR_DIR)
