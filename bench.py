@@ -377,6 +377,30 @@ def main() -> None:
                 norm[name] = nv
     out["queries_min_norm"] = {k: round(v, 3) for k, v in norm.items()}
     out["value_min_norm"] = round(sum(norm.values()), 3)
+    # composed filtered serving (round 11 — r10 verdict item 7): the
+    # heavy 2-JVM × 4-regime study runs via `tools/bench_scaleout.py
+    # filtered`, not per bench pass; its committed record (with its OWN
+    # bracketing calibration rows) rides the artifact so the serving
+    # block always names the latest measurement AND the host regime it
+    # was taken in — provenance, not re-measurement.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "SERVING_FILTERED.json")
+        ) as f:
+            sf_rec = json.load(f)
+        out["serving_filtered"] = {
+            "source": "tools/bench_scaleout.py filtered (not per-pass)",
+            "measured_at": sf_rec.get("measured_at"),
+            "calib_spark_ratios": sf_rec.get("calib_spark_ratios"),
+            "config": sf_rec.get("config"),
+            "regimes": {
+                name: {"best_p95": r["best_p95"], "best_qps": r["best_qps"]}
+                for name, r in sf_rec.get("regimes", {}).items()
+            },
+        }
+    except (OSError, ValueError, KeyError):
+        pass  # study not run in this checkout — block simply absent
 
     # The per-run detail also lands as a FILE next to this script —
     # the driver's stdout tail holds only ~2000 chars, so BENCH_r{N}.json
