@@ -82,9 +82,16 @@ def decode_mp4_frames(
         with os.fdopen(fd, "wb") as f:
             f.write(payload)
         w, h, _ = probe_video(path)
+        # -noautorotate (r11 review): ffprobe reports the STORED
+        # dimensions, but ffmpeg applies display-matrix rotation by
+        # default — a portrait phone mp4 would emit h×w frames that
+        # reshape silently into transposed garbage (w*h*3 bytes either
+        # way, so no error fires).  Decoding in the stored orientation
+        # keeps the reshape exact; rotation metadata is presentation
+        # advice a feature extractor can honor explicitly if it cares.
         raw = subprocess.run(
             [
-                "ffmpeg", "-v", "error", "-i", path,
+                "ffmpeg", "-v", "error", "-noautorotate", "-i", path,
                 "-vf", f"fps=1000/{int(every_ms)}",
                 "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
             ],

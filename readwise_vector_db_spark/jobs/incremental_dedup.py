@@ -869,6 +869,7 @@ def commit_batch_signals(
     read_version: int | None = None,
     gate: dict | None = None,
     retention: int | None = None,
+    run_id: str | None = None,
 ) -> dict:
     """Score one batch's fused signal rows, gate them for quality
     drift, and commit them to the VERSIONED signals table (round 11 —
@@ -885,19 +886,34 @@ def commit_batch_signals(
     scan).  The summary rides the commit's ``meta`` next to the batch
     id, so the reference window is assembled without touching parquet.
 
-    At-least-once re-delivery: the batch id in the commit meta makes a
-    retried batch detectable — ``status='skipped'`` — so signal rows
-    are exactly-once per batch id even though foreachBatch is
-    at-least-once.  Quarantine (``gate={'on_drift': 'quarantine'}``):
-    a tripped batch's rows STILL commit (flagged ``quarantined=True``
-    column + meta — the audit trail and the retry-skip both need the
-    commit) but are excluded from future reference windows, and the
-    caller is told to divert the batch.  ``on_drift='raise'`` (the
-    default) re-raises :class:`QualityDriftError` — loud, like the
-    embedding drift gate.  ``retention=R`` bounds the signals table's
-    CURRENT view to the newest R batches (``commit_append(
-    retain_segments=R)``); older batches stay time-travelable until
-    ``vacuum``.
+    At-least-once re-delivery: the (run_id, batch_id) pair in the
+    commit meta makes a retried batch detectable — ``status='skipped'``
+    — so signal rows are exactly-once per batch id even though
+    foreachBatch is at-least-once.  ``run_id`` scopes the skip to ONE
+    stream incarnation (r11 review): batch ids reset to 0 when an
+    operator deletes the checkpoint, and metas keyed by batch id alone
+    would falsely skip (or worse, falsely QUARANTINE) the new run's
+    batches against a previous life's records — the same failure class
+    the r10 pin-marker migration fixed for the cut path.  The
+    streaming loop derives run_id from a marker UNDER the checkpoint
+    dir, so deleting the checkpoint rotates it; ``run_id=None``
+    (standalone callers) matches only metas that also recorded none.
+    Within a run batch ids are monotonic (Structured Streaming's
+    contract), so the walk is newest-first with early stop — O(few)
+    meta reads per batch, not O(all versions).
+
+    Quarantine (``gate={'on_drift': 'quarantine'}``): a tripped
+    batch's rows STILL commit (flagged ``quarantined=True`` column +
+    meta — the audit trail and the retry-skip both need the commit)
+    but are excluded from future reference windows, and the caller is
+    told to divert the batch.  ``on_drift='raise'`` (the default)
+    re-raises :class:`QualityDriftError` — loud, like the embedding
+    drift gate.  Reference summaries are read across runs (a restarted
+    stream keeps its learned normal).  ``retention=R`` bounds the
+    signals table's CURRENT view to the newest R batches
+    (``commit_append(retain_segments=R)``) and vacuums to the same
+    horizon after each commit, so metas/snapshots stay O(R) for
+    arbitrarily long streams.
 
     Returns ``{"status": "committed"|"skipped"|"quarantined",
     "version": ..., "summary": ..., "quarantined": ...}``."""
@@ -907,15 +923,34 @@ def commit_batch_signals(
         quality_signal_summary,
     )
 
-    metas = sig_table.commit_metas()
-    for _, m in metas:
-        if m.get("batch_id") == batch_id:
-            return {
-                "status": "skipped",
-                "version": None,
-                "summary": m.get("summary"),
-                "quarantined": bool(m.get("quarantined", False)),
-            }
+    ref_window = int((gate or {}).get("ref_window", 8))
+    refs: list[dict] = []
+    skipped_meta: dict | None = None
+    own_run_resolved = False
+    for _, m in sig_table.iter_commit_metas_desc():
+        if not own_run_resolved and m.get("run_id") == run_id:
+            if m.get("batch_id") == batch_id:
+                skipped_meta = m
+            # monotonic ids within a run: the newest own-run meta
+            # decides; anything older can't hold THIS batch id unless
+            # this one does
+            own_run_resolved = True
+        if (
+            len(refs) < ref_window
+            and m.get("summary") is not None
+            and not m.get("quarantined", False)
+        ):
+            refs.append(m["summary"])
+        if own_run_resolved and (gate is None or len(refs) >= ref_window):
+            break
+    if skipped_meta is not None:
+        return {
+            "status": "skipped",
+            "version": None,
+            "summary": skipped_meta.get("summary"),
+            "quarantined": bool(skipped_meta.get("quarantined", False)),
+        }
+    refs.reverse()  # oldest-first, matching the ascending-window shape
 
     sig = batch_quality_signals(
         spark, batch, table, lm_model, n=n, id_col=id_col,
@@ -928,13 +963,6 @@ def commit_batch_signals(
         summary = quality_signal_summary(sig).first().asDict()
         quarantined = False
         if gate is not None:
-            refs = [
-                m["summary"]
-                for _, m in metas
-                if m.get("summary") is not None
-                and not m.get("quarantined", False)
-            ]
-            ref_window = int(gate.get("ref_window", 8))
             band = {
                 k: gate[k]
                 for k in (
@@ -944,7 +972,7 @@ def commit_batch_signals(
                 if k in gate
             }
             try:
-                quality_drift_gate(summary, refs[-ref_window:], **band)
+                quality_drift_gate(summary, refs, **band)
             except QualityDriftError:
                 if gate.get("on_drift", "raise") != "quarantine":
                     raise
@@ -953,11 +981,14 @@ def commit_batch_signals(
             sig.withColumn("quarantined", F.lit(quarantined)),
             meta={
                 "batch_id": int(batch_id),
+                "run_id": run_id,
                 "summary": summary,
                 "quarantined": quarantined,
             },
             retain_segments=retention,
         )
+        if retention is not None:
+            sig_table.vacuum(keep=max(1, int(retention)))
     finally:
         sig.unpersist()
     return {
@@ -1021,10 +1052,26 @@ def run_incremental_span_dedup(
     proves the earlier batch's checkpoint commit completed."""
     import glob as _glob
     import os as _os
+    import uuid as _uuid
 
     table = VersionedTable(store_root)
     checkpoint_dir = f"{store_root}/_stream_checkpoint"
     marker_dir = f"{checkpoint_dir}/_batch_base"
+    # stream-incarnation id for the signals' exactly-once metas (r11
+    # review): lives UNDER the checkpoint dir for the same reason the
+    # pin markers do — deleting the checkpoint resets batch ids to 0,
+    # and signal metas keyed by batch id alone would falsely skip (or
+    # falsely quarantine) the new run's batches against the old run's
+    # records.  Deleting the checkpoint rotates the run id with it.
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    run_marker = f"{checkpoint_dir}/_signals_run_id"
+    if not _os.path.isfile(run_marker):
+        tmp = f"{run_marker}.tmp.{_os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(_uuid.uuid4().hex)
+        _os.replace(tmp, run_marker)
+    with open(run_marker) as f:
+        signals_run_id = f.read().strip()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         _os.makedirs(marker_dir, exist_ok=True)
@@ -1073,6 +1120,7 @@ def run_incremental_span_dedup(
                 text_col=kwargs.get("text_col", "text"),
                 read_version=base_v,
                 gate=signals_gate, retention=signals_retention,
+                run_id=signals_run_id,
             )
             if sig_res["quarantined"]:
                 # divert the whole batch: its docs reach neither the

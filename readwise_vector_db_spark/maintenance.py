@@ -151,7 +151,14 @@ def _infer_family(path: str) -> str:
 def _tombstone_stats(spark, path: str, subdir: str) -> tuple[int, int, float]:
     """(stored_rows, tombstones, fraction) — raw scan counts, no
     anti-join: the fraction is storage dead weight, the compaction
-    trigger, so it must count tombstoned rows still on disk."""
+    trigger, so it must count tombstoned rows still on disk.  Rolls an
+    interrupted compaction swap forward first (r11 review): the
+    autovacuum must not crash on PATH_NOT_FOUND exactly when a
+    compactor died mid-swap — the post-crash state it exists to
+    manage."""
+    from readwise_vector_db_spark.operators.pq import _recover_codes_dir
+
+    _recover_codes_dir(path, subdir)
     rows = spark.read.parquet(f"{path}/{subdir}").count()
     tomb_dir = f"{path}/tombstones"
     tomb = 0
@@ -184,13 +191,14 @@ def _drifted_cells(
     cells are a minority; a majority-drifted layout under-detects here
     but is exactly what the ``rebuild_cell_frac`` ladder step exists
     for — and whole-distribution shift is retrain territory anyway."""
+    from readwise_vector_db_spark.operators.signals import _median
+
     populated = [
         r for r in cell_rows if int(r["n"]) >= policy.min_cell_rows
     ]
     if not populated:
         return [], 0.0, 0
-    means = sorted(float(r["mean_dist"]) for r in populated)
-    base = means[len(means) // 2]
+    base = _median([float(r["mean_dist"]) for r in populated])
     if base <= 0:
         return [], base, len(populated)
     drifted = [

@@ -502,7 +502,9 @@ class VersionedTable:
     def commit_metas(self) -> list[tuple[int, dict]]:
         """(version, meta) for every live version that recorded one,
         ascending — the reference window a per-batch gate reads.  O(#
-        versions) tiny json files; retention + vacuum bound it."""
+        versions) tiny json files; retention + vacuum bound it.  A
+        per-batch caller that only needs the NEWEST few should use
+        :meth:`iter_commit_metas_desc` and stop early instead."""
         latest = self.latest_version()
         if latest is None:
             return []
@@ -512,6 +514,20 @@ class VersionedTable:
             if m is not None:
                 out.append((v, m))
         return out
+
+    def iter_commit_metas_desc(self):
+        """Yield (version, meta) newest-first, lazily — the early-stop
+        form (r11 review): a streaming loop that checks one batch id
+        and assembles a bounded reference window per micro-batch must
+        not pay O(all versions) file opens per batch; walking
+        descending, both resolve within the newest few metas."""
+        latest = self.latest_version()
+        if latest is None:
+            return
+        for v in range(latest, 0, -1):
+            m = self.commit_meta(v)
+            if m is not None:
+                yield v, m
 
     def commit_append(
         self,

@@ -1068,3 +1068,55 @@ def test_streaming_quality_gate_quarantines_spam_batch(spark, tmp_path):
     # clean batch's dup signal vs the store stays 0 for spam-free text,
     # and batch 3 committed normally after the quarantine
     assert not metas[3]["quarantined"]
+
+
+def test_signal_skip_is_scoped_to_the_stream_incarnation(spark, tmp_path):
+    """r11 review (data-loss fix): metas outlive a deleted checkpoint,
+    but batch ids reset with it — the skip (and any quarantine verdict)
+    must bind to (run_id, batch_id), or a fresh run's clean batch 0
+    would be silently skipped, or worse diverted, because a previous
+    life's batch 0 was committed/quarantined."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        commit_batch_signals,
+    )
+
+    table = VersionedTable(str(tmp_path / "store"))
+    sig_table = VersionedTable(str(tmp_path / "signals"))
+    rows = [(i, " ".join(f"ri{i}w{j}" for j in range(20))) for i in range(6)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    model = _lm_for(spark, rows)
+    gate = {"min_ref": 2, "on_drift": "quarantine"}
+
+    # run A: two clean batches, then a QUARANTINED spam batch 2
+    for b in range(2):
+        assert commit_batch_signals(
+            spark, batch, table, sig_table, model, batch_id=b,
+            gate=gate, run_id="run_a",
+        )["status"] == "committed"
+    spam = spark.createDataFrame(
+        [(900 + i, " ".join(["junk spam junk"] * 12)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert commit_batch_signals(
+        spark, spam, table, sig_table, model, batch_id=2,
+        gate=gate, run_id="run_a",
+    )["status"] == "quarantined"
+
+    # same batch id, same run: the true at-least-once retry — skipped,
+    # carrying run A's quarantine verdict
+    retry = commit_batch_signals(
+        spark, spam, table, sig_table, model, batch_id=2,
+        gate=gate, run_id="run_a",
+    )
+    assert retry["status"] == "skipped" and retry["quarantined"]
+
+    # fresh incarnation (checkpoint deleted → new run id, ids reset):
+    # batch 0..2 must COMMIT, and the clean batch 2 must NOT inherit
+    # run A's quarantine
+    for b in range(3):
+        res = commit_batch_signals(
+            spark, batch, table, sig_table, model, batch_id=b,
+            gate=gate, run_id="run_b",
+        )
+        assert res["status"] == "committed", (b, res)
+        assert not res["quarantined"]

@@ -340,13 +340,19 @@ def main() -> None:
         from bench import CALIB_REF, _calibrate
 
         def _calib_once() -> dict:
+            # symmetric methodology (r11 review): each reading uses a
+            # FRESH local[8] JVM, discards one warm-up calibration (so
+            # JVM startup/JIT never reads as host noise), records the
+            # second, and STOPS the session — no idle calib JVM
+            # coexists with the measured workers
             from readwise_vector_db_spark.session import get_spark
 
             spark = get_spark("serving-calib", cores=8)
             try:
+                _calibrate(spark)  # throwaway: absorbs JIT/startup
                 return _calibrate(spark)
             finally:
-                pass  # session reused if the driver keeps it
+                spark.stop()
 
         record: dict = {
             "measured_at": _time.time(),
