@@ -170,23 +170,69 @@ def _lease_is_dead(lease: str) -> bool:
 
 
 def _sweep_stale_lease_tmps(root: str) -> None:
-    """Staging dirs left by maintainers that crashed between building
-    and renaming — the name embeds the pid, so liveness needs no grace
-    window (same sweep as VersionedTable._sweep_stale_claim_tmps)."""
+    """Staging/grave dirs left by maintainers that crashed between
+    building and renaming (or mid-reap) — the name embeds the pid, so
+    liveness needs no grace window (same sweep as
+    VersionedTable._sweep_stale_claim_tmps)."""
     try:
         names = os.listdir(root)
     except FileNotFoundError:
         return
     for name in names:
-        if not name.startswith(f"{_LEASE}.tmp-"):
-            continue
+        for marker in (f"{_LEASE}.tmp-", f"{_LEASE}.grave-"):
+            if not name.startswith(marker):
+                continue
+            try:
+                pid = int(name[len(marker):].split("-", 1)[0])
+                os.kill(pid, 0)
+            except (ValueError, IndexError, PermissionError):
+                continue  # unparsable or live-but-foreign: leave it
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def _reap_dead_lease(root: str, lease: str) -> None:
+    """Remove a dead holder's lease WITHOUT the check-then-rmtree race
+    (r11 review): a plain ``rmtree`` after a liveness check can delete
+    a LIVE lease that landed in between (reaper C removed the dead one,
+    maintainer B acquired, our stale verdict then kills B's lease — two
+    maintainers proceed).  Two mechanisms close it:
+
+    1. Reapers serialize on a ``mkdir`` mutex (atomic create, single
+       winner; its own staleness is governed by the pid in the owner
+       file, mirroring the claim protocol) and RE-VERIFY deadness while
+       holding it.
+    2. The removal itself is an atomic ``rename`` of the lease onto a
+       unique grave — while the dead directory occupies the lease path
+       no acquirer can land there (rename onto a non-empty dir fails),
+       so the renamed dir is provably the one verified dead; the grave
+       is then deleted at leisure (and swept by pid if we crash).
+
+    Always returns to the caller's acquire loop — whether this reaper
+    won, lost, or found the holder alive after all."""
+    mutex = f"{lease}.reap"
+    try:
+        os.mkdir(mutex)
+    except FileExistsError:
+        # another reaper is mid-reap: wait unless ITS owner is gone
+        if _lease_is_dead(mutex):
+            shutil.rmtree(mutex, ignore_errors=True)
+        return
+    except OSError:
+        return
+    try:
+        with open(os.path.join(mutex, "owner"), "w") as f:
+            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+        if not _lease_is_dead(lease):
+            return  # holder is alive after all (or already replaced)
+        grave = f"{lease}.grave-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         try:
-            pid = int(name.split(".tmp-", 1)[1].split("-", 1)[0])
-            os.kill(pid, 0)
-        except (ValueError, IndexError, PermissionError):
-            continue  # unparsable or live-but-foreign: leave it
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            os.rename(lease, grave)
+        except OSError:
+            return  # released/reaped concurrently — nothing to do
+        shutil.rmtree(grave, ignore_errors=True)
+    finally:
+        shutil.rmtree(mutex, ignore_errors=True)
 
 
 @contextlib.contextmanager
@@ -231,7 +277,7 @@ def maintenance_lease(path: str, purpose: str, wait: float = 0.0,
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)
         if _lease_is_dead(lease):
-            shutil.rmtree(lease, ignore_errors=True)
+            _reap_dead_lease(root, lease)  # race-safe: see its docstring
             continue
         if time.monotonic() >= deadline:
             owner = _lease_owner(lease) or {}

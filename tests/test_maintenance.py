@@ -393,3 +393,54 @@ def test_maintain_index_flat_pq_compacts_only(spark, tmp_path):
     rec2 = maintain_index(spark, path)
     assert rec2["action"] == "compact" and rec2["executed"]
     assert rec2["result"]["rows_surviving"] == n - n // 2
+
+
+def test_dead_lease_reap_is_race_safe(tmp_path):
+    """r11 review: recovering a crashed holder's lease must never
+    delete a LIVE lease that landed in between (check-then-rmtree
+    TOCTOU).  Eight threads race to reap one dead lease and then cycle
+    acquire/release under contention — mutual exclusion must hold at
+    every instant, and a crashed REAPER's mutex must not wedge
+    recovery."""
+    import subprocess
+
+    path = str(tmp_path / "layout")
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lease = f"{path}/_MAINT_LEASE"
+    os.makedirs(lease)
+    with open(f"{lease}/owner", "w") as f:
+        json.dump({"pid": proc.pid, "purpose": "crashed", "ts": 0}, f)
+    # a crashed reaper's mutex (dead pid) must be broken, not waited out
+    os.makedirs(f"{lease}.reap")
+    with open(f"{lease}.reap/owner", "w") as f:
+        json.dump({"pid": proc.pid, "ts": 0}, f)
+
+    active = {"n": 0, "max": 0, "cycles": 0}
+    lock = threading.Lock()
+    errors: list[BaseException] = []
+
+    def worker():
+        try:
+            for _ in range(6):
+                with maintenance_lease(path, "stress", wait=30.0):
+                    with lock:
+                        active["n"] += 1
+                        active["max"] = max(active["max"], active["n"])
+                        active["cycles"] += 1
+                    time.sleep(0.01)
+                    with lock:
+                        active["n"] -= 1
+        except BaseException as e:  # noqa: BLE001 — surface to the test
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert active["cycles"] == 48
+    assert active["max"] == 1  # never two holders
+    assert not os.path.isdir(lease)
+    assert not os.path.isdir(f"{lease}.reap")
