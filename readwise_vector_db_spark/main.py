@@ -127,6 +127,33 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_maintain(args: argparse.Namespace) -> int:
+    from readwise_vector_db_spark.maintenance import (
+        MaintenancePolicy,
+        maintain_index,
+        read_maintenance_log,
+    )
+
+    if args.log:
+        for rec in read_maintenance_log(args.path):
+            print(json.dumps(rec))
+        return 0
+    spark = get_spark("rwv-maintain")
+    rec = maintain_index(
+        spark,
+        args.path,
+        policy=MaintenancePolicy(
+            tombstone_frac_max=args.tombstone_frac_max,
+            drift_ratio_max=args.drift_ratio_max,
+        ),
+        execute=not args.dry_run,
+        sample_fraction=args.sample_fraction,
+        lease_wait=args.wait,
+    )
+    print(json.dumps(rec))
+    return 0
+
+
 def _cmd_http(args: argparse.Namespace) -> int:
     from readwise_vector_db_spark.api.http_server import serve
     from readwise_vector_db_spark.api.service import SearchService
@@ -212,6 +239,26 @@ def build_parser() -> argparse.ArgumentParser:
         "retraining on the --lang slice",
     )
     c.set_defaults(fn=_cmd_curate)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="autovacuum a persisted index layout: measure health, pick "
+        "none/compact/recluster/rebuild, execute in-place repairs, log "
+        "the decision",
+    )
+    mt.add_argument("--path", required=True, help="index layout root")
+    mt.add_argument("--dry-run", action="store_true",
+                    help="ANALYZE only: decide and log, execute nothing")
+    mt.add_argument("--log", action="store_true",
+                    help="print the layout's maintenance log and exit")
+    mt.add_argument("--sample-fraction", type=float, default=1.0,
+                    help="bound the health scan on huge layouts")
+    mt.add_argument("--tombstone-frac-max", type=float, default=0.2)
+    mt.add_argument("--drift-ratio-max", type=float, default=2.0)
+    mt.add_argument("--wait", type=float, default=0.0,
+                    help="seconds to wait for a concurrent maintainer's "
+                    "lease instead of refusing")
+    mt.set_defaults(fn=_cmd_maintain)
 
     h = sub.add_parser("http", help="HTTP POST /search + SSE /mcp/stream server")
     h.add_argument("--host", default="127.0.0.1")

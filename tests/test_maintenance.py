@@ -444,3 +444,37 @@ def test_dead_lease_reap_is_race_safe(tmp_path):
     assert active["max"] == 1  # never two holders
     assert not os.path.isdir(lease)
     assert not os.path.isdir(f"{lease}.reap")
+
+
+def test_cli_maintain_and_log(spark, tmp_path, capsys):
+    """rwv-spark maintain: dry-run decides without touching the layout,
+    a real run executes, --log replays the decisions."""
+    import json as _json
+
+    import readwise_vector_db_spark.main as cli
+
+    d, n = 32, 1200
+    base_df = _to_df(spark, _blobs(n, d, 8, seed=21))
+    books = pq.train_pq_codebooks(base_df, m=8, k=32, sample_rows=1200)
+    path = str(tmp_path / "cli_pq")
+    pq.save_pq_index(pq.pq_encode(base_df, books), books, path)
+    pq.delete_from_index(spark, path, list(range(n // 2)))
+
+    rc = cli.main(["maintain", "--path", path, "--dry-run"])
+    assert rc == 0
+    rec = _json.loads(capsys.readouterr().out)
+    assert rec["action"] == "compact" and not rec["executed"]
+    assert os.path.isdir(f"{path}/tombstones")  # dry: untouched
+
+    rc = cli.main(["maintain", "--path", path])
+    assert rc == 0
+    rec = _json.loads(capsys.readouterr().out)
+    assert rec["action"] == "compact" and rec["executed"]
+    assert not os.path.isdir(f"{path}/tombstones")
+
+    rc = cli.main(["maintain", "--path", path, "--log"])
+    assert rc == 0
+    lines = [
+        _json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln
+    ]
+    assert [r["action"] for r in lines] == ["compact", "compact", "none"][:len(lines)]
