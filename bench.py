@@ -131,6 +131,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "lm_quality",
     "doc_quality_signals",  # round-10 fused per-doc signal row
+    "quality_signal_summary",  # round-11 gate statistic (one bounded row)
+    "quality_model_scores",    # round-11 artifact-scored LR classifier
 
     "multimodal_features",
     "upsert_merge",
@@ -222,6 +224,8 @@ def _setup_and_measure(run_idx: int) -> dict:
             "drift_by_source",
             "doc_dup_fraction",
             "doc_quality_signals",
+            "quality_signal_summary",
+            "quality_model_scores",
         )
     ]
     assert not off_surface, f"bench names not on the driver surface: {off_surface}"
