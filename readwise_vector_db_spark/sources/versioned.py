@@ -297,7 +297,7 @@ class VersionedTable:
             # the grace-window liveness rule already governs.
             if os.path.exists(claim):
                 if self._claim_is_dead(claim):
-                    shutil.rmtree(claim, ignore_errors=True)
+                    self._reap_dead_claim(claim)  # race-safe removal
                 else:
                     time.sleep(0.05)  # live peer mid-commit on v — wait
                 continue
@@ -310,7 +310,7 @@ class VersionedTable:
             except OSError:
                 shutil.rmtree(stage, ignore_errors=True)
                 if self._claim_is_dead(claim):
-                    shutil.rmtree(claim, ignore_errors=True)
+                    self._reap_dead_claim(claim)  # race-safe removal
                 else:
                     time.sleep(0.05)  # live peer mid-commit on v — wait
                 continue
@@ -326,6 +326,45 @@ class VersionedTable:
         import shutil
 
         shutil.rmtree(self._claim_dir(version), ignore_errors=True)
+
+    def _reap_dead_claim(self, claim: str) -> None:
+        """Remove a dead writer's claim WITHOUT the check-then-rmtree
+        race (round 11 — the maintenance lease got this first, layout.py
+        `_reap_dead_lease`; the claim protocol shared the same narrow
+        window): a plain rmtree after the liveness check can delete a
+        LIVE claim that landed in between (another reaper removed the
+        dead one, a peer claimed, our stale verdict then kills the
+        peer's claim — the version double-assigns).  Reapers serialize
+        on a mkdir mutex and re-verify deadness inside it; the removal
+        is an atomic rename onto a unique grave — while the dead dir
+        occupies the claim path no claimer can land there (rename onto
+        a non-empty dir fails), so the renamed dir is provably the one
+        verified dead.  Always returns to the acquire loop."""
+        import shutil
+        import uuid
+
+        mutex = f"{claim}.reap"
+        try:
+            os.mkdir(mutex)
+        except FileExistsError:
+            if self._claim_is_dead(mutex):
+                shutil.rmtree(mutex, ignore_errors=True)
+            return
+        except OSError:
+            return
+        try:
+            with open(os.path.join(mutex, "owner"), "w") as f:
+                json.dump({"pid": os.getpid()}, f)
+            if not self._claim_is_dead(claim):
+                return  # holder alive after all (or already replaced)
+            grave = f"{claim}.tmp-{os.getpid()}-grave{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(claim, grave)
+            except OSError:
+                return  # released/reaped concurrently
+            shutil.rmtree(grave, ignore_errors=True)
+        finally:
+            shutil.rmtree(mutex, ignore_errors=True)
 
     # --- table ops -----------------------------------------------------------
 

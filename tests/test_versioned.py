@@ -677,3 +677,48 @@ def test_crashed_append_meta_not_attributed_to_next_commit(spark, table):
     table.commit_append(spark.createDataFrame([(1,)], "batch long"))
     assert table.commit_meta(2) is None  # stale record cleared, not reused
     assert [m["batch_id"] for _, m in table.commit_metas()] == [0]
+
+
+def test_reap_dead_claim_never_kills_live_replacement(spark, table, tmp_path):
+    """r11: dead-claim recovery is rename-to-grave under a reap mutex —
+    a reaper whose verdict went stale (the dead claim was already
+    replaced by a LIVE peer's) must leave the live claim untouched."""
+    import json as _json
+    import os
+    import subprocess
+
+    table.commit(spark.createDataFrame([(1,)], "id long"))
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    claim = table._claim_dir(2)
+
+    # 1. a genuinely dead claim is reaped
+    os.makedirs(claim)
+    with open(f"{claim}/owner", "w") as f:
+        _json.dump({"pid": proc.pid}, f)
+    assert table._claim_is_dead(claim)
+    table._reap_dead_claim(claim)
+    assert not os.path.exists(claim)
+    assert not os.path.exists(f"{claim}.reap")
+
+    # 2. the stale-verdict scenario: by the time the reaper acts, a
+    # LIVE claim occupies the path — the in-mutex re-verify must
+    # refuse, leaving it intact
+    os.makedirs(claim)
+    with open(f"{claim}/owner", "w") as f:
+        _json.dump({"pid": os.getpid()}, f)  # live (this process)
+    table._reap_dead_claim(claim)
+    assert os.path.exists(claim)  # untouched
+    with open(f"{claim}/owner") as f:
+        assert _json.load(f)["pid"] == os.getpid()
+    assert not os.path.exists(f"{claim}.reap")
+
+    # 3. a crashed reaper's mutex does not wedge recovery
+    os.makedirs(f"{claim}.reap")
+    with open(f"{claim}.reap/owner", "w") as f:
+        _json.dump({"pid": proc.pid}, f)
+    with open(f"{claim}/owner", "w") as f:
+        _json.dump({"pid": proc.pid}, f)  # now dead again
+    table._reap_dead_claim(claim)   # first call breaks the stale mutex
+    table._reap_dead_claim(claim)   # second call reaps
+    assert not os.path.exists(claim)
