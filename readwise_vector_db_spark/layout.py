@@ -221,8 +221,15 @@ def _reap_dead_lease(root: str, lease: str) -> None:
     except OSError:
         return
     try:
-        with open(os.path.join(mutex, "owner"), "w") as f:
-            json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+        try:
+            with open(os.path.join(mutex, "owner"), "w") as f:
+                json.dump({"pid": os.getpid(), "ts": time.time()}, f)
+        except OSError:
+            # a racer whose dead-verdict predates our mkdir broke our
+            # fresh mutex (the one-level-down TOCTOU) — correctness is
+            # carried by the lease rename below being atomic, so just
+            # retry from the caller's loop
+            return
         if not _lease_is_dead(lease):
             return  # holder is alive after all (or already replaced)
         grave = f"{lease}.grave-{os.getpid()}-{uuid.uuid4().hex[:8]}"

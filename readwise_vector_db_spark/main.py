@@ -148,6 +148,7 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
         ),
         execute=not args.dry_run,
         sample_fraction=args.sample_fraction,
+        rebuild_to=args.rebuild_to,
         lease_wait=args.wait,
     )
     print(json.dumps(rec))
@@ -255,6 +256,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bound the health scan on huge layouts")
     mt.add_argument("--tombstone-frac-max", type=float, default=0.2)
     mt.add_argument("--drift-ratio-max", type=float, default=2.0)
+    mt.add_argument("--rebuild-to", default=None,
+                    help="execute a rebuild verdict blue/green into this "
+                    "NEW layout root (ivf family — raw vectors resident); "
+                    "repoint serving afterwards")
     mt.add_argument("--wait", type=float, default=0.0,
                     help="seconds to wait for a concurrent maintainer's "
                     "lease instead of refusing")

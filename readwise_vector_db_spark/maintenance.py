@@ -234,6 +234,7 @@ def maintain_index(
     sample_fraction: float = 1.0,
     vec_col: str = "embedding",
     drifted_vecs: DataFrame | None = None,
+    rebuild_to: str | None = None,
     lease_wait: float = 0.0,
 ) -> dict:
     """Autovacuum for a persisted index layout: measure health, pick ONE
@@ -247,9 +248,17 @@ def maintain_index(
        mean member distortion exceeds ``drift_ratio_max`` × the median
        cell are drifted.  A MINORITY of drifted cells → ``recluster``
        (executed: ``recluster_cells`` / ``recluster_ivf_cells`` with
-       exactly those cells).  A MAJORITY → ``rebuild`` (recommended,
-       never executed: retraining needs the raw corpus, which a codes
-       layout doesn't store — the record says so).
+       exactly those cells).  A MAJORITY → ``rebuild``: for the ``ivf``
+       family, whose layout stores raw vectors, pass ``rebuild_to=``
+       and the retrain EXECUTES blue/green — a fresh k-means over the
+       resident (tombstone-excluded) rows saved as a NEW layout at
+       ``rebuild_to`` for the caller to repoint serving at; the
+       original is never mutated mid-retrain (what real systems do —
+       in-place retrain of a serving index is the thing to avoid).
+       Without ``rebuild_to``, or for the ``ivfpq`` family (codes
+       can't retrain PQ without compounding quantization bias — raw
+       corpus required), the action is recommended and recorded, never
+       executed.
     2. **Tombstone dead weight**: fraction above ``tombstone_frac_max``
        → ``compact`` (executed).
     3. Otherwise ``none``.
@@ -348,11 +357,53 @@ def maintain_index(
         executed = False
         if drifted and n_cells and len(drifted) / n_cells > policy.rebuild_cell_frac:
             action = "rebuild"
-            recommendations.append(
-                f"{len(drifted)}/{n_cells} populated cells are drifted — "
-                "whole-distribution shift; retrain from the raw corpus "
-                "(cell splitting would chase a moved distribution)"
-            )
+            if execute and rebuild_to is not None and family == "ivf":
+                from readwise_vector_db_spark.operators.similarity import (
+                    build_ivf_index,
+                    load_ivf_index,
+                    save_ivf_index,
+                )
+
+                assigned, centroids = load_ivf_index(spark, path)
+                id_col = (
+                    "vec_id"
+                    if "vec_id" in assigned.columns
+                    else next(
+                        c for c in assigned.columns
+                        if c not in ("cluster", vec_col)
+                    )
+                )
+                # dropDuplicates: multi-assign layouts repeat ids per copy
+                corpus = assigned.drop("cluster").dropDuplicates([id_col])
+                assigned2, cents2 = build_ivf_index(
+                    corpus, n_clusters=len(centroids),
+                    id_col=id_col, vec_col=vec_col,
+                )
+                save_ivf_index(assigned2, cents2, rebuild_to)
+                result = {
+                    "rebuilt_to": rebuild_to,
+                    "n_clusters": len(cents2),
+                    "rows": corpus.count(),
+                }
+                executed = True
+                recommendations.append(
+                    f"rebuilt blue/green at {rebuild_to!r} — repoint "
+                    "serving and retire the drifted layout"
+                )
+            else:
+                recommendations.append(
+                    f"{len(drifted)}/{n_cells} populated cells are drifted "
+                    "— whole-distribution shift; "
+                    + (
+                        "pass rebuild_to= to execute a blue/green retrain "
+                        "from the resident raw vectors"
+                        if family == "ivf"
+                        else "retrain from the raw corpus (a codes layout "
+                        "can't retrain PQ without compounding quantization "
+                        "bias; cell splitting would chase a moved "
+                        "distribution)"
+                    )
+                )
         elif drifted:
             action = "recluster"
             measurements["drift_hint"] = drifted_vecs is not None

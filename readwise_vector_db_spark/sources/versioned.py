@@ -353,8 +353,14 @@ class VersionedTable:
         except OSError:
             return
         try:
-            with open(os.path.join(mutex, "owner"), "w") as f:
-                json.dump({"pid": os.getpid()}, f)
+            try:
+                with open(os.path.join(mutex, "owner"), "w") as f:
+                    json.dump({"pid": os.getpid()}, f)
+            except OSError:
+                # a racer with a stale dead-verdict broke our fresh
+                # mutex — the claim rename below is the atomic
+                # correctness backstop; retry from the acquire loop
+                return
             if not self._claim_is_dead(claim):
                 return  # holder alive after all (or already replaced)
             grave = f"{claim}.tmp-{os.getpid()}-grave{uuid.uuid4().hex[:8]}"

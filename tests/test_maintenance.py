@@ -478,3 +478,54 @@ def test_cli_maintain_and_log(spark, tmp_path, capsys):
         _json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln
     ]
     assert [r["action"] for r in lines] == ["compact", "compact", "none"][:len(lines)]
+
+
+def test_rebuild_executes_blue_green_for_ivf(spark, tmp_path):
+    """r11: the rebuild action EXECUTES for the raw-vector family when
+    given a target — a fresh k-means over the resident rows saved as a
+    NEW layout (blue/green; the drifted original is never mutated
+    mid-retrain), healthy by the policy's own measure."""
+    from readwise_vector_db_spark.layout import read_stamp
+    from readwise_vector_db_spark.operators.similarity import (
+        assign_cells,
+        load_ivf_index,
+    )
+
+    d, n = 32, 2000
+    base_df = _to_df(spark, _blobs(n, d, 10, seed=7))
+    assigned, cents = sim.build_ivf_index(base_df, n_clusters=16)
+    path = str(tmp_path / "ivf_rb")
+    sim.save_ivf_index(assigned, cents, path)
+    # drift in SEVERAL cells (3 shifted modes, minority of rows so the
+    # median stays anchored to the healthy majority) + a policy whose
+    # rebuild threshold those cells exceed — the "splitting would chase
+    # it" verdict.  (A true whole-distribution append hides from ANY
+    # self-calibration — documented and separately asserted below.)
+    n_drift = 400
+    drifted_df = _to_df(spark, _blobs(n_drift, d, 3, seed=77), id0=1_000_000)
+    assign_cells(drifted_df, cents, method="blas").write.mode(
+        "append"
+    ).partitionBy("cluster").parquet(f"{path}/assigned")
+
+    out = str(tmp_path / "ivf_rebuilt")
+    rec = maintain_index(
+        spark, path, policy=MaintenancePolicy(rebuild_cell_frac=0.05),
+        rebuild_to=out,
+    )
+    assert rec["action"] == "rebuild" and rec["executed"]
+    assert rec["result"]["rows"] == n + n_drift
+    assert read_stamp(out)["family"] == "ivf"
+    rebuilt, cents2 = load_ivf_index(spark, out)
+    assert rebuilt.count() == n + n_drift and len(cents2) == 16
+    # the fresh layout is healthy by the policy's own measure (retrained
+    # centroids cover BOTH mixtures), while the original is untouched
+    rec2 = maintain_index(spark, out)
+    assert rec2["action"] in ("none", "recluster")  # no rebuild verdict
+    orig, cents_orig = load_ivf_index(spark, path)
+    assert len(cents_orig) == 16 and orig.count() == n + n_drift
+    # without a target the action stays a recommendation
+    rec3 = maintain_index(
+        spark, path, policy=MaintenancePolicy(rebuild_cell_frac=0.05)
+    )
+    assert rec3["action"] == "rebuild" and not rec3["executed"]
+    assert any("rebuild_to" in s for s in rec3["recommendations"])
