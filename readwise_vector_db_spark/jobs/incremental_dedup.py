@@ -999,6 +999,36 @@ def commit_batch_signals(
     }
 
 
+def signals_run_id_for_checkpoint(checkpoint_dir: str) -> str | None:
+    """The stream-incarnation id for signal-commit metas, derived from
+    (and persisted under) the CHECKPOINT dir so deleting the checkpoint
+    rotates it with the batch ids — the r11 exactly-once scope.
+
+    Legacy-upgrade adoption (r11 second review): a checkpoint that has
+    already PROCESSED batches under pre-run-id code has metas with no
+    run_id — minting a uuid for it would break the retry-skip exactly
+    once across the upgrade (a redelivered batch's old meta wouldn't
+    match) and double-commit its signal rows.  A checkpoint whose
+    ``offsets`` dir is non-empty therefore adopts the legacy identity
+    (``None``, stored as an empty marker); only a genuinely FRESH
+    checkpoint mints a uuid.  Idempotent: the persisted marker wins on
+    every later call."""
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    run_marker = f"{checkpoint_dir}/_signals_run_id"
+    if not _os.path.isfile(run_marker):
+        offsets = f"{checkpoint_dir}/offsets"
+        legacy = _os.path.isdir(offsets) and bool(_os.listdir(offsets))
+        tmp = f"{run_marker}.tmp.{_os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write("" if legacy else _uuid.uuid4().hex)
+        _os.replace(tmp, run_marker)
+    with open(run_marker) as f:
+        return f.read().strip() or None
+
+
 def run_incremental_span_dedup(
     spark: SparkSession,
     stream_docs: DataFrame,
@@ -1052,7 +1082,6 @@ def run_incremental_span_dedup(
     proves the earlier batch's checkpoint commit completed."""
     import glob as _glob
     import os as _os
-    import uuid as _uuid
 
     table = VersionedTable(store_root)
     checkpoint_dir = f"{store_root}/_stream_checkpoint"
@@ -1063,15 +1092,7 @@ def run_incremental_span_dedup(
     # and signal metas keyed by batch id alone would falsely skip (or
     # falsely quarantine) the new run's batches against the old run's
     # records.  Deleting the checkpoint rotates the run id with it.
-    _os.makedirs(checkpoint_dir, exist_ok=True)
-    run_marker = f"{checkpoint_dir}/_signals_run_id"
-    if not _os.path.isfile(run_marker):
-        tmp = f"{run_marker}.tmp.{_os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write(_uuid.uuid4().hex)
-        _os.replace(tmp, run_marker)
-    with open(run_marker) as f:
-        signals_run_id = f.read().strip()
+    signals_run_id = signals_run_id_for_checkpoint(checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         _os.makedirs(marker_dir, exist_ok=True)

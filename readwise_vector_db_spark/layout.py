@@ -192,54 +192,55 @@ def _sweep_stale_lease_tmps(root: str) -> None:
 
 
 def _reap_dead_lease(root: str, lease: str) -> None:
-    """Remove a dead holder's lease WITHOUT the check-then-rmtree race
-    (r11 review): a plain ``rmtree`` after a liveness check can delete
-    a LIVE lease that landed in between (reaper C removed the dead one,
-    maintainer B acquired, our stale verdict then kills B's lease — two
-    maintainers proceed).  Two mechanisms close it:
+    """Remove a dead holder's lease without the check-then-rmtree race
+    (r11 review, twice refined): a plain ``rmtree`` after a liveness
+    check can delete a LIVE lease that landed in between, and a
+    serializing mkdir-mutex just moves the same race one level down
+    (its own recovery is check-then-rmtree — the second review's
+    cascade finding).  The mutex-free protocol inverts the order:
 
-    1. Reapers serialize on a ``mkdir`` mutex (atomic create, single
-       winner; its own staleness is governed by the pid in the owner
-       file, mirroring the claim protocol) and RE-VERIFY deadness while
-       holding it.
-    2. The removal itself is an atomic ``rename`` of the lease onto a
-       unique grave — while the dead directory occupies the lease path
-       no acquirer can land there (rename onto a non-empty dir fails),
-       so the renamed dir is provably the one verified dead; the grave
-       is then deleted at leisure (and swept by pid if we crash).
+    1. **Rename FIRST**: atomically move whatever occupies the lease
+       path onto a reaper-unique grave.  Exactly one reaper wins
+       (ENOENT for the rest); from this instant the grave is OURS —
+       nothing else reads or mutates it.
+    2. **Verify on the grave**: the liveness verdict is now computed on
+       an IMMUTABLE directory, so it is exact — no window between check
+       and removal exists at all.  Dead → delete the grave, done.
+    3. **Stale verdict** (we grabbed a holder that was alive after all
+       — possible only if the dead lease was reaped AND a live one
+       landed between the CALLER's check and our rename): put it back
+       with the reverse rename.  That restore can lose only to an
+       acquirer landing inside this microsecond window; if it does, we
+       do NOT delete anything — the live lease is PRESERVED in the
+       grave and a loud RuntimeError names both dirs, because at that
+       point two maintainers may genuinely be active and silent
+       continuation is the one unacceptable outcome.  (POSIX offers no
+       compare-and-rename; this protocol reduces the unfixable residue
+       to a detected, state-preserving, operator-visible stop.)
 
-    Always returns to the caller's acquire loop — whether this reaper
-    won, lost, or found the holder alive after all."""
-    mutex = f"{lease}.reap"
+    Ownership-verified release (``maintenance_lease``'s finally)
+    complements this: a holder whose lease was stolen can no longer
+    delete the usurper's lease on its way out."""
+    grave = f"{lease}.grave-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     try:
-        os.mkdir(mutex)
-    except FileExistsError:
-        # another reaper is mid-reap: wait unless ITS owner is gone
-        if _lease_is_dead(mutex):
-            shutil.rmtree(mutex, ignore_errors=True)
-        return
+        os.rename(lease, grave)
     except OSError:
+        return  # released or reaped concurrently — nothing to do
+    if _lease_is_dead(grave):
+        shutil.rmtree(grave, ignore_errors=True)
         return
     try:
-        try:
-            with open(os.path.join(mutex, "owner"), "w") as f:
-                json.dump({"pid": os.getpid(), "ts": time.time()}, f)
-        except OSError:
-            # a racer whose dead-verdict predates our mkdir broke our
-            # fresh mutex (the one-level-down TOCTOU) — correctness is
-            # carried by the lease rename below being atomic, so just
-            # retry from the caller's loop
-            return
-        if not _lease_is_dead(lease):
-            return  # holder is alive after all (or already replaced)
-        grave = f"{lease}.grave-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        try:
-            os.rename(lease, grave)
-        except OSError:
-            return  # released/reaped concurrently — nothing to do
-        shutil.rmtree(grave, ignore_errors=True)
-    finally:
-        shutil.rmtree(mutex, ignore_errors=True)
+        os.rename(grave, lease)  # stale verdict — restore the live holder
+    except OSError:
+        owner = _lease_owner(grave) or {}
+        raise RuntimeError(
+            f"lease reap at {root!r} hit the unrecoverable window: a live "
+            f"lease (pid {owner.get('pid', '?')}, purpose "
+            f"{owner.get('purpose', '?')!r}) was displaced and a new "
+            f"maintainer landed before it could be restored — the "
+            f"displaced lease is preserved at {grave!r}; stop one of the "
+            "maintainers and remove the grave after inspecting"
+        )
 
 
 @contextlib.contextmanager
@@ -259,7 +260,7 @@ def maintenance_lease(path: str, purpose: str, wait: float = 0.0,
     root = os.path.abspath(path)
     held = getattr(_HELD_TLS, "paths", None)
     if held is None:
-        held = _HELD_TLS.paths = set()
+        held = _HELD_TLS.paths = {}
     if root in held:
         yield  # re-entrant: the outer context owns the lease
         return
@@ -267,6 +268,7 @@ def maintenance_lease(path: str, purpose: str, wait: float = 0.0,
     os.makedirs(root, exist_ok=True)
     _sweep_stale_lease_tmps(root)
     deadline = time.monotonic() + max(0.0, float(wait))
+    nonce = uuid.uuid4().hex
     while True:
         # fully-built stage (owner inside) → rename is the CAS: exactly
         # one maintainer lands, and a visible lease is never ownerless
@@ -276,7 +278,11 @@ def maintenance_lease(path: str, purpose: str, wait: float = 0.0,
         os.makedirs(stage)
         with open(os.path.join(stage, "owner"), "w") as f:
             json.dump(
-                {"pid": os.getpid(), "purpose": purpose, "ts": time.time()}, f
+                {
+                    "pid": os.getpid(), "purpose": purpose,
+                    "ts": time.time(), "nonce": nonce,
+                },
+                f,
             )
         try:
             os.rename(stage, lease)
@@ -295,12 +301,17 @@ def maintenance_lease(path: str, purpose: str, wait: float = 0.0,
                 "or remove the lease if you know the holder is gone"
             )
         time.sleep(poll)
-    held.add(root)
+    held[root] = nonce
     try:
         yield
     finally:
-        held.discard(root)
-        shutil.rmtree(lease, ignore_errors=True)
+        held.pop(root, None)
+        # ownership-verified release: if OUR lease was displaced by a
+        # reap gone wrong, the dir at the path belongs to someone else
+        # now — deleting it would cascade the theft onto THEM
+        owner = _lease_owner(lease) or {}
+        if owner.get("nonce") == nonce:
+            shutil.rmtree(lease, ignore_errors=True)
 
 
 def migrate_layout(path: str, family: str, required: tuple[str, ...]) -> int:

@@ -360,11 +360,13 @@ def maintain_index(
             if execute and rebuild_to is not None and family == "ivf":
                 from readwise_vector_db_spark.operators.similarity import (
                     build_ivf_index,
-                    load_ivf_index,
                     save_ivf_index,
                 )
 
-                assigned, centroids = load_ivf_index(spark, path)
+                # `assigned`/`centroids` are still valid from the
+                # measurement branch — nothing has written to `path`
+                # since (second review: the reload paid a duplicate
+                # layout check + tombstone anti-join + centroid collect)
                 id_col = (
                     "vec_id"
                     if "vec_id" in assigned.columns

@@ -328,49 +328,43 @@ class VersionedTable:
         shutil.rmtree(self._claim_dir(version), ignore_errors=True)
 
     def _reap_dead_claim(self, claim: str) -> None:
-        """Remove a dead writer's claim WITHOUT the check-then-rmtree
-        race (round 11 — the maintenance lease got this first, layout.py
-        `_reap_dead_lease`; the claim protocol shared the same narrow
-        window): a plain rmtree after the liveness check can delete a
-        LIVE claim that landed in between (another reaper removed the
-        dead one, a peer claimed, our stale verdict then kills the
-        peer's claim — the version double-assigns).  Reapers serialize
-        on a mkdir mutex and re-verify deadness inside it; the removal
-        is an atomic rename onto a unique grave — while the dead dir
-        occupies the claim path no claimer can land there (rename onto
-        a non-empty dir fails), so the renamed dir is provably the one
-        verified dead.  Always returns to the acquire loop."""
+        """Remove a dead writer's claim without the check-then-rmtree
+        race (round 11, twice refined with layout.py `_reap_dead_lease`
+        — a serializing mutex just moves the race into ITS recovery).
+        Mutex-free: atomically rename whatever occupies the claim path
+        onto a reaper-unique grave (one winner), verify liveness on the
+        now-IMMUTABLE grave (exact verdict — no check-to-removal window
+        exists), delete if dead, rename back if the verdict was stale.
+        The restore can lose only to a claimer landing inside that
+        microsecond window; then nothing is deleted — the live claim is
+        preserved in the grave and a loud RuntimeError names it,
+        because at that point two writers may both believe they hold
+        the version and silent continuation is the unacceptable
+        outcome.  The grave name matches the `.tmp-<pid>-` sweep
+        pattern, so a reaper that crashes mid-reap leaves debris the
+        next writer's sweep clears by pid."""
         import shutil
         import uuid
 
-        mutex = f"{claim}.reap"
+        grave = f"{claim}.tmp-{os.getpid()}-grave{uuid.uuid4().hex[:8]}"
         try:
-            os.mkdir(mutex)
-        except FileExistsError:
-            if self._claim_is_dead(mutex):
-                shutil.rmtree(mutex, ignore_errors=True)
-            return
+            os.rename(claim, grave)
         except OSError:
+            return  # released or reaped concurrently — nothing to do
+        if self._claim_is_dead(grave):
+            shutil.rmtree(grave, ignore_errors=True)
             return
         try:
-            try:
-                with open(os.path.join(mutex, "owner"), "w") as f:
-                    json.dump({"pid": os.getpid()}, f)
-            except OSError:
-                # a racer with a stale dead-verdict broke our fresh
-                # mutex — the claim rename below is the atomic
-                # correctness backstop; retry from the acquire loop
-                return
-            if not self._claim_is_dead(claim):
-                return  # holder alive after all (or already replaced)
-            grave = f"{claim}.tmp-{os.getpid()}-grave{uuid.uuid4().hex[:8]}"
-            try:
-                os.rename(claim, grave)
-            except OSError:
-                return  # released/reaped concurrently
-            shutil.rmtree(grave, ignore_errors=True)
-        finally:
-            shutil.rmtree(mutex, ignore_errors=True)
+            os.rename(grave, claim)  # stale verdict — restore the holder
+        except OSError:
+            raise RuntimeError(
+                f"claim reap at {self.root!r} hit the unrecoverable "
+                f"window: a live claim was displaced and a new writer "
+                f"landed before it could be restored — the displaced "
+                f"claim is preserved at {grave!r}; two writers may be "
+                "targeting one version, stop one and remove the grave "
+                "after inspecting"
+            )
 
     # --- table ops -----------------------------------------------------------
 
@@ -564,12 +558,33 @@ class VersionedTable:
         """Yield (version, meta) newest-first, lazily — the early-stop
         form (r11 review): a streaming loop that checks one batch id
         and assembles a bounded reference window per micro-batch must
-        not pay O(all versions) file opens per batch; walking
-        descending, both resolve within the newest few metas."""
+        not pay O(all versions) file opens per batch.  One listdir
+        enumerates the metas that EXIST (second review: blindly
+        attempting ``range(latest, 0, -1)`` opens degenerates to
+        O(total stream age) per batch once vacuum has thinned old
+        metas and the reference window can't fill), so an exhausted
+        walk costs O(live metas) = O(retention horizon).  Metas for
+        versions past ``latest`` belong to in-flight/crashed writers
+        that never published — skipped."""
         latest = self.latest_version()
         if latest is None:
             return
-        for v in range(latest, 0, -1):
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return
+        versions = sorted(
+            (
+                int(name[len("_META_"):])
+                for name in names
+                if name.startswith("_META_")
+                and name[len("_META_"):].isdigit()
+            ),
+            reverse=True,
+        )
+        for v in versions:
+            if v > latest:
+                continue
             m = self.commit_meta(v)
             if m is not None:
                 yield v, m

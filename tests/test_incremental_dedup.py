@@ -1120,3 +1120,51 @@ def test_signal_skip_is_scoped_to_the_stream_incarnation(spark, tmp_path):
         )
         assert res["status"] == "committed", (b, res)
         assert not res["quarantined"]
+
+
+def test_signals_run_id_adopts_legacy_checkpoints(tmp_path):
+    """r11 second review: a checkpoint that processed batches BEFORE
+    run ids existed must adopt the legacy identity (None) so its
+    redelivered batches still match their run_id-less metas; only a
+    fresh checkpoint mints a uuid.  Idempotent either way."""
+    import os
+
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        signals_run_id_for_checkpoint,
+    )
+
+    fresh = str(tmp_path / "ckpt_fresh")
+    rid = signals_run_id_for_checkpoint(fresh)
+    assert rid is not None and len(rid) == 32
+    assert signals_run_id_for_checkpoint(fresh) == rid  # persisted
+
+    legacy = str(tmp_path / "ckpt_legacy")
+    os.makedirs(f"{legacy}/offsets")
+    with open(f"{legacy}/offsets/0", "w") as f:
+        f.write("{}")
+    assert signals_run_id_for_checkpoint(legacy) is None
+    assert signals_run_id_for_checkpoint(legacy) is None  # stable
+
+
+def test_meta_walk_skips_vacuumed_and_unpublished(spark, tmp_path):
+    """r11 second review: the newest-first meta walk enumerates only
+    metas that EXIST (one listdir) — vacuumed versions cost nothing,
+    and a crashed writer's meta past the published latest is never
+    surfaced."""
+    import json as _json
+
+    table = VersionedTable(str(tmp_path / "mw"))
+    for b in range(6):
+        table.commit_append(
+            spark.createDataFrame([(b,)], "batch long"),
+            meta={"batch_id": b}, retain_segments=2,
+        )
+    table.vacuum(keep=2)
+    # a crashed claimant's meta for an unpublished version
+    with open(table._meta_path(99), "w") as f:
+        _json.dump({"batch_id": 999}, f)
+
+    got = [m["batch_id"] for _, m in table.iter_commit_metas_desc()]
+    # newest-first, never the crashed v99; batch 3's segment survives
+    # vacuum because the kept v5 manifest still references it
+    assert got == [5, 4, 3]

@@ -411,10 +411,9 @@ def test_dead_lease_reap_is_race_safe(tmp_path):
     os.makedirs(lease)
     with open(f"{lease}/owner", "w") as f:
         json.dump({"pid": proc.pid, "purpose": "crashed", "ts": 0}, f)
-    # a crashed reaper's mutex (dead pid) must be broken, not waited out
-    os.makedirs(f"{lease}.reap")
-    with open(f"{lease}.reap/owner", "w") as f:
-        json.dump({"pid": proc.pid, "ts": 0}, f)
+    # a crashed reaper's grave (dead pid in the name) must be swept,
+    # never waited out
+    os.makedirs(f"{lease}.grave-{proc.pid}-deadbeef")
 
     active = {"n": 0, "max": 0, "cycles": 0}
     lock = threading.Lock()
@@ -443,7 +442,7 @@ def test_dead_lease_reap_is_race_safe(tmp_path):
     assert active["cycles"] == 48
     assert active["max"] == 1  # never two holders
     assert not os.path.isdir(lease)
-    assert not os.path.isdir(f"{lease}.reap")
+    assert not os.path.isdir(f"{lease}.grave-{proc.pid}-deadbeef")
 
 
 def test_cli_maintain_and_log(spark, tmp_path, capsys):

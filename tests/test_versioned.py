@@ -699,7 +699,6 @@ def test_reap_dead_claim_never_kills_live_replacement(spark, table, tmp_path):
     assert table._claim_is_dead(claim)
     table._reap_dead_claim(claim)
     assert not os.path.exists(claim)
-    assert not os.path.exists(f"{claim}.reap")
 
     # 2. the stale-verdict scenario: by the time the reaper acts, a
     # LIVE claim occupies the path — the in-mutex re-verify must
@@ -708,17 +707,18 @@ def test_reap_dead_claim_never_kills_live_replacement(spark, table, tmp_path):
     with open(f"{claim}/owner", "w") as f:
         _json.dump({"pid": os.getpid()}, f)  # live (this process)
     table._reap_dead_claim(claim)
-    assert os.path.exists(claim)  # untouched
+    assert os.path.exists(claim)  # untouched (restored via the grave)
     with open(f"{claim}/owner") as f:
         assert _json.load(f)["pid"] == os.getpid()
-    assert not os.path.exists(f"{claim}.reap")
 
-    # 3. a crashed reaper's mutex does not wedge recovery
-    os.makedirs(f"{claim}.reap")
-    with open(f"{claim}.reap/owner", "w") as f:
-        _json.dump({"pid": proc.pid}, f)
+    # 3. a reaper that crashed mid-reap leaves only a grave, whose name
+    # embeds its pid — the next writer's sweep clears it
+    grave = f"{claim}.tmp-{proc.pid}-gravedeadbeef"
+    os.makedirs(grave)
+    table._sweep_stale_claim_tmps()
+    assert not os.path.exists(grave)
+    # and the claim itself reaps normally once its holder dies
     with open(f"{claim}/owner", "w") as f:
         _json.dump({"pid": proc.pid}, f)  # now dead again
-    table._reap_dead_claim(claim)   # first call breaks the stale mutex
-    table._reap_dead_claim(claim)   # second call reaps
+    table._reap_dead_claim(claim)
     assert not os.path.exists(claim)

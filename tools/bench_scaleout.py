@@ -340,13 +340,22 @@ def main() -> None:
         from bench import CALIB_REF, _calibrate
 
         def _calib_once() -> dict:
-            # symmetric methodology (r11 review): each reading uses a
-            # FRESH local[8] JVM, discards one warm-up calibration (so
-            # JVM startup/JIT never reads as host noise), records the
-            # second, and STOPS the session — no idle calib JVM
-            # coexists with the measured workers
+            # symmetric methodology (r11 review, twice): each reading
+            # uses a FRESH local[8] JVM, discards one warm-up
+            # calibration (so JVM startup/JIT never reads as host
+            # noise), records the second, and STOPS the session — no
+            # idle calib JVM coexists with the measured workers.  A
+            # pre-existing driver session (ensure_sf3072's corpus build
+            # creates one) must be stopped FIRST: get_spark is
+            # getOrCreate, and a reused local[32] session would measure
+            # an incomparable parallelism regime for calib_before only.
+            from pyspark.sql import SparkSession
+
             from readwise_vector_db_spark.session import get_spark
 
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                active.stop()
             spark = get_spark("serving-calib", cores=8)
             try:
                 _calibrate(spark)  # throwaway: absorbs JIT/startup
