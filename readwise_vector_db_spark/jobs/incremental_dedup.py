@@ -999,6 +999,37 @@ def commit_batch_signals(
     }
 
 
+def commit_batch_rows(
+    df: DataFrame,
+    table: VersionedTable,
+    batch_id: int,
+    run_id: str | None = None,
+    retention: int | None = None,
+) -> dict:
+    """Idempotently commit one micro-batch's rows to a versioned table
+    under at-least-once delivery — the bare exactly-once shape
+    :func:`commit_batch_signals` composes with its gate, reusable for
+    any per-batch side output (round 11: the QUARANTINE table — a
+    diverted batch's documents get the same retention/time-travel/
+    audit home the signal rows do, instead of bare parquet).  The
+    (run_id, batch_id) pair rides the commit meta; a redelivered batch
+    is a skip.  ``retention`` bounds view+metas+snapshots."""
+    metas_desc = table.iter_commit_metas_desc()
+    for _, m in metas_desc:
+        if m.get("run_id") == run_id:
+            if m.get("batch_id") == batch_id:
+                return {"status": "skipped", "version": None}
+            break  # monotonic ids within a run — newest own-run decides
+    v = table.commit_append(
+        df.withColumn("batch_id", F.lit(int(batch_id))),
+        meta={"batch_id": int(batch_id), "run_id": run_id},
+        retain_segments=retention,
+    )
+    if retention is not None:
+        table.vacuum(keep=max(1, int(retention)))
+    return {"status": "committed", "version": v}
+
+
 def signals_run_id_for_checkpoint(checkpoint_dir: str) -> str | None:
     """The stream-incarnation id for signal-commit metas, derived from
     (and persisted under) the CHECKPOINT dir so deleting the checkpoint
@@ -1146,11 +1177,14 @@ def run_incremental_span_dedup(
             if sig_res["quarantined"]:
                 # divert the whole batch: its docs reach neither the
                 # cleaned output nor the fingerprint store — they land
-                # in the quarantine partition for the operator to
-                # inspect (overwrite mode: a retried quarantined batch
-                # re-diverts identically)
-                batch_df.write.mode("overwrite").parquet(
-                    f"{out_dir}_quarantine/batch={batch_id}"
+                # in the VERSIONED quarantine table for the operator to
+                # inspect (round 11: same retention/time-travel/
+                # exactly-once home as the signal rows; a retried
+                # quarantined batch is a meta-skip, never a duplicate)
+                commit_batch_rows(
+                    batch_df, VersionedTable(f"{out_dir}_quarantine"),
+                    batch_id, run_id=signals_run_id,
+                    retention=signals_retention,
                 )
                 return
         cleaned, _stats = span_dedup_batch_against_store(

@@ -1058,8 +1058,13 @@ def test_streaming_quality_gate_quarantines_spam_batch(spark, tmp_path):
 
     out_ids = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert out_ids == {r[0] for b in (0, 1, 3) for r in batches[b]}
-    quarantined = spark.read.parquet(f"{out_dir}_quarantine").collect()
+    # r11: the quarantine is a VersionedTable too — retention, time
+    # travel, and (run_id, batch_id) exactly-once like the signal rows
+    q_table = VersionedTable(f"{out_dir}_quarantine")
+    quarantined = q_table.read(spark).collect()
     assert {r["doc_id"] for r in quarantined} == {9000 + i for i in range(6)}
+    assert {r["batch_id"] for r in quarantined} == {2}
+    assert [m["batch_id"] for _, m in q_table.commit_metas()] == [2]
     sig_table = VersionedTable(sig_dir)
     metas = {m["batch_id"]: m for _, m in sig_table.commit_metas()}
     assert set(metas) == {0, 1, 2, 3}
