@@ -215,7 +215,10 @@ def _make_scorer(uni, bi, vocab_size: int, add_k: float):
     is scale-then-nearest-int; half-to-even applies only on exact .5
     nano boundaries, which ln cannot hit)."""
     kv = add_k * vocab_size
-    ws = re.compile(r"\s+")  # the ws_tokens/string_split_regex twin
+    # the ws_tokens/string_split_regex twin — re.ASCII because Python's
+    # default \s also matches UNICODE whitespace (  etc.) that
+    # Java's and RE2's \s do not (see operators/signals.py:_WS)
+    ws = re.compile(r"\s+", re.ASCII)
     cache: dict[tuple[str, str], int] = {}
 
     def logp_nano(w1: str, w2: str) -> int:

@@ -47,7 +47,15 @@ from pyspark.sql import types as T
 from readwise_vector_db_spark.operators.dedup import doc_dup_fraction
 from readwise_vector_db_spark.operators.lm import _make_scorer
 
-_WS = re.compile(r"\s+")
+# re.ASCII (r11): Python's default \s is UNICODE-aware — it splits
+#  / -class whitespace that Java's \s (Spark split) and
+# RE2's \s (the DuckDB twins) do NOT.  On real web text (nbsp is
+# everywhere) the fused pass would silently tokenize differently from
+# the Spark-split-based operators it must compose with.  ASCII \s
+# ([ \t\n\r\f\v]) equals Java's \s exactly; RE2 differs only on \v —
+# a pre-existing, corpus-irrelevant residue shared by every
+# split-based oracle.
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def _ws_tokens_py(text: str) -> list[str]:

@@ -209,3 +209,47 @@ def test_curate_signals_honor_artifact_add_k(spark, tmp_path):
     got = {r["doc_id"]: r["ppl"] for r in committed.collect()}
     assert got == want
     assert got != wrong  # the default smoothing really scores differently
+
+
+def test_signal_tokenizers_match_spark_on_unicode_whitespace(spark):
+    """r11: Python's default \\s splits nbsp/ideographic spaces that
+    Java's (Spark split) and RE2's (DuckDB) \\s do NOT — the Arrow-side
+    twins must tokenize EXACTLY like ws_tokens or the fused signals
+    silently disagree with the Spark-split operators they compose with
+    on ordinary web text.  Planted here because the driver fixtures are
+    pure ASCII and can never catch it."""
+    from readwise_vector_db_spark.functions.text import ws_tokens
+    from readwise_vector_db_spark.operators.lm import (
+        lm_score_docs,
+        train_bigram_lm,
+    )
+    from readwise_vector_db_spark.operators.signals import (
+        per_doc_signal_frame,
+    )
+
+    rows = [
+        (0, "plain ascii words here"),
+        (1, "nbsp glued and again split here"),  # U+00A0
+        (2, "wide　space then thin one"),          # U+3000, U+2009
+        (3, "tab\tand\nnewline mix"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(ws_tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    uni, bi, v = train_bigram_lm(docs, min_count=1)
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in per_doc_signal_frame(docs, uni, bi, v).collect()
+    }
+    assert got == want  # nbsp-glued tokens stay glued, like Spark
+    assert got[1] == 4 and got[2] == 3  # the unicode spaces did NOT split
+    # the LM scorer walks the same token stream: n_bigrams = n_tokens-1
+    nb = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in lm_score_docs(docs, uni, bi, v).collect()
+    }
+    assert nb == {k: n - 1 for k, n in want.items()}
