@@ -518,3 +518,30 @@ def test_maximal_span_cut_matches_bruteforce(spark, docs, min_span):
         for r in drop_repeated_spans(df, n=n, min_span_tokens=min_span).collect()
     }
     assert got == want
+
+
+@given(
+    text=st.text(
+        alphabet=["a", "b", "z", " ", "\t", "\n", " ", "　",
+                  " ", " "],
+        max_size=24,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_python_tokenizer_matches_re2_on_unicode_whitespace(text):
+    """r11: the Arrow-side whitespace tokenizer must agree with the
+    DuckDB twins' RE2 \\s over any mix of ASCII and Unicode whitespace
+    (Python's default \\s splits nbsp/ideographic/thin/line-separator
+    spaces; ASCII mode must not).  Joined text round-trips because no
+    token can contain ASCII whitespace."""
+    import duckdb
+
+    from readwise_vector_db_spark.operators.signals import _ws_tokens_py
+
+    got = _ws_tokens_py(text)
+    (want,) = duckdb.sql(
+        "SELECT CASE WHEN ? = '' THEN [] "
+        "ELSE string_split_regex(?, '\\s+') END",
+        params=[text, text],
+    ).fetchone()
+    assert got == want
