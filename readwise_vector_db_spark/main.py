@@ -139,6 +139,17 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
             print(json.dumps(rec))
         return 0
     spark = get_spark("rwv-maintain")
+    if args.dedup_store:
+        from readwise_vector_db_spark.maintenance import (
+            maintain_dedup_store,
+        )
+
+        rec = maintain_dedup_store(
+            spark, args.path, execute=not args.dry_run,
+            lease_wait=args.wait,
+        )
+        print(json.dumps(rec))
+        return 0
     rec = maintain_index(
         spark,
         args.path,
@@ -256,6 +267,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bound the health scan on huge layouts")
     mt.add_argument("--tombstone-frac-max", type=float, default=0.2)
     mt.add_argument("--drift-ratio-max", type=float, default=2.0)
+    mt.add_argument("--dedup-store", action="store_true",
+                    help="the path is an incremental dedup store root "
+                    "(band-index sync/compaction + segment compaction) "
+                    "rather than an ANN index layout")
     mt.add_argument("--rebuild-to", default=None,
                     help="execute a rebuild verdict blue/green into this "
                     "NEW layout root (ivf family — raw vectors resident); "

@@ -226,6 +226,122 @@ def read_maintenance_log(path: str) -> list[dict]:
         return []
 
 
+@dataclass
+class DedupStorePolicy:
+    """Thresholds for the incremental dedup store's janitor.
+
+    - ``band_files_max``: rebuild (= compact) the bucketed band index
+      once its parquet file count exceeds this — each streaming append
+      adds ≤ n_buckets files, so fan-in grows linearly with batches
+      until a rebuild folds it back to one file per bucket.
+    - ``segments_max``: compact the versioned store once its CURRENT
+      snapshot references more than this many append segments (read
+      fan-in, same smell).
+    """
+
+    band_files_max: int = 512
+    segments_max: int = 64
+
+
+def maintain_dedup_store(
+    spark,
+    store_root: str,
+    policy: DedupStorePolicy | None = None,
+    execute: bool = True,
+    lease_wait: float = 0.0,
+) -> dict:
+    """The incremental dedup store's janitor (round 11 residue item 2
+    closed in-round): ONE call measures the store's health — band-index
+    sync lag (``_SYNCED_VERSION`` vs the store's latest: the state
+    after a crash between commit and index append, or a broadcast→
+    bucketed migration), band-index small-file fan-in, and versioned-
+    segment fan-in — picks ONE action per run, executes it, and logs
+    the decision to ``{store_root}/maintenance_log.jsonl``:
+
+    1. ``rebuild_index`` — sync lag > 0 (correctness first: a lagging
+       index under-drops; the probe path auto-repairs this too, but
+       the janitor fixes it off the query path) or band files past the
+       policy threshold (the index rebuild IS its compaction);
+    2. ``compact_store`` — current snapshot references too many append
+       segments (``VersionedTable.compact``); the rewrite makes the
+       index lag by one version, which the NEXT run's step 1 repairs —
+       the same one-action-per-run convergence as ``maintain_index``;
+    3. else ``none``.
+
+    Runs under the store root's maintenance lease, so an external
+    janitor and a second maintainer exclude structurally; the
+    STREAMING writer itself stays lease-free by design (single-writer
+    streams are the store's documented regime — the lease is for the
+    out-of-band maintenance this function performs)."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        _synced_version,
+        rebuild_band_index,
+    )
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    policy = policy or DedupStorePolicy()
+    with maintenance_lease(store_root, "maintain-store", wait=lease_wait):
+        table = VersionedTable(store_root)
+        latest = table.latest_version() or 0
+        synced = _synced_version(store_root)
+        segments = len(table._segments(latest)) if latest else 0
+        band_files = 0
+        bands_dir = os.path.join(store_root, "_bands")
+        if os.path.isdir(bands_dir):
+            band_files = sum(
+                1
+                for _, _, files in os.walk(bands_dir)
+                for fn in files
+                if fn.endswith(".parquet")
+            )
+        measurements = {
+            "store_version": latest,
+            "index_synced_version": synced,
+            "index_lag": max(0, latest - synced),
+            "band_files": band_files,
+            "segments": segments,
+        }
+        result: dict = {}
+        executed = False
+        has_index = os.path.isdir(bands_dir) or synced > 0
+        if latest and has_index and (
+            latest > synced or band_files > policy.band_files_max
+        ):
+            action = "rebuild_index"
+            if execute:
+                rebuild_band_index(spark, table)
+                result = {
+                    "synced_to": _synced_version(store_root),
+                    "band_files_after": sum(
+                        1
+                        for _, _, files in os.walk(bands_dir)
+                        for fn in files
+                        if fn.endswith(".parquet")
+                    ),
+                }
+                executed = True
+        elif segments > policy.segments_max:
+            action = "compact_store"
+            if execute:
+                table.compact(spark)
+                result = {"version_after": table.latest_version()}
+                executed = True
+        else:
+            action = "none"
+        record = {
+            "ts": time.time(),
+            "family": "dedup_store",
+            "action": action,
+            "executed": executed,
+            "measurements": measurements,
+            "policy": asdict(policy),
+            "result": result,
+            "recommendations": [],
+        }
+        _log_decision(store_root, record)
+        return record
+
+
 def maintain_index(
     spark,
     path: str,

@@ -528,3 +528,85 @@ def test_rebuild_executes_blue_green_for_ivf(spark, tmp_path):
     )
     assert rec3["action"] == "rebuild" and not rec3["executed"]
     assert any("rebuild_to" in s for s in rec3["recommendations"])
+
+
+def test_maintain_dedup_store_walk(spark, tmp_path):
+    """r11: the dedup store gets the same janitor — sync-lag repair,
+    band-index compaction, store compaction — one action per run,
+    converging, logged, under the store's lease."""
+    from pyspark.sql import functions as F
+
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        _synced_version,
+        _write_synced_version,
+        dedup_batch_against_store,
+    )
+    from readwise_vector_db_spark.maintenance import (
+        DedupStorePolicy,
+        maintain_dedup_store,
+    )
+    from readwise_vector_db_spark.sources.tables import load_table
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    root = str(tmp_path / "store")
+    table = VersionedTable(root)
+    for lo in (0, 20, 40):
+        dedup_batch_against_store(
+            spark,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 20)),
+            table,
+            batch_join="bucketed",
+        )
+
+    # healthy: in sync, few segments, modest band fan-in
+    rec = maintain_dedup_store(spark, root)
+    assert rec["family"] == "dedup_store" and rec["action"] == "none"
+    assert rec["measurements"]["index_lag"] == 0
+
+    # simulate the crash-between-commit-and-index-append state
+    _write_synced_version(root, (table.latest_version() or 1) - 1)
+    rec2 = maintain_dedup_store(spark, root)
+    assert rec2["action"] == "rebuild_index" and rec2["executed"]
+    assert _synced_version(root) == table.latest_version()
+
+    # segment fan-in past the policy → compact the store; the compact
+    # makes the index lag one version, which the NEXT run repairs
+    rec3 = maintain_dedup_store(
+        spark, root, policy=DedupStorePolicy(segments_max=2)
+    )
+    assert rec3["action"] == "compact_store" and rec3["executed"]
+    rec4 = maintain_dedup_store(spark, root)
+    assert rec4["action"] == "rebuild_index" and rec4["executed"]
+    rec5 = maintain_dedup_store(spark, root)
+    assert rec5["action"] == "none"
+
+    # dedup decisions unchanged after the full maintenance cycle: a
+    # replayed duplicate is still dropped against the compacted store
+    dup = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    s = dedup_batch_against_store(spark, dup, table, batch_join="bucketed")
+    assert s["accepted"] == 0
+
+    acts = [r["action"] for r in read_maintenance_log(root)]
+    assert acts == ["none", "rebuild_index", "compact_store",
+                    "rebuild_index", "none"]
+
+    # lease: a held store excludes the janitor (from another thread —
+    # same-thread re-entry is the composed-maintainer pass-through)
+    with maintenance_lease(root, "other"):
+        caught: list = []
+
+        def run():
+            try:
+                maintain_dedup_store(spark, root)
+            except MaintenanceBusy as e:
+                caught.append(e)
+
+        t = threading.Thread(target=run)
+        t.start()
+        t.join()
+        assert caught and isinstance(caught[0], MaintenanceBusy)
