@@ -105,3 +105,19 @@ def test_repetition_stats_known_values(spark):
     assert r3["top_unigram_frac"] == 0.5
     assert r3["top_bigram_frac"] == pytest.approx(4 / 7, abs=1e-6)
     assert r3["keep"] is False
+
+
+def test_engine_case_mapping_is_internally_consistent(spark):
+    """r11: the engine's two lowercase paths — JVM `F.lower` (Spark
+    operators) and Python `str.lower` (Arrow scorers) — must agree on
+    FULL Unicode case mapping, or LM/signal tokenization diverges from
+    Spark-side normalization on Turkish/Greek text.  (DuckDB's lower()
+    differs on İ and final sigma — a stated ORACLE-scope limit on
+    non-ASCII-case text, not an engine inconsistency; fixtures are
+    ASCII so the gates are unaffected.)"""
+    from pyspark.sql import functions as F
+
+    cases = ["İstanbul", "ΣΙΓΜΑ ΤΈΛΟΣ", "STRASSE ß", "ǅungla", "ﬁle FI"]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    for r in df.select("t", F.lower("t").alias("l")).collect():
+        assert r["l"] == r["t"].lower(), r["t"]
