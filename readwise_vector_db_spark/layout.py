@@ -169,11 +169,41 @@ def _lease_is_dead(lease: str) -> bool:
         return False  # exists, owned by someone else
 
 
+def _owner_pid_alive(lease_dir: str) -> bool:
+    """True iff ``lease_dir``'s owner json names a pid that still runs
+    (this process's own pid counts — a displaced holder may be another
+    THREAD).  Ownerless dirs are not 'alive' — they carry no displaced
+    holder to protect."""
+    owner = _lease_owner(lease_dir)
+    if owner is None or "pid" not in owner:
+        return False
+    pid = int(owner["pid"])
+    if pid == os.getpid():
+        return True
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def _sweep_stale_lease_tmps(root: str) -> None:
     """Staging/grave dirs left by maintainers that crashed between
     building and renaming (or mid-reap) — the name embeds the pid, so
     liveness needs no grace window (same sweep as
-    VersionedTable._sweep_stale_claim_tmps)."""
+    VersionedTable._sweep_stale_claim_tmps).
+
+    The namer's death alone is NOT sufficient for graves (r11 ADVICE):
+    the restore-lost path of :func:`_reap_dead_lease` deliberately
+    preserves a DISPLACED LIVE lease inside a grave and raises — once
+    the raising process exits, a name-pid-only sweep would erase the
+    evidence the error told the operator to inspect and un-exclude a
+    maintainer that may still be running.  So a candidate dir is swept
+    only when its OWNER json is dead too (for stage dirs the owner IS
+    the dead namer — behavior unchanged; ownerless torn dirs age out
+    through the grace window)."""
     try:
         names = os.listdir(root)
     except FileNotFoundError:
@@ -188,7 +218,15 @@ def _sweep_stale_lease_tmps(root: str) -> None:
             except (ValueError, IndexError, PermissionError):
                 continue  # unparsable or live-but-foreign: leave it
             except ProcessLookupError:
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                full = os.path.join(root, name)
+                # stage dirs are only ever written by their dead namer —
+                # name-pid liveness suffices; a grave may instead hold a
+                # DISPLACED owner (the restore-lost evidence), so sweep
+                # it only when that owner is dead too.  An ownerless
+                # grave stays reaper-pid debris (the original contract).
+                if marker == f"{_LEASE}.grave-" and _owner_pid_alive(full):
+                    continue  # preserved live-owner grave: keep it
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def _reap_dead_lease(root: str, lease: str) -> None:

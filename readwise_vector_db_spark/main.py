@@ -135,10 +135,27 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
     )
 
     if args.log:
-        for rec in read_maintenance_log(args.path):
-            print(json.dumps(rec))
+        if args.all:
+            from readwise_vector_db_spark.maintenance import (
+                read_all_maintenance_logs,
+            )
+
+            for rec in read_all_maintenance_logs(args.path):
+                print(json.dumps(rec))
+        else:
+            for rec in read_maintenance_log(args.path):
+                print(json.dumps(rec))
         return 0
     spark = get_spark("rwv-maintain")
+    if args.all:
+        from readwise_vector_db_spark.maintenance import maintain_all
+
+        for rec in maintain_all(
+            spark, args.path, execute=not args.dry_run,
+            sample_fraction=args.sample_fraction, lease_wait=args.wait,
+        ):
+            print(json.dumps(rec))
+        return 0
     if args.dedup_store:
         from readwise_vector_db_spark.maintenance import (
             maintain_dedup_store,
@@ -146,7 +163,7 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
 
         rec = maintain_dedup_store(
             spark, args.path, execute=not args.dry_run,
-            lease_wait=args.wait,
+            lease_wait=args.wait, build_index=args.build_band_index,
         )
         print(json.dumps(rec))
         return 0
@@ -267,6 +284,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bound the health scan on huge layouts")
     mt.add_argument("--tombstone-frac-max", type=float, default=0.2)
     mt.add_argument("--drift-ratio-max", type=float, default=2.0)
+    mt.add_argument("--all", action="store_true",
+                    help="treat --path as a ROOT: discover every index "
+                         "layout and versioned store under it and run "
+                         "the matching janitor on each (one sweep, one "
+                         "decision-record schema); with --log, print "
+                         "every structure's log annotated with its path")
+    mt.add_argument("--build-band-index", action="store_true",
+                    help="with --dedup-store: opt into the broadcast→"
+                         "bucketed migration (build the band index for "
+                         "a store that has none)")
     mt.add_argument("--dedup-store", action="store_true",
                     help="the path is an incremental dedup store root "
                     "(band-index sync/compaction + segment compaction) "

@@ -42,7 +42,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from readwise_vector_db_spark.layout import maintenance_lease, read_stamp
+from readwise_vector_db_spark.layout import (
+    MaintenanceBusy,
+    maintenance_lease,
+    read_stamp,
+)
 
 
 @dataclass
@@ -249,19 +253,27 @@ def maintain_dedup_store(
     policy: DedupStorePolicy | None = None,
     execute: bool = True,
     lease_wait: float = 0.0,
+    build_index: bool = False,
 ) -> dict:
     """The incremental dedup store's janitor (round 11 residue item 2
     closed in-round): ONE call measures the store's health — band-index
     sync lag (``_SYNCED_VERSION`` vs the store's latest: the state
-    after a crash between commit and index append, or a broadcast→
-    bucketed migration), band-index small-file fan-in, and versioned-
+    after a crash between commit and index append — or, with
+    ``build_index=True``, a broadcast→bucketed migration), band-index
+    small-file fan-in, and versioned-
     segment fan-in — picks ONE action per run, executes it, and logs
     the decision to ``{store_root}/maintenance_log.jsonl``:
 
     1. ``rebuild_index`` — sync lag > 0 (correctness first: a lagging
        index under-drops; the probe path auto-repairs this too, but
-       the janitor fixes it off the query path) or band files past the
-       policy threshold (the index rebuild IS its compaction);
+       the janitor fixes it off the query path — the state after a
+       crash between commit and index append) or band files past the
+       policy threshold (the index rebuild IS its compaction).  A
+       store with NO band index (broadcast mode) is measured but left
+       alone by default — broadcast is the deliberate small-store
+       regime, not a defect; pass ``build_index=True`` to opt into the
+       broadcast→bucketed migration and this step builds the index
+       (r11 ADVICE: the migration was advertised but unreachable);
     2. ``compact_store`` — current snapshot references too many append
        segments (``VersionedTable.compact``); the rewrite makes the
        index lag by one version, which the NEXT run's step 1 repairs —
@@ -304,7 +316,7 @@ def maintain_dedup_store(
         result: dict = {}
         executed = False
         has_index = os.path.isdir(bands_dir) or synced > 0
-        if latest and has_index and (
+        if latest and (has_index or build_index) and (
             latest > synced or band_files > policy.band_files_max
         ):
             action = "rebuild_index"
@@ -342,6 +354,109 @@ def maintain_dedup_store(
         return record
 
 
+def discover_structures(root: str) -> list[tuple[str, str]]:
+    """(path, kind) for every persisted structure under ``root`` —
+    ``kind`` is ``"index"`` (a stamped or legacy pq/ivf/ivfpq layout)
+    or ``"store"`` (a VersionedTable root, identified by its
+    ``_LATEST`` manifest).  Recognized structures are not descended
+    into: their internals (codes partitions, version segments, stream
+    checkpoints) are the structure's own business.  Deterministic
+    order (sorted walk) so successive ``maintain --all`` passes repair
+    in a stable sequence."""
+    found: list[tuple[str, str]] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        kind = None
+        if "layout.json" in filenames:
+            stamp = read_stamp(dirpath) or {}
+            if stamp.get("family") in ("pq", "ivf", "ivfpq"):
+                kind = "index"
+        elif "_LATEST" in filenames:
+            kind = "store"
+        elif os.path.isdir(f"{dirpath}/codes") or os.path.isdir(
+            f"{dirpath}/assigned"
+        ):
+            kind = "index"  # legacy unstamped layout (structure-identified)
+        if kind is not None:
+            dirnames[:] = []
+            found.append((dirpath, kind))
+    return found
+
+
+def maintain_all(
+    spark,
+    root: str,
+    policy: MaintenancePolicy | None = None,
+    store_policy: DedupStorePolicy | None = None,
+    execute: bool = True,
+    sample_fraction: float = 1.0,
+    lease_wait: float = 0.0,
+) -> list[dict]:
+    """ONE janitor pass over EVERY persisted structure under ``root``
+    (round 12 — r11 verdict item 3: 'one janitor'): each discovered
+    index layout runs :func:`maintain_index`, each versioned store runs
+    :func:`maintain_dedup_store` (whose store-generic measurements —
+    segment fan-in, band-index lag — degrade gracefully to plain
+    versioned tables: no band index means no index actions, segment
+    compaction still applies).  One decision-record schema throughout
+    (ts / family / action / executed / measurements / policy / result /
+    recommendations), each appended to the STRUCTURE's own
+    ``maintenance_log.jsonl`` — the audit trail lives with the thing it
+    describes; the returned list carries the same records plus their
+    ``path``.  Structures are maintained sequentially (one lease at a
+    time — a sweeping janitor must not contend with itself), and a
+    structure whose lease is busy is SKIPPED with a ``skipped_busy``
+    record rather than failing the sweep.
+
+    The autovacuum loop at scale is this function on a schedule: each
+    pass fixes at most one thing per structure, and the next pass
+    re-measures — convergence by successive passes, per-structure."""
+    results: list[dict] = []
+    for path, kind in discover_structures(root):
+        try:
+            if kind == "index":
+                rec = maintain_index(
+                    spark, path, policy=policy, execute=execute,
+                    sample_fraction=sample_fraction, lease_wait=lease_wait,
+                )
+            else:
+                rec = maintain_dedup_store(
+                    spark, path, policy=store_policy, execute=execute,
+                    lease_wait=lease_wait,
+                )
+        except MaintenanceBusy as e:
+            rec = {
+                "ts": time.time(),
+                "family": kind,
+                "action": "skipped_busy",
+                "executed": False,
+                "measurements": {},
+                "policy": {},
+                "result": {"error": str(e)},
+                "recommendations": [
+                    "another maintainer holds this structure's lease — "
+                    "re-run the sweep later"
+                ],
+            }
+        rec = dict(rec)
+        rec["path"] = path
+        results.append(rec)
+    return results
+
+
+def read_all_maintenance_logs(root: str) -> list[dict]:
+    """Every structure's decision log under ``root``, each record
+    annotated with its structure's ``path`` — the sweep-level view of
+    the per-structure audit trails."""
+    out: list[dict] = []
+    for path, _ in discover_structures(root):
+        for rec in read_maintenance_log(path):
+            rec = dict(rec)
+            rec["path"] = path
+            out.append(rec)
+    return out
+
+
 def maintain_index(
     spark,
     path: str,
@@ -371,10 +486,14 @@ def maintain_index(
        ``rebuild_to`` for the caller to repoint serving at; the
        original is never mutated mid-retrain (what real systems do —
        in-place retrain of a serving index is the thing to avoid).
-       Without ``rebuild_to``, or for the ``ivfpq`` family (codes
-       can't retrain PQ without compounding quantization bias — raw
-       corpus required), the action is recommended and recorded, never
-       executed.
+       The ``ivfpq`` family executes the same blue/green path (round
+       12) when the layout carries a raw-vector reservoir
+       (``save_ivfpq_index(reservoir_per_cell=)`` — codes alone can't
+       retrain PQ without compounding quantization bias, so the retrain
+       runs on the reservoir's raw rows and transcodes the rest; see
+       :func:`~readwise_vector_db_spark.operators.pq.rebuild_ivfpq_index`).
+       Without ``rebuild_to``, or for a reservoir-less ivfpq layout,
+       the action is recommended and recorded, never executed.
     2. **Tombstone dead weight**: fraction above ``tombstone_frac_max``
        → ``compact`` (executed).
     3. Otherwise ``none``.
@@ -446,8 +565,15 @@ def maintain_index(
             )
 
             assigned, centroids = load_ivf_index(spark, path)
+            # sample_fraction bounds the health scan for THIS family too
+            # (r11 ADVICE: it previously applied only to ivfpq's
+            # coherence pass — the CLI's --sample-fraction was silently
+            # ignored for ivf layouts)
+            scan = assigned
+            if sample_fraction < 1.0:
+                scan = assigned.sample(fraction=sample_fraction, seed=7)
             cell_rows = cell_distortion_frame(
-                assigned, centroids, vec_col=vec_col
+                scan, centroids, vec_col=vec_col
             ).collect()
             drifted, base, n_cells = _drifted_cells(cell_rows, policy)
         else:  # flat pq: no coarse structure to drift
@@ -471,9 +597,40 @@ def maintain_index(
         # --- decide (one action per run) ---------------------------------
         result: dict = {}
         executed = False
+        reservoir_bound = None
+        if family == "ivfpq":
+            from readwise_vector_db_spark.operators.pq import (
+                reservoir_per_cell,
+            )
+
+            reservoir_bound = reservoir_per_cell(path)
+            if reservoir_bound is not None:
+                measurements["reservoir_per_cell"] = reservoir_bound
+
         if drifted and n_cells and len(drifted) / n_cells > policy.rebuild_cell_frac:
             action = "rebuild"
-            if execute and rebuild_to is not None and family == "ivf":
+            if (
+                execute
+                and rebuild_to is not None
+                and family == "ivfpq"
+                and reservoir_bound is not None
+            ):
+                from readwise_vector_db_spark.operators.pq import (
+                    _rebuild_ivfpq_locked,
+                )
+
+                # executable since round 12: the layout's raw-vector
+                # reservoir (save_ivfpq_index(reservoir_per_cell=))
+                # retrains centroids + codebooks blue/green — see
+                # rebuild_ivfpq_index for the bias story and bounds
+                result = _rebuild_ivfpq_locked(spark, path, rebuild_to)
+                executed = True
+                recommendations.append(
+                    f"rebuilt blue/green at {rebuild_to!r} from the "
+                    f"{reservoir_bound}-per-cell raw reservoir — repoint "
+                    "serving and retire the drifted layout"
+                )
+            elif execute and rebuild_to is not None and family == "ivf":
                 from readwise_vector_db_spark.operators.similarity import (
                     build_ivf_index,
                     save_ivf_index,
@@ -509,18 +666,27 @@ def maintain_index(
                     "serving and retire the drifted layout"
                 )
             else:
-                recommendations.append(
-                    f"{len(drifted)}/{n_cells} populated cells are drifted "
-                    "— whole-distribution shift; "
-                    + (
+                if family == "ivf":
+                    how = (
                         "pass rebuild_to= to execute a blue/green retrain "
                         "from the resident raw vectors"
-                        if family == "ivf"
-                        else "retrain from the raw corpus (a codes layout "
-                        "can't retrain PQ without compounding quantization "
-                        "bias; cell splitting would chase a moved "
-                        "distribution)"
                     )
+                elif reservoir_bound is not None:
+                    how = (
+                        "pass rebuild_to= to execute a blue/green retrain "
+                        "from the layout's raw-vector reservoir"
+                    )
+                else:
+                    how = (
+                        "retrain from the raw corpus (a codes layout "
+                        "without a reservoir can't retrain PQ without "
+                        "compounding quantization bias; rebuild once with "
+                        "save_ivfpq_index(reservoir_per_cell=) to arm "
+                        "future rebuilds)"
+                    )
+                recommendations.append(
+                    f"{len(drifted)}/{n_cells} populated cells are drifted "
+                    f"— whole-distribution shift; {how}"
                 )
         elif drifted:
             action = "recluster"

@@ -479,6 +479,74 @@ def test_cli_maintain_and_log(spark, tmp_path, capsys):
     assert [r["action"] for r in lines] == ["compact", "compact", "none"][:len(lines)]
 
 
+def test_cli_maintain_all_sweeps_every_structure(spark, tmp_path, capsys):
+    """Round 12 (r11 verdict item 3): ONE janitor verb — `maintain
+    --all` discovers every persisted structure under a root (index
+    layouts AND versioned stores), runs the matching janitor on each,
+    emits one decision-record schema throughout, and `--all --log`
+    replays every structure's log annotated with its path."""
+    import json as _json
+
+    import readwise_vector_db_spark.main as cli
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        dedup_batch_against_store,
+    )
+    from readwise_vector_db_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "estate")
+    d, n = 32, 1200
+    base_df = _to_df(spark, _blobs(n, d, 8, seed=21))
+
+    # structure 1: a flat pq layout with tombstone buildup → compact
+    books = pq.train_pq_codebooks(base_df, m=8, k=32, sample_rows=1200)
+    pq_path = f"{root}/indexes/pq"
+    pq.save_pq_index(pq.pq_encode(base_df, books), books, pq_path)
+    pq.delete_from_index(spark, pq_path, list(range(n // 2)))
+
+    # structure 2: a healthy ivfpq layout → none
+    _, cents = sim.build_ivf_index(base_df, n_clusters=8)
+    ivfpq_path = f"{root}/indexes/ivfpq"
+    pq.save_ivfpq_index(
+        pq.ivfpq_encode(base_df, cents, books), cents, books, ivfpq_path,
+        base_vecs=base_df, rf_ks=(), reservoir_per_cell=20,
+    )
+
+    # structure 3: an incremental dedup store (versioned table)
+    store_root = f"{root}/stores/dedup"
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"ma{i}w{j}" for j in range(12))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    dedup_batch_against_store(spark, docs, VersionedTable(store_root))
+
+    rc = cli.main(["maintain", "--path", root, "--all"])
+    assert rc == 0
+    recs = [
+        _json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln
+    ]
+    by_path = {r["path"]: r for r in recs}
+    assert set(by_path) == {pq_path, ivfpq_path, store_root}
+    # one record schema across structures
+    for r in recs:
+        assert {
+            "ts", "family", "action", "executed", "measurements",
+            "policy", "result", "recommendations", "path",
+        } <= set(r)
+    assert by_path[pq_path]["action"] == "compact"
+    assert by_path[pq_path]["executed"]
+    assert by_path[ivfpq_path]["action"] == "none"
+    assert by_path[store_root]["family"] == "dedup_store"
+
+    # the sweep-level log view: every structure's own log, annotated
+    rc = cli.main(["maintain", "--path", root, "--all", "--log"])
+    assert rc == 0
+    logs = [
+        _json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln
+    ]
+    assert {r["path"] for r in logs} == {pq_path, ivfpq_path, store_root}
+    assert all("action" in r and "family" in r for r in logs)
+
+
 def test_rebuild_executes_blue_green_for_ivf(spark, tmp_path):
     """r11: the rebuild action EXECUTES for the raw-vector family when
     given a target — a fresh k-means over the resident rows saved as a
@@ -528,6 +596,224 @@ def test_rebuild_executes_blue_green_for_ivf(spark, tmp_path):
     )
     assert rec3["action"] == "rebuild" and not rec3["executed"]
     assert any("rebuild_to" in s for s in rec3["recommendations"])
+
+
+def test_sweep_preserves_live_owner_grave(tmp_path):
+    """r11 ADVICE: the reap protocol's restore-lost path preserves a
+    DISPLACED LIVE lease inside a grave and raises; once the raising
+    (reaper) process exits, the pid-named sweep must NOT erase that
+    evidence — only graves whose OWNER is dead too are debris."""
+    from readwise_vector_db_spark.layout import _sweep_stale_lease_tmps
+
+    root = str(tmp_path / "layout")
+    os.makedirs(root)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead = proc.pid
+
+    # grave named by the DEAD reaper, holding a LIVE displaced owner
+    grave = f"{root}/_MAINT_LEASE.grave-{dead}-deadbeef"
+    os.makedirs(grave)
+    with open(f"{grave}/owner", "w") as f:
+        json.dump({"pid": os.getpid(), "purpose": "displaced", "ts": 0}, f)
+    _sweep_stale_lease_tmps(root)
+    assert os.path.isdir(grave)  # evidence preserved
+
+    # same grave shape with a DEAD owner is debris — swept
+    grave2 = f"{root}/_MAINT_LEASE.grave-{dead}-cafebabe"
+    os.makedirs(grave2)
+    with open(f"{grave2}/owner", "w") as f:
+        json.dump({"pid": dead, "purpose": "gone", "ts": 0}, f)
+    _sweep_stale_lease_tmps(root)
+    assert not os.path.isdir(grave2)
+
+
+# --- the raw-vector reservoir + executable ivfpq rebuild (round 12) ----------
+
+
+def _bounded_layout(spark, tmp_path, per_cell=40):
+    """An ivfpq layout with a deliberately BOUNDED reservoir (16 cells ×
+    40 = 640 slots against 2400 base rows, ~27 %) so the rebuild tests
+    measure recovery from a genuine sample, not a full-corpus retain."""
+    d, n = 32, 2400
+    base = _blobs(n, d, 10, seed=3)
+    base_df = _to_df(spark, base)
+    _, cents = sim.build_ivf_index(base_df, n_clusters=16)
+    books = pq.train_pq_codebooks(base_df, m=8, k=32, sample_rows=2400)
+    path = str(tmp_path / "ivfpq_res")
+    pq.save_ivfpq_index(
+        pq.ivfpq_encode(base_df, cents, books), cents, books, path,
+        base_vecs=base_df, rf_ks=(), reservoir_per_cell=per_cell,
+    )
+    return path, base_df, base, d, n
+
+
+def test_reservoir_capture_bounds_and_append(spark, tmp_path):
+    """The reservoir is bounded per cell at build time, appends extend
+    it with the increment's RAW vectors (the fidelity codes can't
+    provide), and the load-time trim keeps the per-cell bound over the
+    union of capture events."""
+    from pyspark.sql import functions as F
+
+    path, base_df, base, d, n = _bounded_layout(spark, tmp_path)
+    assert pq.reservoir_per_cell(path) == 40
+    res = pq._load_reservoir(spark, path)
+    per_cell = {
+        int(r["cluster"]): int(r["n"])
+        for r in res.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_cell and all(v <= 40 for v in per_cell.values())
+
+    drifted = _blobs(400, d, 2, seed=91)
+    pq.append_to_ivfpq_index(
+        _to_df(spark, drifted, id0=1_000_000), path, max_distortion_ratio=None
+    )
+    res2 = pq._load_reservoir(spark, path)
+    per_cell2 = {
+        int(r["cluster"]): int(r["n"])
+        for r in res2.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(v <= 40 for v in per_cell2.values())
+    appended = res2.filter(F.col("vec_id") >= 1_000_000)
+    assert appended.count() > 0  # the drifted increment is represented
+    # ...and RAW: the stored vector is the appended one bit-for-bit
+    row = appended.first()
+    np.testing.assert_allclose(
+        np.asarray(row["vec"], dtype=np.float32),
+        drifted[int(row["vec_id"]) - 1_000_000],
+        rtol=0, atol=0,
+    )
+
+
+def test_reservoir_tombstones_and_compaction_purge(spark, tmp_path):
+    """Deleted ids disappear from the reservoir VIEW immediately (so a
+    rebuild can't resurrect them) and from the reservoir FILES at
+    compaction (the right-to-be-forgotten contract extends to the raw
+    bytes the reservoir retains)."""
+    from pyspark.sql import functions as F
+
+    path, base_df, base, d, n = _bounded_layout(spark, tmp_path)
+    victims = [
+        int(r["vec_id"])
+        for r in pq._load_reservoir(spark, path).limit(5).collect()
+    ]
+    pq.delete_from_index(spark, path, victims)
+    res = pq._load_reservoir(spark, path)
+    assert res.filter(F.col("vec_id").isin(victims)).count() == 0
+    # physical purge rides the codes compaction
+    pq.compact_index(spark, path)
+    raw = spark.read.parquet(f"{path}/reservoir")
+    assert raw.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert pq.reservoir_per_cell(path) == 40  # meta survives the swap
+    assert pq._load_reservoir(spark, path).count() > 0
+
+
+def test_maintain_index_rebuild_executes_for_ivfpq(spark, tmp_path):
+    """The r11 verdict's top item, end-to-end: a whole-distribution
+    drifted ivfpq layout's policy decision 'rebuild' EXECUTES blue/green
+    from the bounded raw reservoir, measured probe recall on the drifted
+    distribution recovers, and the new layout's append gate accepts the
+    distribution the old one rejected.  The original layout is never
+    mutated."""
+    path, base_df, base, d, n = _bounded_layout(spark, tmp_path)
+    n_drift = 1200
+    drifted = _blobs(n_drift, d, 8, seed=91)
+    pq.append_to_ivfpq_index(
+        _to_df(spark, drifted, id0=1_000_000), path, max_distortion_ratio=None
+    )
+
+    corpus = np.concatenate([base, drifted]).astype(np.float64)
+    ids = np.concatenate([np.arange(n), 1_000_000 + np.arange(n_drift)])
+    corpus_n = corpus / np.maximum(
+        np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12
+    )
+    corpus_df = base_df.unionByName(
+        _to_df(spark, drifted, id0=1_000_000)
+    ).persist()
+    corpus_df.count()
+    rng = np.random.default_rng(5)
+    n_q = 12
+    queries = drifted[:n_q] + 0.05 * rng.standard_normal((n_q, d)).astype(
+        np.float32
+    )
+
+    def recall10(layout_path):
+        # the SERVING configuration: two-stage probe, exact rescore
+        # against the raw base table (which the engine always has — the
+        # index is derived).  Recall then measures what the index owns:
+        # whether the true neighbors reach the candidate set through
+        # the coarse cells + ADC ranking.
+        codes, cents, books = pq.load_ivfpq_index(spark, layout_path)
+        rot = pq.load_rotation(spark, layout_path)
+        hits = 0
+        for q in queries:
+            got = {
+                int(r["vec_id"])
+                for r in pq.ivfpq_search(
+                    codes, cents, books, [float(x) for x in q],
+                    k=10, nprobe=2, rotation=rot,
+                    rescore=corpus_df, rescore_factor=8,
+                ).collect()
+            }
+            qn = np.asarray(q, dtype=np.float64)
+            qn /= max(np.linalg.norm(qn), 1e-12)
+            true = set(ids[np.argsort(-(corpus_n @ qn))[:10]].tolist())
+            hits += len(got & true)
+        return hits / (n_q * 10)
+
+    r_old = recall10(path)
+    before_files = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(f"{path}/codes") for f in fs
+    )
+    out = str(tmp_path / "ivfpq_rebuilt")
+    rec = maintain_index(
+        spark, path, policy=MaintenancePolicy(rebuild_cell_frac=0.0),
+        rebuild_to=out,
+    )
+    assert rec["action"] == "rebuild" and rec["executed"]
+    assert rec["result"]["rebuilt_to"] == out
+    assert rec["result"]["rows"] == n + n_drift  # every row transcoded
+    assert rec["result"]["reservoir_rows"] <= 16 * 40  # the stated bound
+    from readwise_vector_db_spark.layout import read_stamp
+
+    assert read_stamp(out)["family"] == "ivfpq"
+    # original untouched (blue/green)
+    after_files = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(f"{path}/codes") for f in fs
+    )
+    assert before_files == after_files
+
+    r_new = recall10(out)
+    print(f"ivfpq rebuild recall@10 (nprobe=2, rf=8): {r_old} -> {r_new}")
+    # measured recovery: the raw-trained model covers the drifted modes
+    # the frozen one mis-coded.  Exact numbers live in SCALING.md; the
+    # pins hold a material gap so neither side silently changes.
+    assert r_new >= r_old + 0.1, (r_old, r_new)
+    assert r_new >= 0.6, (r_old, r_new)
+
+    # the NEW layout's gate accepts the drifted distribution (fresh
+    # perturbed draws, not the appended rows) — the old layout rejected
+    # this distribution outright
+    more = _to_df(
+        spark,
+        drifted[100:160] + 0.05 * rng.standard_normal((60, d)).astype(np.float32),
+        id0=5_000_000,
+    )
+    with pytest.raises(ValueError, match="stale"):
+        pq.append_to_ivfpq_index(more, path)
+    assert pq.append_to_ivfpq_index(more, out) == 60
+
+    # rebuild without a reservoir stays a recommendation with guidance
+    bare = str(tmp_path / "bare")
+    base_df2 = base_df
+    _, cents2 = sim.build_ivf_index(base_df2, n_clusters=8)
+    books2 = pq.train_pq_codebooks(base_df2, m=8, k=32, sample_rows=2400)
+    pq.save_ivfpq_index(
+        pq.ivfpq_encode(base_df2, cents2, books2), cents2, books2, bare,
+        base_vecs=base_df2, rf_ks=(), reservoir_per_cell=0,
+    )
+    with pytest.raises(ValueError, match="reservoir"):
+        pq.rebuild_ivfpq_index(spark, bare, str(tmp_path / "nope"))
 
 
 def test_maintain_dedup_store_walk(spark, tmp_path):
