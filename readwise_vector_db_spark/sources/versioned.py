@@ -248,7 +248,14 @@ class VersionedTable:
         """Remove staging dirs left by writers that crashed between
         building the claim and renaming it into place.  The staging name
         embeds the claimant's pid, so liveness is checkable without any
-        grace window; a live peer's staging dir is never touched."""
+        grace window; a live peer's staging dir is never touched.
+
+        Graves from :meth:`_reap_dead_claim`'s restore-lost path match
+        this sweep's pattern but may hold a DISPLACED LIVE claim the
+        RuntimeError preserved for inspection (r11 ADVICE — same fix as
+        ``layout._sweep_stale_lease_tmps``): the namer's death alone
+        must not erase it, so a candidate is swept only when its OWNER
+        is dead too (stage dirs' owner IS the dead namer — unchanged)."""
         import shutil
 
         try:
@@ -264,7 +271,20 @@ class VersionedTable:
             except (ValueError, IndexError, PermissionError):
                 continue  # unparsable or live-but-foreign: leave it
             except ProcessLookupError:
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                full = os.path.join(self.root, name)
+                # stage dirs are only ever written by their dead namer —
+                # name-pid liveness suffices; a grave ("-grave" infix)
+                # may instead hold a DISPLACED owner (the restore-lost
+                # evidence), so it is swept only when that owner is dead
+                # too.  Ownerless graves stay reaper-pid debris.
+                if "-grave" in name:
+                    from readwise_vector_db_spark.layout import (
+                        _owner_pid_alive,
+                    )
+
+                    if _owner_pid_alive(full):
+                        continue  # preserved live-owner grave: keep it
+                shutil.rmtree(full, ignore_errors=True)
 
     def _claim_version(self) -> int:
         """Atomically claim the next version number (round-5 verdict
@@ -472,6 +492,7 @@ class VersionedTable:
         expected_base: int | None = None,
         touched: dict | None = None,
         schema_mode: str = "evolve",
+        meta: dict | None = None,
     ) -> int:
         """Write ``df`` as the next immutable snapshot and flip the
         pointer.  Concurrent committers serialize on the version claim:
@@ -490,7 +511,14 @@ class VersionedTable:
         concurrent :meth:`merge` prove key-disjointness and rebase
         instead of erroring.  Written while holding the claim, before
         the pointer flip; a crash in between leaves an unpublished
-        version whose stale record the next claimant of ``v`` clears."""
+        version whose stale record the next claimant of ``v`` clears.
+
+        ``meta`` (round 12) records application metadata in a
+        ``_META_<v>`` sidecar exactly like :meth:`commit_append`'s —
+        what lets a REPLACEMENT commit supersede an append's meta in
+        the newest-first walks (the quarantine-readmission path writes
+        a ``quarantined=False`` meta over the batch's earlier
+        ``quarantined=True`` one)."""
         v = self._claim_version()
         try:
             # clear any stale footprint/meta a crashed previous claimant
@@ -518,6 +546,11 @@ class VersionedTable:
                 with open(tmp, "w") as f:
                     json.dump(touched, f)
                 os.replace(tmp, self._touched_path(v))
+            if meta is not None:
+                mtmp = self._meta_path(v) + ".tmp"
+                with open(mtmp, "w") as f:
+                    json.dump(meta, f)
+                os.replace(mtmp, self._meta_path(v))
             self._record_schema(df, v)
             self._flip_manifest(v)
         finally:

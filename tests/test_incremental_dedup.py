@@ -1075,6 +1075,156 @@ def test_streaming_quality_gate_quarantines_spam_batch(spark, tmp_path):
     assert not metas[3]["quarantined"]
 
 
+def test_readmit_quarantined_end_to_end(spark, tmp_path):
+    """Round 12 (r11 verdict item 2): a batch quarantined under a tight
+    band is READMITTED under the retuned band — the replayed cut lands
+    in the normal output, its fingerprints reach the store, the signal
+    rows flip to quarantined=False exactly once, the superseding meta
+    puts its summary back into reference windows, and the quarantine
+    view empties.  Still-drifted and idempotent-re-run paths included."""
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        commit_batch_signals,
+        readmit_quarantined,
+        run_incremental_span_dedup,
+        signals_run_id_for_checkpoint,
+    )
+    from readwise_vector_db_spark.operators.signals import QualityDriftError
+
+    def clean_rows(b):
+        return [
+            (1000 * b + i, " ".join(f"ra{b}d{i}w{j}" for j in range(20)))
+            for i in range(6)
+        ]
+
+    # spam body (dup-saturated, trips the gate) + a unique per-doc tail
+    # (so the replayed cut leaves committable novel content behind)
+    spam_text = " ".join(["please buy cheap pills"] * 10)
+    batches = [
+        clean_rows(0),
+        clean_rows(1),
+        [
+            (9000 + i, spam_text + " " + " ".join(f"uq{i}t{j}" for j in range(10)))
+            for i in range(6)
+        ],
+        clean_rows(3),
+    ]
+    schema = "doc_id LONG, text STRING"
+    src = str(tmp_path / "ra_incoming")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+
+    model = _lm_for(spark, clean_rows(0))
+    store_root = str(tmp_path / "ra_store")
+    out_dir = str(tmp_path / "ra_out")
+    sig_dir = f"{out_dir}_signals"
+    tight = {"min_ref": 2, "on_drift": "quarantine"}
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_incremental_span_dedup(
+        spark, stream, store_root, out_dir,
+        signals_lm=model, signals_gate=tight,
+    ).awaitTermination(180)
+
+    sig_table = VersionedTable(sig_dir)
+    q_table = VersionedTable(f"{out_dir}_quarantine")
+    assert q_table.read(spark).count() == 6
+    store_v_before = VersionedTable(store_root).latest_version()
+
+    # still drifted under the same band: loud refusal, nothing touched
+    with pytest.raises(QualityDriftError):
+        readmit_quarantined(spark, store_root, out_dir, 2, gate=tight)
+    assert q_table.read(spark).count() == 6
+
+    # a batch the stream never checkpoint-committed: the redelivery
+    # guard fires before anything else
+    with pytest.raises(ValueError, match="not checkpoint-committed"):
+        readmit_quarantined(spark, store_root, out_dir, 7, gate=tight)
+
+    # retuned band admits the batch
+    loose = {
+        "min_ref": 2, "max_ppl_ratio": 1e6,
+        "max_dup_frac_delta": 1.0, "max_rep_bad_delta": 1.0,
+    }
+    res = readmit_quarantined(spark, store_root, out_dir, 2, gate=loose)
+    assert res["status"] == "readmitted"
+    assert res["rows_readmitted"] == 6
+    assert res["quarantine_rows_removed"] == 6
+
+    # the replayed cut landed like a normal batch (spam is self-dup
+    # heavy, so texts are mostly cut — but the DOCS are admitted)
+    out_ids = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert {9000 + i for i in range(6)} <= out_ids
+    # its fingerprints reached the store
+    assert VersionedTable(store_root).latest_version() > store_v_before
+    # the quarantine view emptied; the removal meta is flagged
+    assert q_table.read(spark).count() == 0
+    assert q_table.commit_metas()[-1][1]["readmitted"] is True
+    # signal rows flipped exactly once — no duplicates, no flags
+    sig = sig_table.read(spark)
+    b2 = sig.filter(F.col("batch_id") == 2)
+    assert b2.count() == 6
+    assert b2.filter(F.col("quarantined")).count() == 0
+    # the superseding meta is the newest for (run, 2)
+    run_id = signals_run_id_for_checkpoint(f"{store_root}/_stream_checkpoint")
+    newest = next(
+        m for _, m in sig_table.iter_commit_metas_desc()
+        if m.get("run_id") == run_id and m.get("batch_id") == 2
+    )
+    assert newest["quarantined"] is False and newest["readmitted"] is True
+
+    # re-run: idempotent skip
+    res2 = readmit_quarantined(spark, store_root, out_dir, 2, gate=loose)
+    assert res2["status"] == "skipped"
+
+    # exactly-once survives the supersede: a redelivery of batch 2
+    # still skips, now carrying the admitted verdict...
+    spam_df = spark.createDataFrame(batches[2], schema)
+    redo = commit_batch_signals(
+        spark, spam_df, VersionedTable(store_root), sig_table, model,
+        batch_id=2, run_id=run_id,
+    )
+    assert redo["status"] == "skipped" and not redo["quarantined"]
+    # ...and the out-of-order readmission meta does NOT resolve the
+    # walk for other batch ids (a redelivered batch 3 is still a skip)
+    redo3 = commit_batch_signals(
+        spark, spark.createDataFrame(clean_rows(3), schema),
+        VersionedTable(store_root), sig_table, model,
+        batch_id=3, run_id=run_id,
+    )
+    assert redo3["status"] == "skipped"
+
+    # the readmitted summary re-enters the reference window: a next
+    # clean batch gating against min_ref metas sees it (no exception,
+    # committed normally)
+    nxt = commit_batch_signals(
+        spark, spark.createDataFrame(clean_rows(4), schema),
+        VersionedTable(store_root), sig_table, model,
+        batch_id=4, run_id=run_id, gate={**loose, "on_drift": "raise"},
+    )
+    assert nxt["status"] == "committed"
+
+
+def test_readmit_refuses_uncommitted_batch(spark, tmp_path):
+    """The redelivery guard: while the stream's checkpoint has no
+    commits/<id> entry the batch may still be redelivered — readmission
+    refuses instead of interleaving with the redelivered divert."""
+    import os
+
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        readmit_quarantined,
+    )
+
+    store_root = str(tmp_path / "g_store")
+    out_dir = str(tmp_path / "g_out")
+    ckpt = f"{store_root}/_stream_checkpoint"
+    os.makedirs(f"{ckpt}/commits", exist_ok=True)
+    with pytest.raises(ValueError, match="not checkpoint-committed"):
+        readmit_quarantined(spark, store_root, out_dir, 5)
+
+
 def test_signal_skip_is_scoped_to_the_stream_incarnation(spark, tmp_path):
     """r11 review (data-loss fix): metas outlive a deleted checkpoint,
     but batch ids reset with it — the skip (and any quarantine verdict)
