@@ -287,7 +287,19 @@ def frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     where the GIF walk picks first-at-or-after — stated, not hidden).
     With ffmpeg absent, and for every other video mime, the decode
     raises the stub's loud ``NotImplementedError`` — fail loudly,
-    never garble.  Plan shape either way: ONE Python stage."""
+    never garble.  Plan shape either way: ONE Python stage.
+
+    Per-mime output semantics (r11 ADVICE — the difference is real and
+    follows from who does the sampling): on the GIF/stdlib path every
+    frame crosses the decoder, so ``frame_idx`` is the SOURCE frame
+    index and ``frame_ms`` the frame's actual presentation time; on the
+    mp4 path sampling happens INSIDE ffmpeg's fps filter and unsampled
+    frames never cross the process boundary, so ``frame_idx`` is the
+    sample ORDINAL (0..n-1) and ``frame_ms`` the nominal tick
+    ``i*every_ms`` — the source index/timestamp of the filter-selected
+    frame is not in the rawvideo stream.  Downstream consumers keyed on
+    (media_id, frame_ms) ticks are mime-portable; source-frame
+    addressing is GIF-only."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from readwise_vector_db_spark.functions.ffmpeg import (
