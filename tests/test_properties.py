@@ -545,3 +545,37 @@ def test_python_tokenizer_matches_re2_on_unicode_whitespace(text):
         params=[text, text],
     ).fetchone()
     assert got == want
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",),
+            exclude_characters="\x00",
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_python_nfc_matches_duckdb_nfc_normalize(text):
+    """Round 12 (r11 verdict item 5): the engine's Unicode
+    normalization (`unicodedata.normalize('NFC', ...)` inside
+    `functions.text.unicode_normalize`) must agree byte-for-byte with
+    the oracle twin DuckDB's `nfc_normalize` over arbitrary unicode —
+    the same cross-engine semantic audit the r11 whitespace pinning
+    performed for `\\s` (a silent normalization divergence would make
+    the dedup_exact_nfc oracle row lie).  NUL is excluded from the
+    domain: DuckDB's utf8proc-backed normalizer truncates at an
+    embedded NUL whenever non-ASCII content makes it actually run
+    (probed: nfc_normalize('\x00\x80') = ''), while Python passes it
+    through — a stated oracle-scope limit, not an engine bug; no real
+    text fixture contains NUL."""
+    import unicodedata
+
+    import duckdb
+
+    got = unicodedata.normalize("NFC", text)
+    (want,) = duckdb.sql(
+        "SELECT nfc_normalize(?)", params=[text]
+    ).fetchone()
+    assert got == want
