@@ -90,9 +90,6 @@ def quality_score(text: Column | str) -> Column:
     return len_ok + sw_ok + punct_ok
 
 
-_UNICODE_NORM_UDFS: dict = {}
-
-
 def unicode_normalize(text: Column | str, form: str = "NFC") -> Column:
     """Unicode normalization (NFC/NFD/NFKC/NFKD) as an Arrow-batched
     stage (round 12 — r11 verdict item 5).  Real web text mixes
@@ -111,26 +108,23 @@ def unicode_normalize(text: Column | str, form: str = "NFC") -> Column:
             f"unicode_normalize: unknown form {form!r} "
             "(expected NFC/NFD/NFKC/NFKD)"
         )
-    if form not in _UNICODE_NORM_UDFS:
-        from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-        def make(f):
-            import pandas as pd
+    def _norm(s):
+        import unicodedata
 
-            def _norm(s):
-                import unicodedata
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
 
-                return s.map(
-                    lambda x: None if x is None else unicodedata.normalize(f, x)
-                )
-
-            # real class objects, not strings: PEP 563 is active in this
-            # module and pandas stays a function-local import
-            _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
-            return pandas_udf(_norm, "string")
-
-        _UNICODE_NORM_UDFS[form] = make(form)
-    return _UNICODE_NORM_UDFS[form](_col(text))
+    # real class objects, not strings: PEP 563 is active in this module
+    # and pandas stays a function-local import.  Deliberately NOT cached
+    # at module level (round-12 review): a cached UserDefinedFunction
+    # memoizes its JVM handle against the first SparkSession that used
+    # it, so a stop()+restart process would call into a dead context.
+    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_norm, "string")(_col(text))
 
 
 def fingerprint_md5(text: Column | str, normalize: str | None = None) -> Column:

@@ -968,21 +968,26 @@ def commit_batch_signals(
     try:
         summary = quality_signal_summary(sig).first().asDict()
         quarantined = False
+        quarantine_reason = None
         if gate is not None:
             band = {
                 k: gate[k]
                 for k in (
                     "max_ppl_ratio", "max_dup_frac_delta",
-                    "max_rep_bad_delta", "min_ref",
+                    "max_rep_bad_delta", "min_ref", "max_ppl_null_delta",
                 )
                 if k in gate
             }
             try:
                 quality_drift_gate(summary, refs, **band)
-            except QualityDriftError:
+            except QualityDriftError as drift:
                 if gate.get("on_drift", "raise") != "quarantine":
                     raise
                 quarantined = True
+                # the WHY rides the commit meta (round 12): an operator
+                # deciding whether to retune-and-readmit needs the
+                # breached band, not just the verdict
+                quarantine_reason = str(drift)
         v = sig_table.commit_append(
             sig.withColumn("quarantined", F.lit(quarantined))
             # run_id as a ROW column too (round 12): the readmission
@@ -994,6 +999,11 @@ def commit_batch_signals(
                 "run_id": run_id,
                 "summary": summary,
                 "quarantined": quarantined,
+                **(
+                    {"quarantine_reason": quarantine_reason}
+                    if quarantine_reason
+                    else {}
+                ),
             },
             retain_segments=retention,
         )
@@ -1063,6 +1073,7 @@ def readmit_quarantined(
     retention: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    replay_out_dir: str | None = None,
 ) -> dict:
     """Re-admit a gate-diverted batch after the band is retuned (round
     12 — r11 verdict item 2; closes the loop the r11 verdict called
@@ -1111,20 +1122,29 @@ def readmit_quarantined(
     readmission would interleave with the redelivered divert.
 
     ``run_id`` defaults to the checkpoint's current incarnation
-    (:func:`signals_run_id_for_checkpoint`); pass an explicit value
-    (or ``None`` for legacy metas) to readmit a PREVIOUS incarnation's
-    batch.  Tables written before round 12 lack the per-row ``run_id``
-    column; their rows match on ``batch_id`` alone (stated legacy
-    scope).  Reference analogue: none — the reference has no quality
-    gate; north-star scope like the gate itself."""
+    (:func:`signals_run_id_for_checkpoint`, read without creating a
+    checkpoint that doesn't exist — a standalone store stays
+    checkpoint-free); pass an explicit value (or ``None`` for legacy
+    metas) to readmit a PREVIOUS incarnation's batch — that path also
+    requires ``replay_out_dir=``: output partitions are keyed by batch
+    id alone, so replaying an old run's batch into ``out_dir`` would
+    silently overwrite the CURRENT incarnation's ``batch=<id>`` output
+    (round-12 review).  Tables written before round 12 lack the
+    per-row ``run_id`` column; their rows match on ``batch_id`` alone
+    (stated legacy scope).  Reference analogue: none — the reference
+    has no quality gate; north-star scope like the gate itself."""
     import os as _os
 
     from readwise_vector_db_spark.operators.signals import quality_drift_gate
 
     checkpoint_dir = f"{store_root}/_stream_checkpoint"
+    ckpt_exists = _os.path.isdir(checkpoint_dir)
+    current_run = (
+        signals_run_id_for_checkpoint(checkpoint_dir) if ckpt_exists else None
+    )
     if run_id is _DERIVE_RUN:
-        run_id = signals_run_id_for_checkpoint(checkpoint_dir)
-    if _os.path.isdir(checkpoint_dir) and not _os.path.isfile(
+        run_id = current_run
+    if ckpt_exists and not _os.path.isfile(
         f"{checkpoint_dir}/commits/{int(batch_id)}"
     ):
         raise ValueError(
@@ -1132,6 +1152,16 @@ def readmit_quarantined(
             "committed — a crashed stream may still redeliver it; wait "
             "for the stream to commit (or restart and drain it) first"
         )
+    if run_id != current_run and replay_out_dir is None:
+        raise ValueError(
+            f"readmit_quarantined: batch {batch_id} belongs to a "
+            f"PREVIOUS stream incarnation (run {run_id!r}; current "
+            f"{current_run!r}) and output partitions are keyed by batch "
+            f"id alone — replaying into {out_dir!r} would overwrite the "
+            "current run's batch output; pass replay_out_dir= for the "
+            "replayed cleaned docs"
+        )
+    out_target = out_dir if run_id == current_run else replay_out_dir
     sig_root = signals_out_dir or f"{out_dir}_signals"
     sig_table = VersionedTable(sig_root)
     target = None
@@ -1173,13 +1203,20 @@ def readmit_quarantined(
                 qt.vacuum(keep=max(1, int(retention)))
         return int(victims)
 
+    pin = f"{qt.root}/_readmit_base_{run_id or 'legacy'}_{int(batch_id)}"
     if not target.get("quarantined", False):
         # already admitted (or never quarantined): complete any
-        # interrupted step-3 removal, touch nothing else
+        # interrupted step-3 removal and GC the pin a crashed full run
+        # left behind (round-12 review), touch nothing else
+        removed = remove_from_quarantine()
+        try:
+            _os.remove(pin)
+        except FileNotFoundError:
+            pass
         return {
             "status": "skipped",
             "rows_readmitted": 0,
-            "quarantine_rows_removed": remove_from_quarantine(),
+            "quarantine_rows_removed": removed,
         }
 
     # --- gate re-check under the NEW band ---------------------------------
@@ -1195,7 +1232,7 @@ def readmit_quarantined(
         k: gate[k]
         for k in (
             "max_ppl_ratio", "max_dup_frac_delta",
-            "max_rep_bad_delta", "min_ref",
+            "max_rep_bad_delta", "min_ref", "max_ppl_null_delta",
         )
         if gate and k in gate
     }
@@ -1217,7 +1254,6 @@ def readmit_quarantined(
             "quarantine view (vacuumed past retention?) — nothing to replay"
         )
     table = VersionedTable(store_root)
-    pin = f"{qt.root}/_readmit_base_{run_id or 'legacy'}_{int(batch_id)}"
     if _os.path.isfile(pin):
         with open(pin) as f:
             base_v = int(f.read().strip())
@@ -1231,7 +1267,7 @@ def readmit_quarantined(
         spark, docs, table, n=n, id_col=id_col, text_col=text_col,
         read_version=base_v,
     )
-    cleaned.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+    cleaned.write.mode("overwrite").parquet(f"{out_target}/batch={batch_id}")
 
     # --- step 2: the commit point — flip the signal rows + meta -----------
     sig_v = sig_table.latest_version()

@@ -148,10 +148,30 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
         return 0
     spark = get_spark("rwv-maintain")
     if args.all:
+        # single-structure-only flags would be silently meaningless over
+        # a sweep (round-12 review) — refuse instead of ignoring
+        for flag, name in (
+            (args.rebuild_to, "--rebuild-to"),
+            (args.dedup_store, "--dedup-store"),
+            (args.build_band_index, "--build-band-index"),
+        ):
+            if flag:
+                print(
+                    f"maintain --all does not accept {name} (it targets "
+                    "one structure) — run it against that structure's "
+                    "path directly",
+                    file=sys.stderr,
+                )
+                return 2
         from readwise_vector_db_spark.maintenance import maintain_all
 
         for rec in maintain_all(
-            spark, args.path, execute=not args.dry_run,
+            spark, args.path,
+            policy=MaintenancePolicy(
+                tombstone_frac_max=args.tombstone_frac_max,
+                drift_ratio_max=args.drift_ratio_max,
+            ),
+            execute=not args.dry_run,
             sample_fraction=args.sample_fraction, lease_wait=args.wait,
         ):
             print(json.dumps(rec))

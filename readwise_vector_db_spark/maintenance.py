@@ -363,12 +363,23 @@ def discover_structures(root: str) -> list[tuple[str, str]]:
     checkpoints) are the structure's own business.  Deterministic
     order (sorted walk) so successive ``maintain --all`` passes repair
     in a stable sequence."""
+    from readwise_vector_db_spark.layout import LayoutVersionError
+
     found: list[tuple[str, str]] = []
     for dirpath, dirnames, filenames in os.walk(root):
         dirnames.sort()
         kind = None
         if "layout.json" in filenames:
-            stamp = read_stamp(dirpath) or {}
+            try:
+                stamp = read_stamp(dirpath) or {}
+            except LayoutVersionError:
+                # a torn/mid-write stamp is precisely the state a
+                # sweeping janitor must tolerate (round-12 review):
+                # surface it as its own kind instead of aborting the
+                # whole walk
+                dirnames[:] = []
+                found.append((dirpath, "unreadable"))
+                continue
             if stamp.get("family") in ("pq", "ivf", "ivfpq"):
                 kind = "index"
         elif "_LATEST" in filenames:
@@ -411,33 +422,56 @@ def maintain_all(
     The autovacuum loop at scale is this function on a schedule: each
     pass fixes at most one thing per structure, and the next pass
     re-measures — convergence by successive passes, per-structure."""
+    from readwise_vector_db_spark.layout import LayoutVersionError
+
+    def skip_rec(kind: str, action: str, why: str, advice: str) -> dict:
+        return {
+            "ts": time.time(),
+            "family": kind,
+            "action": action,
+            "executed": False,
+            "measurements": {},
+            "policy": {},
+            "result": {"error": why},
+            "recommendations": [advice],
+        }
+
     results: list[dict] = []
     for path, kind in discover_structures(root):
-        try:
-            if kind == "index":
-                rec = maintain_index(
-                    spark, path, policy=policy, execute=execute,
-                    sample_fraction=sample_fraction, lease_wait=lease_wait,
-                )
-            else:
-                rec = maintain_dedup_store(
-                    spark, path, policy=store_policy, execute=execute,
-                    lease_wait=lease_wait,
-                )
-        except MaintenanceBusy as e:
-            rec = {
-                "ts": time.time(),
-                "family": kind,
-                "action": "skipped_busy",
-                "executed": False,
-                "measurements": {},
-                "policy": {},
-                "result": {"error": str(e)},
-                "recommendations": [
+        if kind == "unreadable":
+            rec = skip_rec(
+                kind, "skipped_unreadable",
+                "layout.json is torn or unreadable",
+                "the stamp may be mid-write — re-run the sweep; if it "
+                "persists, rebuild or migrate_layout() the structure",
+            )
+        else:
+            try:
+                if kind == "index":
+                    rec = maintain_index(
+                        spark, path, policy=policy, execute=execute,
+                        sample_fraction=sample_fraction,
+                        lease_wait=lease_wait,
+                    )
+                else:
+                    rec = maintain_dedup_store(
+                        spark, path, policy=store_policy, execute=execute,
+                        lease_wait=lease_wait,
+                    )
+            except MaintenanceBusy as e:
+                rec = skip_rec(
+                    kind, "skipped_busy", str(e),
                     "another maintainer holds this structure's lease — "
-                    "re-run the sweep later"
-                ],
-            }
+                    "re-run the sweep later",
+                )
+            except (LayoutVersionError, ValueError, OSError) as e:
+                # one sick structure must not abort the estate sweep —
+                # record it loudly and keep going (round-12 review)
+                rec = skip_rec(
+                    kind, "skipped_error", f"{type(e).__name__}: {e}",
+                    "maintain this structure individually to see the "
+                    "full error",
+                )
         rec = dict(rec)
         rec["path"] = path
         results.append(rec)

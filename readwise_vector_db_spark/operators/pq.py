@@ -887,6 +887,31 @@ def _recover_codes_dir(path: str, subdir: str = "codes") -> None:
         _os.rename(max(olds, key=_os.path.getmtime), f"{path}/{subdir}")
 
 
+def _swap_in_stage(path: str, subdir: str, stage_name: str) -> None:
+    """Commit a fully-written stage dir over ``{path}/{subdir}`` with
+    the crash-ordered double rename: intent marker (atomic write) →
+    rename old away → rename stage in → remove intent → drop old.  A
+    crash anywhere resolves deterministically via
+    :func:`_recover_codes_dir` (roll FORWARD only to the intent-named
+    stage; roll back otherwise).  Shared by the codes compaction and
+    the reservoir purge — one hand-maintained copy of the
+    crash-ordering-critical sequence (round-12 review)."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    intent = _swap_intent_path(path, subdir)
+    tmp = f"{intent}.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(stage_name)
+    _os.replace(tmp, intent)
+    old = f"{path}/.{subdir}_old_{_time.time_ns()}_{_os.getpid()}"
+    _os.rename(f"{path}/{subdir}", old)
+    _os.rename(f"{path}/{stage_name}", f"{path}/{subdir}")
+    _os.remove(intent)
+    _shutil.rmtree(old, ignore_errors=True)
+
+
 def _clean_orphan_stage_dirs(path: str, subdir: str) -> None:
     """Remove aborted stage/old dirs and stale intent markers.  Only
     safe to call when ``{path}/{subdir}`` exists (it is the authority)
@@ -943,6 +968,13 @@ def _compact_index_locked(
     import time as _time
 
     _recover_codes_dir(path, subdir)
+    # an interrupted RESERVOIR purge must also self-heal BEFORE the
+    # tombstone accounting below (round-12 review): if the reservoir
+    # were left swapped-away, the purge block's isdir gate would skip
+    # it while the final loop still dropped the tombstone files —
+    # deleted ids' raw vectors retained forever and resurrectable
+    if subdir == "codes":
+        _recover_codes_dir(path, "reservoir")
     # codes exists now and we are the single writer: aborted stage/old
     # dirs from prior crashed runs (any pid) are garbage — clear them so
     # they can never be mistaken for a committed stage later
@@ -965,19 +997,9 @@ def _compact_index_locked(
         w = w.partitionBy("cluster")
     w.parquet(stage)
     n = spark.read.parquet(stage).count()
-    # commit marker: recovery only ever rolls FORWARD to the stage named
-    # here — written atomically so a crash anywhere in the swap window
-    # resolves deterministically (see _recover_codes_dir)
-    intent = _swap_intent_path(path, subdir)
-    tmp = f"{intent}.tmp.{_os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(stage_name)
-    _os.replace(tmp, intent)
-    old = f"{path}/.{subdir}_old_{_time.time_ns()}_{_os.getpid()}"
-    _os.rename(f"{path}/{subdir}", old)
-    _os.rename(stage, f"{path}/{subdir}")
-    _os.remove(intent)
-    _shutil.rmtree(old, ignore_errors=True)
+    # commit the stage: recovery only ever rolls FORWARD to the stage
+    # named in the intent marker (see _recover_codes_dir / _swap_in_stage)
+    _swap_in_stage(path, subdir, stage_name)
     # Physically purge tombstoned rows from the raw-vector reservoir too
     # (round 12) — the reservoir stores RAW vectors, so leaving deleted
     # rows' bytes behind would break the right-to-be-forgotten contract
@@ -997,16 +1019,7 @@ def _compact_index_locked(
         meta_src = f"{path}/reservoir/_meta.json"
         if _os.path.isfile(meta_src):
             _shutil.copy(meta_src, f"{path}/{rstage_name}/_meta.json")
-        rintent = _swap_intent_path(path, "reservoir")
-        rtmp = f"{rintent}.tmp.{_os.getpid()}"
-        with open(rtmp, "w") as f:
-            f.write(rstage_name)
-        _os.replace(rtmp, rintent)
-        rold = f"{path}/.reservoir_old_{_time.time_ns()}_{_os.getpid()}"
-        _os.rename(f"{path}/reservoir", rold)
-        _os.rename(f"{path}/{rstage_name}", f"{path}/reservoir")
-        _os.remove(rintent)
-        _shutil.rmtree(rold, ignore_errors=True)
+        _swap_in_stage(path, "reservoir", rstage_name)
     for fp_ in pre_files:
         try:
             _os.remove(fp_)
@@ -1378,9 +1391,12 @@ def _load_reservoir(spark, path: str) -> DataFrame | None:
 
     from pyspark.sql.window import Window
 
-    per_cell = reservoir_per_cell(path)
     rdir = f"{path}/reservoir"
     _recover_codes_dir(path, "reservoir")  # self-heal an interrupted purge swap
+    # meta read AFTER the recovery (round-12 review): mid-swap the dir —
+    # and the _meta.json inside it — is absent, and a pre-recovery read
+    # would report 'no reservoir' for a layout that has one
+    per_cell = reservoir_per_cell(path)
     if per_cell is None or not _os.path.isdir(rdir):
         return None
     df = _apply_tombstones(spark, path, spark.read.parquet(rdir))

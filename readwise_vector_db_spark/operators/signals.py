@@ -194,6 +194,7 @@ def quality_drift_gate(
     max_dup_frac_delta: float = 0.15,
     max_rep_bad_delta: float = 0.2,
     min_ref: int = 2,
+    max_ppl_null_delta: float = 0.3,
 ) -> None:
     """Trip when ``summary`` (one batch's :func:`quality_signal_summary`
     row as a dict) shifts beyond the declared band vs the MEDIAN of the
@@ -205,7 +206,14 @@ def quality_drift_gate(
     - ``dup_frac_p90`` more than ``max_dup_frac_delta`` ABOVE reference
       (a source turned spammy floods repeated windows — absolute delta,
       not ratio: the healthy value is often ~0);
-    - ``rep_bad_frac`` more than ``max_rep_bad_delta`` above reference.
+    - ``rep_bad_frac`` more than ``max_rep_bad_delta`` above reference;
+    - ``ppl_null_frac`` more than ``max_ppl_null_delta`` ABOVE reference
+      (round 12 — found by the planted-drift soak's failure analysis: a
+      batch of DEGENERATE docs — empty bodies, single tokens, the
+      classic crawler regression — scores ppl NULL per doc (no bigram
+      evidence) and its repetition/dup signals are NULL too (their ≥3-
+      token domain), so ``ppl_p50`` goes NULL and NO other band can
+      fire; the null FRACTION is the only statistic that sees it).
 
     Fewer than ``min_ref`` reference batches → warm-up, no gate (the
     first batches DEFINE normal).  Pure driver-side arithmetic over
@@ -219,7 +227,7 @@ def quality_drift_gate(
         return
     ref = {
         k: _median([float(r[k]) for r in reference if r.get(k) is not None])
-        for k in ("ppl_p50", "dup_frac_p90", "rep_bad_frac")
+        for k in ("ppl_p50", "dup_frac_p90", "rep_bad_frac", "ppl_null_frac")
         if any(r.get(k) is not None for r in reference)
     }
     breaches = []
@@ -248,6 +256,16 @@ def quality_drift_gate(
                 f"{float(s_rep) - ref['rep_bad_frac']:.3f} above the "
                 f"reference median {ref['rep_bad_frac']:.3f} "
                 f"(limit +{max_rep_bad_delta})"
+            )
+    s_null = summary.get("ppl_null_frac")
+    if s_null is not None and "ppl_null_frac" in ref:
+        if float(s_null) - ref["ppl_null_frac"] > max_ppl_null_delta:
+            breaches.append(
+                f"ppl_null_frac {float(s_null):.3f} is "
+                f"{float(s_null) - ref['ppl_null_frac']:.3f} above the "
+                f"reference median {ref['ppl_null_frac']:.3f} "
+                f"(limit +{max_ppl_null_delta}) — docs the frozen LM "
+                "cannot score at all: fully out-of-vocabulary content"
             )
     if breaches:
         raise QualityDriftError(

@@ -1075,6 +1075,35 @@ def test_streaming_quality_gate_quarantines_spam_batch(spark, tmp_path):
     assert not metas[3]["quarantined"]
 
 
+def test_quality_drift_gate_trips_on_degenerate_batch():
+    """Round 12 — found by the planted-drift soak's failure analysis
+    (tools/bench_gate_soak.py): a batch of DEGENERATE docs (empty
+    bodies / single tokens — a crawler regression) scores ppl NULL per
+    doc, and its repetition/dup signals are NULL too, so NO band could
+    fire — the batch was invisible to the gate.  The ppl_null_frac band
+    closes it; behavior pinned with the band on, off, and under it."""
+    from readwise_vector_db_spark.operators.signals import (
+        QualityDriftError,
+        quality_drift_gate,
+    )
+
+    refs = [
+        {"ppl_p50": 10.0, "dup_frac_p90": 0.0, "rep_bad_frac": 0.0,
+         "ppl_null_frac": 0.0}
+        for _ in range(3)
+    ]
+    oov = {"ppl_p50": None, "dup_frac_p90": 0.0, "rep_bad_frac": 0.0,
+           "ppl_null_frac": 1.0}
+    with pytest.raises(QualityDriftError, match="ppl_null_frac"):
+        quality_drift_gate(oov, refs)
+    # band disabled → the pre-fix blindness, reproducible on demand
+    quality_drift_gate(oov, refs, max_ppl_null_delta=2.0)
+    # a batch with SOME unscorable docs under the band sails through
+    quality_drift_gate(
+        {**oov, "ppl_p50": 11.0, "ppl_null_frac": 0.2}, refs
+    )
+
+
 def test_readmit_quarantined_end_to_end(spark, tmp_path):
     """Round 12 (r11 verdict item 2): a batch quarantined under a tight
     band is READMITTED under the retuned band — the replayed cut lands
@@ -1179,6 +1208,14 @@ def test_readmit_quarantined_end_to_end(spark, tmp_path):
     res2 = readmit_quarantined(spark, store_root, out_dir, 2, gate=loose)
     assert res2["status"] == "skipped"
 
+    # a PREVIOUS incarnation's batch may not replay into out_dir (its
+    # batch=<id> partition belongs to the current run — round-12
+    # review); an explicit replay_out_dir is demanded up front
+    with pytest.raises(ValueError, match="PREVIOUS stream incarnation"):
+        readmit_quarantined(
+            spark, store_root, out_dir, 2, gate=loose, run_id="ghost"
+        )
+
     # exactly-once survives the supersede: a redelivery of batch 2
     # still skips, now carrying the admitted verdict...
     spam_df = spark.createDataFrame(batches[2], schema)
@@ -1205,6 +1242,54 @@ def test_readmit_quarantined_end_to_end(spark, tmp_path):
         batch_id=4, run_id=run_id, gate={**loose, "on_drift": "raise"},
     )
     assert nxt["status"] == "committed"
+
+
+def test_readmit_standalone_store_without_checkpoint(spark, tmp_path):
+    """Round-12 review: a store populated by STANDALONE
+    commit_batch_signals calls (no stream, run_id=None) has no
+    checkpoint — readmission must neither mint one as a side effect nor
+    demand a commits/<id> entry that can never exist."""
+    import os
+
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        commit_batch_rows,
+        commit_batch_signals,
+        readmit_quarantined,
+    )
+
+    store_root = str(tmp_path / "sa_store")
+    out_dir = str(tmp_path / "sa_out")
+    table = VersionedTable(store_root)
+    sig_table = VersionedTable(f"{out_dir}_signals")
+    rows = [(i, " ".join(f"sa{i}w{j}" for j in range(20))) for i in range(6)]
+    model = _lm_for(spark, rows)
+    gate = {"min_ref": 2, "on_drift": "quarantine"}
+    for b in range(2):
+        assert commit_batch_signals(
+            spark, spark.createDataFrame(rows, "doc_id long, text string"),
+            table, sig_table, model, batch_id=b, gate=gate,
+        )["status"] == "committed"
+    spam = spark.createDataFrame(
+        [(900 + i, " ".join(["junk spam junk"] * 12) + f" uq{i}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    q = commit_batch_signals(
+        spark, spam, table, sig_table, model, batch_id=2, gate=gate,
+    )
+    assert q["status"] == "quarantined"
+    commit_batch_rows(spam, VersionedTable(f"{out_dir}_quarantine"), 2)
+
+    loose = {
+        "min_ref": 2, "max_ppl_ratio": 1e6,
+        "max_dup_frac_delta": 1.0, "max_rep_bad_delta": 1.0,
+        "max_ppl_null_delta": 1.0,
+    }
+    res = readmit_quarantined(spark, store_root, out_dir, 2, gate=loose)
+    assert res["status"] == "readmitted"
+    assert res["rows_readmitted"] == 6
+    # no checkpoint dir was invented for the standalone store
+    assert not os.path.isdir(f"{store_root}/_stream_checkpoint")
 
 
 def test_readmit_refuses_uncommitted_batch(spark, tmp_path):

@@ -708,6 +708,40 @@ def test_reservoir_tombstones_and_compaction_purge(spark, tmp_path):
     assert pq._load_reservoir(spark, path).count() > 0
 
 
+def test_compaction_recovers_interrupted_reservoir_purge(spark, tmp_path):
+    """Round-12 review: a crash between the reservoir purge's two
+    renames must not let the NEXT compaction skip the purge (its isdir
+    gate would see no reservoir) while still dropping the tombstone
+    files — that would retain deleted ids' raw vectors forever and
+    resurrect them on rebuild.  Compaction now self-heals the
+    interrupted swap first, so the purge completes."""
+    import shutil
+
+    path, base_df, base, d, n = _bounded_layout(spark, tmp_path)
+    victims = [
+        int(r["vec_id"])
+        for r in pq._load_reservoir(spark, path).limit(4).collect()
+    ]
+
+    # simulate the crash window: stage fully written + intent committed,
+    # reservoir renamed away, stage NOT yet renamed in
+    stage_name = ".reservoir_compact_999_1"
+    shutil.copytree(f"{path}/reservoir", f"{path}/{stage_name}")
+    with open(f"{path}/.reservoir_swap_intent", "w") as f:
+        f.write(stage_name)
+    os.rename(f"{path}/reservoir", f"{path}/.reservoir_old_999_1")
+
+    pq.delete_from_index(spark, path, victims)
+    pq.compact_index(spark, path)
+
+    raw = spark.read.parquet(f"{path}/reservoir")  # bypasses tombstones
+    from pyspark.sql import functions as F
+
+    assert raw.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert pq.reservoir_per_cell(path) == 40  # meta survived the recovery
+
+
 def test_maintain_index_rebuild_executes_for_ivfpq(spark, tmp_path):
     """The r11 verdict's top item, end-to-end: a whole-distribution
     drifted ivfpq layout's policy decision 'rebuild' EXECUTES blue/green
