@@ -133,6 +133,7 @@ HEADLINE = [
     "doc_quality_signals",  # round-10 fused per-doc signal row
     "quality_signal_summary",  # round-11 gate statistic (one bounded row)
     "quality_model_scores",    # round-11 artifact-scored LR classifier
+    "dedup_exact_nfc",         # round-12 Unicode-normalized fingerprint fold
 
     "multimodal_features",
     "upsert_merge",
@@ -226,6 +227,7 @@ def _setup_and_measure(run_idx: int) -> dict:
             "doc_quality_signals",
             "quality_signal_summary",
             "quality_model_scores",
+            "dedup_exact_nfc",
         )
     ]
     assert not off_surface, f"bench names not on the driver surface: {off_surface}"

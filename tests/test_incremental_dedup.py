@@ -1069,6 +1069,12 @@ def test_streaming_quality_gate_quarantines_spam_batch(spark, tmp_path):
     metas = {m["batch_id"]: m for _, m in sig_table.commit_metas()}
     assert set(metas) == {0, 1, 2, 3}
     assert metas[2]["quarantined"] and not metas[0]["quarantined"]
+    # the WHY rides the meta (round 12): the breached band by name
+    assert any(
+        band in metas[2]["quarantine_reason"]
+        for band in ("dup_frac", "ppl", "rep_bad")
+    )
+    assert "quarantine_reason" not in metas[0]
     # the spam batch's windows never reached the fingerprint store: a
     # clean batch's dup signal vs the store stays 0 for spam-free text,
     # and batch 3 committed normally after the quarantine

@@ -278,7 +278,12 @@ def test_maintain_codes_only_recluster_improves_not_restores(spark, ivfpq_layout
 
     before = gate_ratio()
     assert before > 4.0  # badly drifted
-    for _ in range(5):  # codes-only: no drifted_vecs hint
+    # codes-only: no drifted_vecs hint.  8 rounds of headroom: the
+    # r12 interpolated median (ADVICE fix) anchors the self-calibrated
+    # baseline slightly lower than the old upper-median, which flags
+    # one borderline cell longer — measured convergence moved 5→6
+    # rounds on this fixture
+    for _ in range(8):
         if maintain_index(spark, path)["action"] == "none":
             break
     else:
