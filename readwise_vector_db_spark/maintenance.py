@@ -501,6 +501,7 @@ def maintain_index(
     drifted_vecs: DataFrame | None = None,
     rebuild_to: str | None = None,
     lease_wait: float = 0.0,
+    raw_vecs: DataFrame | None = None,
 ) -> dict:
     """Autovacuum for a persisted index layout: measure health, pick ONE
     action — ``none`` / ``compact`` / ``recluster`` / ``rebuild`` —
@@ -647,7 +648,7 @@ def maintain_index(
                 execute
                 and rebuild_to is not None
                 and family == "ivfpq"
-                and reservoir_bound is not None
+                and (reservoir_bound is not None or raw_vecs is not None)
             ):
                 from readwise_vector_db_spark.operators.pq import (
                     _rebuild_ivfpq_locked,
@@ -655,9 +656,14 @@ def maintain_index(
 
                 # executable since round 12: the layout's raw-vector
                 # reservoir (save_ivfpq_index(reservoir_per_cell=))
-                # retrains centroids + codebooks blue/green — see
-                # rebuild_ivfpq_index for the bias story and bounds
-                result = _rebuild_ivfpq_locked(spark, path, rebuild_to)
+                # retrains centroids + codebooks blue/green; raw_vecs=
+                # (the base table) upgrades it to the full-fidelity
+                # REINDEX mode — see rebuild_ivfpq_index for the bias
+                # story and bounds
+                result = _rebuild_ivfpq_locked(
+                    spark, path, rebuild_to, raw_vecs=raw_vecs,
+                    vec_col=vec_col,
+                )
                 executed = True
                 recommendations.append(
                     f"rebuilt blue/green at {rebuild_to!r} from the "

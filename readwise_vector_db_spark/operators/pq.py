@@ -2320,6 +2320,8 @@ def rebuild_ivfpq_index(
     rebuild_to: str,
     seed: int = 7,
     lease_wait: float = 0.0,
+    raw_vecs: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> dict:
     """Blue/green retrain of an ivfpq layout from its raw-vector
     reservoir (round 12 — r11 verdict item 1; the ivfpq twin of
@@ -2361,15 +2363,41 @@ def rebuild_ivfpq_index(
     resurrect from the reservoir; the NEW layout starts tombstone-free.
 
     Requires a reservoir (``save_ivfpq_index(reservoir_per_cell=)``);
-    raises ValueError with guidance for pre-round-12 layouts."""
+    raises ValueError with guidance for pre-round-12 layouts.
+
+    **Full-fidelity mode** (``raw_vecs=`` — round-12 residue item 1):
+    when the caller can hand over the base table's raw vectors (in
+    this engine the index is DERIVED — the corpus table always holds
+    the raw embeddings), every index row re-encodes from its TRUE
+    vector and the model trains on the raw corpus: the transcode bound
+    disappears and the result is a full retrain executed through the
+    same blue/green maintenance path — the closest analogue to
+    Postgres REINDEX the reference gets for free
+    (``/root/reference/alembic/versions/6e900a582819_create_initial_tables.py:43-50``).
+    Cost is a corpus scan + two corpus-sized joins (membership
+    semi-join + fallback anti-join) — the REINDEX price; the
+    reservoir path stays the self-contained cheap route.  Index rows
+    whose ids are absent from ``raw_vecs`` (base-table deletes that
+    never reached the index) fall back to reservoir/transcode, so the
+    rebuild never invents or drops rows; the rebuilt layout still
+    captures a fresh reservoir for its own future self-contained
+    rebuilds."""
     from readwise_vector_db_spark.layout import maintenance_lease
 
     with maintenance_lease(path, "rebuild", wait=lease_wait):
-        return _rebuild_ivfpq_locked(spark, path, rebuild_to, seed)
+        return _rebuild_ivfpq_locked(
+            spark, path, rebuild_to, seed, raw_vecs=raw_vecs,
+            vec_col=vec_col,
+        )
 
 
 def _rebuild_ivfpq_locked(
-    spark, path: str, rebuild_to: str, seed: int = 7
+    spark,
+    path: str,
+    rebuild_to: str,
+    seed: int = 7,
+    raw_vecs: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> dict:
     from readwise_vector_db_spark.operators.similarity import build_ivf_index
 
@@ -2377,24 +2405,51 @@ def _rebuild_ivfpq_locked(
     rotation = load_rotation(spark, path)
     per_cell = reservoir_per_cell(path)
     res = _load_reservoir(spark, path)
-    if res is None:
+    if res is None and raw_vecs is None:
         raise ValueError(
             f"rebuild_ivfpq_index: layout at {path!r} has no raw-vector "
             "reservoir — PQ codebooks cannot retrain from codes without "
             "compounding quantization bias (measured bound in "
             "maintain_index's docstring).  Rebuild the layout once from "
             "the raw corpus with save_ivfpq_index(reservoir_per_cell=...) "
-            "to arm future rebuilds"
+            "to arm future rebuilds, or pass raw_vecs= (the base table) "
+            "for a full-fidelity rebuild"
         )
     id_col = next(c for c in codes.columns if c not in ("cluster", "pq_code"))
-    res = res.persist()
+    exact_raw = None
+    if raw_vecs is not None:
+        # full-fidelity mode: every index id present in the base table
+        # re-encodes from its TRUE vector; the membership semi-join also
+        # keeps base-table rows that never reached the index OUT of the
+        # rebuild (an index rebuild must not ingest)
+        exact_raw = (
+            raw_vecs.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<float>").alias("vec"),
+            )
+            .filter(F.col("vec").isNotNull())
+            .join(codes.select(id_col), on=id_col, how="left_semi")
+        )
+    if res is not None:
+        res = res.persist()
     try:
-        n_reservoir = res.count()
-        if n_reservoir == 0:
+        n_reservoir = int(res.count()) if res is not None else 0
+        if exact_raw is not None:
+            exact_raw = exact_raw.persist()
+            n_exact = exact_raw.count()
+            if n_exact == 0:
+                raise ValueError(
+                    "rebuild_ivfpq_index: raw_vecs shares no ids with the "
+                    f"index (id_col {id_col!r}) — wrong table or id column"
+                )
+        elif n_reservoir == 0:
             raise ValueError(
                 "rebuild_ivfpq_index: reservoir is empty (all rows "
-                "tombstoned?) — retrain from the raw corpus"
+                "tombstoned?) — retrain from the raw corpus (raw_vecs=)"
             )
+        # exact-vector source: the base table when given, else the
+        # reservoir; the model trains on it and its rows re-encode true
+        exact_src = exact_raw if exact_raw is not None else res
         # per-capture-cell mean raw norms: the scale repair for decoded
         # (unit-norm) reconstructions before raw-euclidean re-assignment
         norm_expr = F.sqrt(
@@ -2404,31 +2459,41 @@ def _rebuild_ivfpq_locked(
                 lambda acc, x: acc + x.cast("double") * x.cast("double"),
             )
         )
-        scale_rows = (
-            res.select("cluster", norm_expr.alias("_n"))
-            .groupBy("cluster")
-            .agg(F.avg("_n").alias("s"))
-            .collect()
-        )
-        scales = {int(r["cluster"]): float(r["s"]) for r in scale_rows}
-        global_scale = sum(scales.values()) / max(1, len(scales))
+        if res is not None:
+            scale_rows = (
+                res.select("cluster", norm_expr.alias("_n"))
+                .groupBy("cluster")
+                .agg(F.avg("_n").alias("s"))
+                .collect()
+            )
+            scales = {int(r["cluster"]): float(r["s"]) for r in scale_rows}
+            global_scale = sum(scales.values()) / max(1, len(scales))
+        else:
+            scales = {}
+            global_scale = float(
+                exact_src.agg(F.avg(norm_expr)).first()[0] or 1.0
+            )
 
-        # --- new model, trained on RAW reservoir vectors only ------------
-        # (drop the capture-time cluster tag: build_ivf_index predicts
+        # --- new model, trained on RAW vectors only ----------------------
+        # (drop any capture-time cluster tag: build_ivf_index predicts
         # into a "cluster" column of its own)
+        train_src = exact_src
+        for c in ("cluster", "w"):
+            if c in train_src.columns:
+                train_src = train_src.drop(c)
         _, new_cents = build_ivf_index(
-            res.drop("cluster", "w"), n_clusters=len(centroids),
+            train_src, n_clusters=len(centroids),
             id_col=id_col, vec_col="vec", seed=seed,
         )
         m, k = len(books), int(books[0].shape[0])
         if rotation is not None:
             new_rot, new_books = train_opq(
-                res, m=m, k=k, vec_col="vec", seed=seed
+                train_src, m=m, k=k, vec_col="vec", seed=seed
             )
         else:
             new_rot = None
             new_books = train_pq_codebooks(
-                res, m=m, k=k, vec_col="vec", seed=seed
+                train_src, m=m, k=k, vec_col="vec", seed=seed
             )
 
         # --- corpus in raw space: reservoir exact, the rest transcoded ---
@@ -2465,9 +2530,15 @@ def _rebuild_ivfpq_locked(
             .mapInPandas(decode, schema=dec_schema)
             .select(F.col("rid").alias(id_col), "vec")
         )
-        raw = res.select(id_col, "vec")
+        raw = exact_src.select(id_col, "vec")
+        raw_ids = raw.select(id_col)
+        if exact_raw is None:
+            # the reservoir is ≪ corpus by construction — broadcast the
+            # anti-join; the base table is NOT (corpus-sized membership
+            # join, the stated REINDEX price)
+            raw_ids = F.broadcast(raw_ids)
         corpus = decoded.join(
-            F.broadcast(raw.select(id_col)), on=id_col, how="left_anti"
+            raw_ids, on=id_col, how="left_anti"
         ).unionByName(raw)
         new_codes = ivfpq_encode(
             corpus, new_cents, new_books, id_col=id_col, vec_col="vec",
@@ -2475,18 +2546,26 @@ def _rebuild_ivfpq_locked(
         )
         save_ivfpq_index(
             new_codes, new_cents, new_books, rebuild_to,
-            base_vecs=res, vec_col="vec", rotation=new_rot,
-            id_col=id_col, reservoir_per_cell=per_cell,
+            base_vecs=exact_src, vec_col="vec", rotation=new_rot,
+            id_col=id_col, reservoir_per_cell=int(per_cell or 256),
         )
     finally:
-        res.unpersist()
-    return {
+        if res is not None:
+            res.unpersist()
+        if exact_raw is not None:
+            exact_raw.unpersist()
+    out = {
+        "mode": "raw" if exact_raw is not None else "reservoir",
         "rebuilt_to": rebuild_to,
         "n_clusters": len(new_cents),
         "rows": spark.read.parquet(f"{rebuild_to}/codes").count(),
         "reservoir_rows": int(n_reservoir),
-        "reservoir_per_cell": int(per_cell),
+        "reservoir_per_cell": int(per_cell or 256),
     }
+    if exact_raw is not None:
+        out["raw_rows"] = int(n_exact)
+        out["transcoded_rows"] = int(out["rows"]) - int(n_exact)
+    return out
 
 
 def _dir_bytes(path: str) -> int:

@@ -830,6 +830,21 @@ def test_maintain_index_rebuild_executes_for_ivfpq(spark, tmp_path):
     assert r_new >= r_old + 0.1, (r_old, r_new)
     assert r_new >= 0.6, (r_old, r_new)
 
+    # full-fidelity mode (round-12 residue item 1): handing the base
+    # table's raw vectors removes the transcode bound — recall reaches
+    # the full-retrain regime, above the reservoir rebuild's
+    out_raw = str(tmp_path / "ivfpq_rebuilt_raw")
+    rec_raw = maintain_index(
+        spark, path, policy=MaintenancePolicy(rebuild_cell_frac=0.0),
+        rebuild_to=out_raw, raw_vecs=corpus_df,
+    )
+    assert rec_raw["executed"] and rec_raw["result"]["mode"] == "raw"
+    assert rec_raw["result"]["transcoded_rows"] == 0  # every id present
+    r_raw = recall10(out_raw)
+    print(f"ivfpq rebuild recall@10 raw mode: {r_raw}")
+    assert r_raw >= r_new - 0.02, (r_new, r_raw)  # ≥ reservoir mode
+    assert r_raw >= 0.8, r_raw                    # full-retrain regime
+
     # the NEW layout's gate accepts the drifted distribution (fresh
     # perturbed draws, not the appended rows) — the old layout rejected
     # this distribution outright
