@@ -856,6 +856,46 @@ def batch_quality_signals(
     return _join_signals(per_doc, dup, id_col)
 
 
+_GATE_BAND_KEYS = (
+    "max_ppl_ratio", "max_dup_frac_delta",
+    "max_rep_bad_delta", "min_ref", "max_ppl_null_delta",
+)
+
+
+def _gate_anchor_path(root: str) -> str:
+    import os as _os
+
+    return _os.path.join(root, "_gate_anchor.json")
+
+
+def _read_gate_anchor(root: str) -> list[dict]:
+    import json as _json
+
+    try:
+        with open(_gate_anchor_path(root)) as f:
+            return list(_json.load(f)["summaries"])
+    except (OSError, KeyError, ValueError):
+        return []
+
+
+def _append_gate_anchor(root: str, summary: dict, anchor_n: int) -> None:
+    """Record an ACCEPTED batch's summary into the table's frozen
+    anchor until ``anchor_n`` are captured — single-writer streams are
+    the store's documented regime, so read-modify-write + atomic
+    replace suffices; once full the file never changes again."""
+    import json as _json
+    import os as _os
+
+    cur = _read_gate_anchor(root)
+    if len(cur) >= anchor_n:
+        return
+    cur.append(summary)
+    tmp = f"{_gate_anchor_path(root)}.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump({"summaries": cur, "n": int(anchor_n)}, f)
+    _os.replace(tmp, _gate_anchor_path(root))
+
+
 def commit_batch_signals(
     spark: SparkSession,
     batch: DataFrame,
@@ -901,6 +941,18 @@ def commit_batch_signals(
     Within a run batch ids are monotonic (Structured Streaming's
     contract), so the walk is newest-first with early stop — O(few)
     meta reads per batch, not O(all versions).
+
+    Slow drift (``gate={'anchor_n': N}`` — round 12): the rolling
+    reference median WALKS with any drift slower than the band per
+    window-length (the boiling-frog failure the residue list named).
+    ``anchor_n`` freezes the first N accepted summaries in
+    ``{sig_root}/_gate_anchor.json`` as the table's "original normal"
+    and checks every batch against their median too — same band unless
+    ``gate['anchor_band']`` overrides it (usually WIDER: legitimate
+    corpus evolution now has to be acknowledged by retuning, the
+    stated second-knob cost).  The anchor is cross-run on purpose — a
+    checkpoint reset rotates batch ids, not what normal means; retrain
+    the LM / delete the anchor file when normal legitimately moves.
 
     Quarantine (``gate={'on_drift': 'quarantine'}``): a tripped
     batch's rows STILL commit (flagged ``quarantined=True`` column +
@@ -970,14 +1022,7 @@ def commit_batch_signals(
         quarantined = False
         quarantine_reason = None
         if gate is not None:
-            band = {
-                k: gate[k]
-                for k in (
-                    "max_ppl_ratio", "max_dup_frac_delta",
-                    "max_rep_bad_delta", "min_ref", "max_ppl_null_delta",
-                )
-                if k in gate
-            }
+            band = {k: gate[k] for k in _GATE_BAND_KEYS if k in gate}
             try:
                 quality_drift_gate(summary, refs, **band)
             except QualityDriftError as drift:
@@ -988,6 +1033,34 @@ def commit_batch_signals(
                 # deciding whether to retune-and-readmit needs the
                 # breached band, not just the verdict
                 quarantine_reason = str(drift)
+            # cumulative anchor (round 12 — the boiling-frog guard): the
+            # rolling window's median WALKS with a drift slower than the
+            # band per window-length; gate["anchor_n"]=N additionally
+            # freezes the first N accepted summaries as "original
+            # normal" and checks every batch against THEIR median too
+            # (band overridable via gate["anchor_band"] — usually wider,
+            # the second knob the residue list priced in).  The anchor
+            # is deliberately cross-run: a checkpoint reset rotates
+            # batch ids, not what normal means.
+            anchor_n = int(gate.get("anchor_n", 0))
+            if anchor_n and not quarantined:
+                anchor = _read_gate_anchor(sig_table.root)
+                if len(anchor) >= anchor_n:
+                    a_band = dict(band)
+                    a_band.update(
+                        {
+                            k: v
+                            for k, v in gate.get("anchor_band", {}).items()
+                            if k in _GATE_BAND_KEYS
+                        }
+                    )
+                    try:
+                        quality_drift_gate(summary, anchor, **a_band)
+                    except QualityDriftError as drift:
+                        if gate.get("on_drift", "raise") != "quarantine":
+                            raise
+                        quarantined = True
+                        quarantine_reason = f"anchor: {drift}"
         v = sig_table.commit_append(
             sig.withColumn("quarantined", F.lit(quarantined))
             # run_id as a ROW column too (round 12): the readmission
@@ -1009,6 +1082,10 @@ def commit_batch_signals(
         )
         if retention is not None:
             sig_table.vacuum(keep=max(1, int(retention)))
+        if gate is not None and not quarantined:
+            anchor_n = int(gate.get("anchor_n", 0))
+            if anchor_n:
+                _append_gate_anchor(sig_table.root, summary, anchor_n)
     finally:
         sig.unpersist()
     return {
@@ -1228,14 +1305,7 @@ def readmit_quarantined(
             if len(refs) >= ref_window:
                 break
     refs.reverse()
-    band = {
-        k: gate[k]
-        for k in (
-            "max_ppl_ratio", "max_dup_frac_delta",
-            "max_rep_bad_delta", "min_ref", "max_ppl_null_delta",
-        )
-        if gate and k in gate
-    }
+    band = {k: gate[k] for k in _GATE_BAND_KEYS if gate and k in gate}
     quality_drift_gate(target["summary"], refs, **band)  # raises if drifted
 
     # --- step 1: replay the cut (pinned store snapshot) -------------------

@@ -1250,6 +1250,89 @@ def test_readmit_quarantined_end_to_end(spark, tmp_path):
     assert nxt["status"] == "committed"
 
 
+def test_anchor_gate_catches_slow_drift(spark, tmp_path):
+    """Round 12 (residue item 3): a drift SLOWER than the band per
+    window-length walks the rolling reference along with it — every
+    batch passes vs the recent median while the corpus cooks.  The
+    frozen anchor (first N accepted summaries) catches the cumulative
+    shift; the rolling-only control never trips."""
+    import numpy as np
+
+    from readwise_vector_db_spark.jobs.incremental_dedup import (
+        commit_batch_signals,
+    )
+    from readwise_vector_db_spark.operators.signals import QualityDriftError
+
+    # phrase-structured clean text (the soak's lesson: a bigram LM
+    # cannot anchor on structureless tokens) with doc-unique separators
+    # (no in-batch window repeats), drifted by swapping each token to an
+    # out-of-vocabulary one with probability 0.02·batch — slow enough
+    # that every step sits inside the band vs the walking median
+    prng = np.random.default_rng(17)
+    vocab = [f"an{i}" for i in range(60)]
+    phrases = [
+        " ".join(vocab[j] for j in prng.integers(0, 60, 5))
+        for _ in range(20)
+    ]
+    oov = [f"zz{i}" for i in range(200)]
+
+    def one_doc(did, f_oov):
+        # per-doc seeded rng: every run() sees the SAME stream
+        rng = np.random.default_rng(did * 7919 + int(f_oov * 10_000))
+        toks = []
+        for k, j in enumerate(rng.integers(0, len(phrases), 4)):
+            toks.extend(phrases[j].split())
+            toks.append(f"uq{did}x{k}")
+        return " ".join(
+            oov[int(rng.integers(0, 200))] if rng.random() < f_oov else t
+            for t in toks
+        )
+
+    def batch_rows(b, f_oov):
+        return [(1000 * b + i, one_doc(1000 * b + i, f_oov)) for i in range(6)]
+
+    schema = "doc_id long, text string"
+    model = _lm_for(
+        spark,
+        [(10_000 + i, one_doc(10_000 + i, 0.0)) for i in range(40)],
+        schema,
+    )
+
+    run_seq = [0]
+
+    def run(gate):
+        run_seq[0] += 1
+        table = VersionedTable(str(tmp_path / f"st_{run_seq[0]}"))
+        sig = VersionedTable(str(tmp_path / f"sg_{run_seq[0]}"))
+        tripped = []
+        for b in range(16):
+            res = commit_batch_signals(
+                spark,
+                spark.createDataFrame(batch_rows(b, 0.012 * b), schema),
+                table, sig, model, batch_id=b, gate=gate,
+            )
+            if res["status"] == "quarantined":
+                tripped.append(b)
+        return tripped
+
+    rolling_only = {
+        "min_ref": 2, "ref_window": 4, "on_drift": "quarantine",
+    }
+    # the frog boils: each step is inside the band vs the walking median
+    assert run(rolling_only) == []
+
+    with_anchor = {**rolling_only, "anchor_n": 3}
+    tripped = run(with_anchor)
+    # ...but the cumulative shift vs the FROZEN first-3 anchor trips,
+    # and stays tripped (the drift only grows)
+    assert tripped and all(b >= 4 for b in tripped)
+    assert tripped[-1] == 15
+
+    # raise mode surfaces the anchor breach loudly, named as such
+    with pytest.raises(QualityDriftError):
+        run({**rolling_only, "anchor_n": 3, "on_drift": "raise"})
+
+
 def test_readmit_standalone_store_without_checkpoint(spark, tmp_path):
     """Round-12 review: a store populated by STANDALONE
     commit_batch_signals calls (no stream, run_id=None) has no
