@@ -173,6 +173,7 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
             ),
             execute=not args.dry_run,
             sample_fraction=args.sample_fraction, lease_wait=args.wait,
+            max_parallel=args.parallel,
         ):
             print(json.dumps(rec))
         return 0
@@ -304,6 +305,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bound the health scan on huge layouts")
     mt.add_argument("--tombstone-frac-max", type=float, default=0.2)
     mt.add_argument("--drift-ratio-max", type=float, default=2.0)
+    mt.add_argument("--parallel", type=int, default=1,
+                    help="with --all: maintain up to N structures "
+                         "concurrently (per-structure leases keep them "
+                         "isolated)")
     mt.add_argument("--all", action="store_true",
                     help="treat --path as a ROOT: discover every index "
                          "layout and versioned store under it and run "

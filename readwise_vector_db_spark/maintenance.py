@@ -402,6 +402,7 @@ def maintain_all(
     execute: bool = True,
     sample_fraction: float = 1.0,
     lease_wait: float = 0.0,
+    max_parallel: int = 1,
 ) -> list[dict]:
     """ONE janitor pass over EVERY persisted structure under ``root``
     (round 12 — r11 verdict item 3: 'one janitor'): each discovered
@@ -414,10 +415,16 @@ def maintain_all(
     recommendations), each appended to the STRUCTURE's own
     ``maintenance_log.jsonl`` — the audit trail lives with the thing it
     describes; the returned list carries the same records plus their
-    ``path``.  Structures are maintained sequentially (one lease at a
-    time — a sweeping janitor must not contend with itself), and a
-    structure whose lease is busy is SKIPPED with a ``skipped_busy``
-    record rather than failing the sweep.
+    ``path``.  Structures are maintained sequentially by default (one
+    lease at a time — a small janitor must not contend with itself);
+    ``max_parallel=N`` (round 12 — residue item 4) runs up to N
+    structures concurrently from a thread pool: structures are disjoint
+    by discovery (recognized roots are never nested) and the
+    per-structure lease is thread-aware, so parallelism is pure wiring
+    — Spark schedules the threads' jobs concurrently.  Results stay in
+    discovery order either way.  A structure whose lease is busy is
+    SKIPPED with a ``skipped_busy`` record rather than failing the
+    sweep.
 
     The autovacuum loop at scale is this function on a schedule: each
     pass fixes at most one thing per structure, and the next pass
@@ -436,8 +443,7 @@ def maintain_all(
             "recommendations": [advice],
         }
 
-    results: list[dict] = []
-    for path, kind in discover_structures(root):
+    def one(path: str, kind: str) -> dict:
         if kind == "unreadable":
             rec = skip_rec(
                 kind, "skipped_unreadable",
@@ -474,8 +480,15 @@ def maintain_all(
                 )
         rec = dict(rec)
         rec["path"] = path
-        results.append(rec)
-    return results
+        return rec
+
+    found = discover_structures(root)
+    if max_parallel <= 1 or len(found) <= 1:
+        return [one(path, kind) for path, kind in found]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=int(max_parallel)) as pool:
+        return list(pool.map(lambda pk: one(*pk), found))
 
 
 def read_all_maintenance_logs(root: str) -> list[dict]:

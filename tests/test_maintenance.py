@@ -542,6 +542,17 @@ def test_cli_maintain_all_sweeps_every_structure(spark, tmp_path, capsys):
     assert by_path[ivfpq_path]["action"] == "none"
     assert by_path[store_root]["family"] == "dedup_store"
 
+    # a PARALLEL second sweep (round-12 residue item 4): per-structure
+    # leases isolate the workers; all three structures now read healthy
+    # and the results stay in discovery order
+    rc = cli.main(["maintain", "--path", root, "--all", "--parallel", "4"])
+    assert rc == 0
+    recs2 = [
+        _json.loads(ln) for ln in capsys.readouterr().out.splitlines() if ln
+    ]
+    assert [r["path"] for r in recs2] == sorted(r["path"] for r in recs2)
+    assert all(r["action"] in ("none", "rebuild_index") for r in recs2), recs2
+
     # the sweep-level log view: every structure's own log, annotated
     rc = cli.main(["maintain", "--path", root, "--all", "--log"])
     assert rc == 0
