@@ -1054,6 +1054,13 @@ def commit_batch_signals(
                             if k in _GATE_BAND_KEYS
                         }
                     )
+                    # the warm-up guard must not silently disable a
+                    # FULL anchor smaller than min_ref (second review):
+                    # fullness, not window size, is the anchor's
+                    # readiness condition
+                    a_band["min_ref"] = min(
+                        int(a_band.get("min_ref", 2)), int(anchor_n)
+                    )
                     try:
                         quality_drift_gate(summary, anchor, **a_band)
                     except QualityDriftError as drift:
@@ -1221,9 +1228,14 @@ def readmit_quarantined(
     )
     if run_id is _DERIVE_RUN:
         run_id = current_run
-    if ckpt_exists and not _os.path.isfile(
-        f"{checkpoint_dir}/commits/{int(batch_id)}"
+    if (
+        ckpt_exists
+        and run_id == current_run
+        and not _os.path.isfile(f"{checkpoint_dir}/commits/{int(batch_id)}")
     ):
+        # scoped to the CURRENT incarnation (round-12 second review): a
+        # previous run's batch ids mean nothing to this checkpoint's
+        # commits/ sequence — only the current run can still redeliver
         raise ValueError(
             f"readmit_quarantined: batch {batch_id} is not checkpoint-"
             "committed — a crashed stream may still redeliver it; wait "

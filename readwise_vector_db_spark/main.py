@@ -146,6 +146,13 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
             for rec in read_maintenance_log(args.path):
                 print(json.dumps(rec))
         return 0
+    if args.parallel != 1 and not args.all:
+        print(
+            "maintain --parallel applies only with --all (a single "
+            "structure is one lease, one maintainer)",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("rwv-maintain")
     if args.all:
         # single-structure-only flags would be silently meaningless over

@@ -678,10 +678,15 @@ def maintain_index(
                     vec_col=vec_col,
                 )
                 executed = True
+                src_txt = (
+                    "the base table's raw vectors (full-fidelity mode)"
+                    if result.get("mode") == "raw"
+                    else f"the {reservoir_bound}-per-cell raw reservoir"
+                )
                 recommendations.append(
-                    f"rebuilt blue/green at {rebuild_to!r} from the "
-                    f"{reservoir_bound}-per-cell raw reservoir — repoint "
-                    "serving and retire the drifted layout"
+                    f"rebuilt blue/green at {rebuild_to!r} from "
+                    f"{src_txt} — repoint serving and retire the "
+                    "drifted layout"
                 )
             elif execute and rebuild_to is not None and family == "ivf":
                 from readwise_vector_db_spark.operators.similarity import (

@@ -2403,8 +2403,12 @@ def _rebuild_ivfpq_locked(
 
     codes, centroids, books = load_ivfpq_index(spark, path)
     rotation = load_rotation(spark, path)
-    per_cell = reservoir_per_cell(path)
+    # _load_reservoir first: it self-heals an interrupted purge swap,
+    # and the meta must be read AFTER that recovery (second review — a
+    # pre-recovery read would fabricate the 256 default over the
+    # layout's configured bound)
     res = _load_reservoir(spark, path)
+    per_cell = reservoir_per_cell(path)
     if res is None and raw_vecs is None:
         raise ValueError(
             f"rebuild_ivfpq_index: layout at {path!r} has no raw-vector "
@@ -2531,6 +2535,17 @@ def _rebuild_ivfpq_locked(
             .select(F.col("rid").alias(id_col), "vec")
         )
         raw = exact_src.select(id_col, "vec")
+        n_res_extra = 0
+        if exact_raw is not None and res is not None:
+            # reservoir-exact fallback (second review): an index id the
+            # base table no longer serves may still have its TRUE raw
+            # vector in the reservoir — prefer it over the transcode
+            res_extra = res.select(id_col, "vec").join(
+                raw.select(id_col), on=id_col, how="left_anti"
+            )
+            n_res_extra = res_extra.count()
+            if n_res_extra:
+                raw = raw.unionByName(res_extra)
         raw_ids = raw.select(id_col)
         if exact_raw is None:
             # the reservoir is ≪ corpus by construction — broadcast the
@@ -2564,7 +2579,10 @@ def _rebuild_ivfpq_locked(
     }
     if exact_raw is not None:
         out["raw_rows"] = int(n_exact)
-        out["transcoded_rows"] = int(out["rows"]) - int(n_exact)
+        out["reservoir_fallback_rows"] = int(n_res_extra)
+        out["transcoded_rows"] = (
+            int(out["rows"]) - int(n_exact) - int(n_res_extra)
+        )
     return out
 
 

@@ -131,15 +131,28 @@ def flatten_export_pages(pages: DataFrame) -> DataFrame:
     )
 
 
-def parse_reader_list(raw: DataFrame) -> DataFrame:
-    """Reader v3 documents → normalized rows (S2; updated_at parse = C4)."""
+def parse_reader_list(raw: DataFrame, normalize: str | None = None) -> DataFrame:
+    """Reader v3 documents → normalized rows (S2; updated_at parse = C4).
+
+    ``normalize`` mirrors :func:`parse_export`'s option on THIS source's
+    free-text columns (title/author/summary) — a mixed-source pipeline
+    normalizing only one ingest path would re-split visually-identical
+    strings at every cross-source join (round-12 second review)."""
+    from readwise_vector_db_spark.functions.text import unicode_normalize
+
+    def txt(col: str):
+        c = F.col(col)
+        return (
+            unicode_normalize(c, normalize).alias(col) if normalize else c
+        )
+
     return raw.select(
         F.col("id"),
-        F.col("title"),
-        F.col("author"),
+        txt("title"),
+        txt("author"),
         F.col("category"),
         F.col("source_url"),
-        F.col("summary"),
+        txt("summary"),
         F.try_to_timestamp(F.col("updated_at")).alias("updated_at"),
     )
 
