@@ -639,15 +639,23 @@ def minhash_signatures(
     permutation i = (a_i·h + b_i) mod P; signature = per-permutation min.
 
     Pure per-row projection — a doc's signature depends only on its own
-    shingle array, so the 64 minima come from ``array_min(transform(...))``
-    over the hashed-shingle column: NO explode, NO shuffle (the prior
-    explode+groupBy version shuffled |corpus|·|shingles| rows that
-    map-side combine then re-collapsed — measured 1.26 → 0.96 s at
-    sf0.1, and at 100 TB the difference is an entire |shingle|-scale
-    exchange).  The 64-way expression is built as ONE ``F.expr`` string
-    (see :func:`_hash64_sql` — the Column-API version cost ~1 s of py4j
-    round-trips per plan); docs whose shingle set is empty emit no row,
-    exactly like the explode path (an empty set pairs with nothing).
+    shingle array: NO explode, NO shuffle (the prior explode+groupBy
+    version shuffled |corpus|·|shingles| rows that map-side combine
+    then re-collapsed — measured 1.26 → 0.96 s at sf0.1, and at 100 TB
+    the difference is an entire |shingle|-scale exchange).  Docs whose
+    shingle set is empty emit no row, exactly like the explode path (an
+    empty set pairs with nothing).  The 64-way expression is built as
+    ONE ``F.expr`` string (see :func:`_hash64_sql` — the Column-API
+    version cost ~1 s of py4j round-trips per plan).
+
+    Round-12 note: a vectorized numpy ``mapInPandas`` form of the 64
+    minima (``minimum.reduceat`` per permutation) measured FASTER in
+    isolation (2.2 → 1.6 s on the 5 k-doc rep frame) but REGRESSED the
+    end-to-end benched rows (dedup_minhash_lsh 2.77 → 2.93 s,
+    dedup_clusters 4.6 → 7.5 s, same-conditions A/B) — the Arrow
+    hand-off of the hashed-shingle arrays inside a persisted,
+    re-consumed frame costs more than the interpreted folds save.
+    Kept all-JVM; don't re-try blind (OPTIMIZATION_r12.md §5).
     """
     P = MINHASH_P
     hs = F.expr(f"transform(_sh, s -> pmod({_hash64_sql('s', base_hash)}, {P}L))")
@@ -1076,10 +1084,16 @@ def lsh_embedding_pairs(
     # the bucket self-join shuffles ONLY (table, bucket, id) — vectors
     # never ride the LSH shuffle (at 100 TB the tables×n bucket rows are
     # ~24 bytes each; the vector fetch below is candidates-bound)
+    # persist the bucket keys (round 12): both sides of the self-join
+    # consume this frame, and the tables·k interpreted projection folds
+    # are the expensive map work — uncached they ran TWICE (once per
+    # join side).  The cached rows are the ~24-byte (id, table, bucket)
+    # triples, not vectors — bounded the same way the shuffle is.
     hashed = base.select(
         "id",
         F.posexplode(F.expr(f"array({tables_sql})")).alias("table", "bucket"),
-    )
+    ).persist()
+    _register_cached(hashed)
     a = hashed.select("table", "bucket", F.col("id").alias("id_a"))
     b = hashed.select("table", "bucket", F.col("id").alias("id_b"))
     cands = (
@@ -1673,16 +1687,25 @@ def repeated_ngram_spans(
         .select(F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") >= n)
     )
-    wins = base.select(
+    # Hash the token SLICE directly (round 12): pass 1 used to build the
+    # joined window string for every position and hash that — O(n) char
+    # copying per window, thrown away immediately.  xxhash64 over the
+    # array<string> slice is an equally deterministic function of the
+    # window content (for fixed n, join-by-single-space is bijective —
+    # ws_tokens never emits a token containing whitespace — so string
+    # equality ⇔ slice equality), and any hash choice only shapes the
+    # CANDIDATE set: stage 5's exact string count decides membership, so
+    # the output is bit-identical.  Window strings are now built only
+    # for candidates (stage 4).
+    hashed = base.select(
         "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - F.lit(n) + 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                lambda i: F.xxhash64(F.slice("toks", i, n)),
             )
-        ).alias("pos", "ngram"),
+        ).alias("pos", "h"),
     )
-    hashed = wins.select("id", "pos", F.xxhash64("ngram").alias("h"))
     hot = (
         hashed.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1781,14 +1804,36 @@ def doc_dup_fraction(
     pos_df = spans.select(F.col(id_col).alias("id"), "pos")
     if min_span_tokens is not None:
         pos_df = _maximal_run_positions(pos_df, n, min_span_tokens)
+    # Coverage = |union of the [pos, pos+n-1] intervals| per doc.  The
+    # old plan exploded every position n ways and paid a corpus-wide
+    # distinct on (id, token_index) plus a second per-id aggregate —
+    # two shuffles of 8×-fanned-out ints.  Interval union needs ONE
+    # per-doc pass (round 12, guide §2.3): sort positions within the
+    # doc, open a new island whenever pos exceeds the running max end
+    # of everything before it (equal-length intervals ⇒ islands have no
+    # internal gaps; an adjacent interval starts a new island, which
+    # sums identically), and total Σ(max_pos − min_pos + n) per island.
+    # Input (id, pos) is unique by construction: repeated_ngram_spans
+    # emits one row per window position, and _maximal_run_positions
+    # explodes disjoint runs of a distinct set.  One window shuffle by
+    # id, then both aggregates reuse that partitioning — zero further
+    # exchanges, and the 8× fan-out never exists.
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(n - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = pos_df.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn(
+        "_isl", F.sum("_new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
     cov = (
-        pos_df.select(
-            "id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("i"),
-        )
-        .distinct()
+        islands.groupBy("id", "_isl")
+        .agg((F.max("pos") - F.min("pos") + F.lit(n)).alias("_len"))
         .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("int").alias("dup_tokens"))
+        .agg(F.sum("_len").cast("int").alias("dup_tokens"))
     )
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),

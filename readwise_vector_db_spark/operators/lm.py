@@ -97,14 +97,6 @@ def train_bigram_lm(
     )
     if min_count > 1:
         uni_counts = uni_counts.filter(F.col("c") >= min_count)
-    if max_vocab is not None:
-        # TakeOrdered: per-partition top-N, merged on the driver —
-        # never a global sort of the count table
-        uni_counts = uni_counts.orderBy(
-            F.col("c").desc(), F.col("w").asc()
-        ).limit(int(max_vocab))
-    uni_rows = _collect_bounded(uni_counts, max_model_rows, "unigram")
-    uni = {r["w"]: int(r["c"]) for r in uni_rows}
     # bigrams: zip tokens with their tail — stays inside the row until
     # the count aggregate, pruned by the same min_count before collect
     pairs = toks.select(
@@ -121,6 +113,46 @@ def train_bigram_lm(
     )
     if min_count > 1:
         bi_counts = bi_counts.filter(F.col("c") >= min_count)
+    if max_vocab is None:
+        # ONE action for both pruned count tables (round 12, guide §1.2):
+        # the tagged union runs the two aggregates inside a single job —
+        # one driver round-trip instead of two — with the per-table
+        # guard applied after the split.  Both aggregates are identical
+        # to the two-collect path, so the model is bit-identical; only
+        # the max_vocab path still needs the sequential collect (the
+        # bigram semi-join depends on the collected vocabulary).
+        tagged = uni_counts.select(
+            F.col("w").alias("w1"),
+            F.lit(None).cast(uni_counts.schema["w"].dataType).alias("w2"),
+            "c",
+        ).unionByName(bi_counts.select("w1", "w2", "c"))
+        rows = _collect_bounded(tagged, 2 * max_model_rows + 1, "unigram+bigram")
+        uni_rows = [r for r in rows if r["w2"] is None]
+        bi_rows = [r for r in rows if r["w2"] is not None]
+        for side, what in ((uni_rows, "unigram"), (bi_rows, "bigram")):
+            if len(side) > max_model_rows:
+                raise ValueError(
+                    f"train_bigram_lm: pruned {what} table still exceeds "
+                    f"max_model_rows={max_model_rows}; raise min_count or "
+                    "lower max_vocab — collecting it would risk a driver OOM"
+                )
+        uni = {r["w1"]: int(r["c"]) for r in uni_rows}
+        bi = {(r["w1"], r["w2"]): int(r["c"]) for r in bi_rows}
+        if not uni:
+            raise ValueError(
+                "train_bigram_lm: reference corpus has no tokens surviving "
+                "the prune — an empty vocabulary would make every smoothed "
+                "probability divide by zero"
+            )
+        return uni, bi, len(uni)
+    # --- max_vocab path: vocabulary cap needs uni collected first ------
+    # TakeOrdered: per-partition top-N, merged on the driver — never a
+    # global sort of the count table
+    uni_counts = uni_counts.orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    ).limit(int(max_vocab))
+    uni_rows = _collect_bounded(uni_counts, max_model_rows, "unigram")
+    uni = {r["w"]: int(r["c"]) for r in uni_rows}
     if max_vocab is not None:
         # restrict to the capped vocabulary on BOTH positions — the
         # vocab side is ≤ max_vocab rows, so broadcast semi-joins (no

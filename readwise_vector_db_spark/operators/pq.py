@@ -2743,3 +2743,237 @@ def pq_search(
         .limit(k)
     )
     return exact
+
+
+def pq_search_many(
+    codes: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    codebooks: list[np.ndarray],
+    k: int = 10,
+    id_col: str = "vec_id",
+    rescore: DataFrame | None = None,
+    vec_col: str = "embedding",
+    rescore_factor: int | str = 4,
+    rotation: np.ndarray | None = None,
+    probe_clusters: dict[int, Sequence[int]] | None = None,
+) -> DataFrame:
+    """Batched :func:`pq_search`: N queries in ONE ADC scan instead of
+    N (round 12, guide §1.2 "fewer passes").  Returns
+    (query_id, ``id_col``, score) — for every query exactly the rows
+    its individual ``pq_search`` call returns, proven by construction:
+
+    - the per-row ADC score is the same LUT sum, computed for all
+      queries against one pass over the byte codes (the LUT stack is
+      (n_queries, m, k_c) — index metadata);
+    - the candidate set per query is the same global top
+      ``k·rescore_factor`` by (adc_score desc, id asc): each Arrow
+      batch pre-selects its local top-``fetch`` per query (a superset
+      of the global winners by transitivity) and one JVM window takes
+      the global cut;
+    - the rescore joins the SAME candidate ids against the raw vectors
+      (one scan with an IN-pushdown over the union of candidates, the
+      per-query restriction applied by a broadcast (query, id) pair
+      join) and scores with the identical double fold —
+      ``cosine_similarity(vec, q)`` where q carries the same
+      float32-normalized components the single-query literal would.
+
+    ``probe_clusters`` (IVF-PQ composition — :func:`ivfpq_search_many`)
+    maps query_id → allowed cluster ids; ``codes`` must then carry the
+    ``cluster`` column, the scan filter is the UNION of all probed
+    cells (partition pruning reads each directory once instead of once
+    per overlapping query), and each query scores only its own cells.
+    """
+    if not queries:
+        raise ValueError("pq_search_many needs at least one query")
+    rescore_factor = _resolve_rescore_factor(
+        rescore_factor, rescore, codebooks, rotation, k, vec_col
+    )
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    qids: list[int] = []
+    luts = []
+    q_unrots = []
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float32)
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        q_unrots.append(q)  # rescore ranks against ORIGINAL-space vectors
+        if rotation is not None:
+            q = (q @ np.asarray(rotation, dtype=np.float32)).astype(np.float32)
+        luts.append(
+            np.stack([codebooks[j] @ q[j * sub : (j + 1) * sub] for j in range(m)])
+        )
+        qids.append(int(qid))
+    lut_all = np.stack(luts).astype(np.float32)  # (nq, m, k_c)
+    nq = len(qids)
+    fetch = k * rescore_factor if rescore is not None else k
+
+    cluster_masks = None
+    cols = [F.col(id_col).alias("id"), "pq_code"]
+    if probe_clusters is not None:
+        cluster_masks = [
+            np.asarray(sorted(probe_clusters[qid]), dtype=np.int64)
+            for qid in qids
+        ]
+        union_cells = sorted({int(c) for s in probe_clusters.values() for c in s})
+        codes = codes.filter(F.col("cluster").isin(union_cells))
+        cols = [F.col(id_col).alias("id"), "cluster", "pq_code"]
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("adc_id", codes.schema[id_col].dataType, False),
+            T.StructField("adc_score", T.FloatType(), False),
+        ]
+    )
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    j_idx = np.arange(m)[None, :]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.asarray(list(pdf["pq_code"]), dtype=np.int64)  # (n, m)
+            ids = pdf["id"].values
+            scores = lut_all[:, j_idx, c].sum(axis=2)  # (nq, n)
+            clusters = (
+                np.asarray(pdf["cluster"], dtype=np.int64)
+                if cluster_masks is not None
+                else None
+            )
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                s = scores[qi]
+                take_ids, take_s = ids, s
+                if cluster_masks is not None:
+                    mask = np.isin(clusters, cluster_masks[qi])
+                    if not mask.any():
+                        continue
+                    take_ids, take_s = ids[mask], s[mask]
+                # local top-fetch by (score desc, id asc) — a superset
+                # of this batch's contribution to the global top-fetch
+                order = np.lexsort((take_ids, -take_s))[:fetch]
+                out_q.append(np.full(len(order), qid_arr[qi]))
+                out_i.append(take_ids[order])
+                out_s.append(take_s[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "adc_id": np.concatenate(out_i),
+                        "adc_score": np.concatenate(out_s),
+                    }
+                )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("adc_id").asc()
+    )
+    adc = (
+        codes.select(*cols)
+        .mapInPandas(run, schema=schema)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= fetch)
+        .select("query_id", F.col("adc_id").alias(id_col), "adc_score")
+    )
+    if rescore is None:
+        return adc.select(
+            "query_id", F.col(id_col), F.round(F.col("adc_score"), 6).alias("score")
+        )
+
+    from readwise_vector_db_spark.functions.vector import cosine_similarity
+
+    # ONE candidate collect for all queries (nq·fetch rows — serving-
+    # bounded) instead of one collect per query; the union id list
+    # pushes into the rescore scan as an IN filter exactly as the
+    # single-query path does.
+    cand_rows = adc.select("query_id", id_col).collect()
+    union_ids = sorted({r[id_col] for r in cand_rows})
+    spark = codes.sparkSession
+    # ONE broadcast frame carrying (query_id, candidate id, query vec):
+    # the per-candidate qvec duplication is nq·fetch·d doubles — request-
+    # bounded — and saves a second broadcast exchange + join stage
+    qvec_by_id = {
+        qid: [float(x) for x in q.tolist()] for qid, q in zip(qids, q_unrots)
+    }
+    pairs = spark.createDataFrame(
+        [
+            (int(r["query_id"]), r[id_col], qvec_by_id[int(r["query_id"])])
+            for r in cand_rows
+        ],
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField(id_col, codes.schema[id_col].dataType, False),
+                T.StructField("_qvec", T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescore.filter(F.col(id_col).isin(union_ids))
+        .select(id_col, vec_col)
+        .join(F.broadcast(pairs), id_col)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                cosine_similarity(
+                    F.col(vec_col).cast("array<double>"), F.col("_qvec")
+                ),
+                6,
+            ).alias("score"),
+        )
+        .withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col(id_col), "score")
+    )
+
+
+def ivfpq_search_many(
+    codes: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[np.ndarray],
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    rescore: DataFrame | None = None,
+    vec_col: str = "embedding",
+    rescore_factor: int | str = 4,
+    rotation: np.ndarray | None = None,
+) -> DataFrame:
+    """Batched :func:`ivfpq_search`: per-query centroid ranking stays
+    driver-side (index metadata, identical sort), but all queries share
+    ONE pruned ADC scan over the union of their probed cells — the
+    per-query cell restriction rides into :func:`pq_search_many` as
+    ``probe_clusters``."""
+    if not centroids:
+        raise ValueError("ivfpq_search_many needs a non-empty centroid list")
+
+    probe_clusters: dict[int, list[int]] = {}
+    for qid, qvec in queries:
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = float(np.linalg.norm(q))
+
+        def cos_dist(c: list[float]) -> float:
+            cv = np.asarray(c, dtype=np.float64)
+            denom = float(np.linalg.norm(cv)) * qn
+            return 1.0 - float(cv @ q) / denom if denom > 0 else 1.0
+
+        probe = sorted(centroids, key=lambda t: (cos_dist(t[1]), t[0]))[:nprobe]
+        probe_clusters[int(qid)] = [cid for cid, _ in probe]
+    return pq_search_many(
+        codes,
+        queries,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        rescore=rescore,
+        vec_col=vec_col,
+        rescore_factor=rescore_factor,
+        rotation=rotation,
+        probe_clusters=probe_clusters,
+    )

@@ -845,3 +845,85 @@ def assign_cells(
         cell_col,
         F.when(F.col(vec_col).isNotNull(), F.array_min(F.array(*cand))["c"]),
     )
+
+
+def ivf_search_many(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multi_assigned: bool = False,
+) -> DataFrame:
+    """Batched :func:`ivf_search`: N queries share ONE pruned scan over
+    the union of their probed cells (round 12, guide §1.2 — one pass
+    instead of N overlapping ones).  Returns (query_id, neighbor_id,
+    cos_dist, cluster) — for every query exactly the rows its
+    individual ``ivf_search`` call returns:
+
+    - centroid ranking per query is the identical driver-side sort;
+    - the scan filter is the UNION of all probe lists (partition
+      pruning still applies — each probed directory is read once);
+      each query is restricted to its own cells by an equi-join on
+      cluster against the exploded (query, cell) table (n_queries ×
+      nprobe rows, broadcast);
+    - cos_dist is the same rounded double fold: the query vector and
+      its driver-computed sequential-fold norm ride the broadcast
+      frame as columns carrying the exact values the single-query
+      literals would.
+    """
+    import numpy as np
+
+    if not queries:
+        raise ValueError("ivf_search_many needs at least one query")
+    rows = []
+    for qid, qvec in queries:
+        qv = np.asarray(qvec, dtype=float)
+
+        def cos_dist(c: list[float]) -> float:
+            cv = np.asarray(c)
+            denom = float(np.linalg.norm(cv) * np.linalg.norm(qv))
+            return 1.0 - float(cv @ qv) / denom if denom > 0 else 1.0
+
+        probe = sorted(centroids, key=lambda t: (cos_dist(t[1]), t[0]))[:nprobe]
+        # sequential fold (not np.linalg.norm) so the value is
+        # bit-identical with the single-query literal path
+        acc = 0.0
+        for x in qvec:
+            acc += float(x) * float(x)
+        for cid, _ in probe:
+            rows.append((int(qid), int(cid), [float(x) for x in qvec], acc ** 0.5))
+    spark = assigned.sparkSession
+    qcells = spark.createDataFrame(
+        rows, "query_id long, cluster int, _qvec array<double>, _qnorm double"
+    )
+    union_cells = sorted({r[1] for r in rows})
+    pruned = assigned.filter(F.col("cluster").isin(union_cells))
+    probed = pruned.join(
+        F.broadcast(qcells),
+        pruned["cluster"].cast("int") == qcells["cluster"],
+    ).select(
+        "query_id",
+        pruned[id_col].alias(id_col),
+        pruned["cluster"].alias("cluster"),
+        F.round(
+            cosine_distance(
+                F.col(vec_col), F.col("_qvec"), b_norm=F.col("_qnorm")
+            ),
+            SCORE_DECIMALS,
+        ).alias("cos_dist"),
+    )
+    if multi_assigned:
+        probed = probed.groupBy("query_id", id_col).agg(
+            F.min("cos_dist").alias("cos_dist"), F.min("cluster").alias("cluster")
+        )
+    w = W.partitionBy("query_id").orderBy(F.asc("cos_dist"), F.asc(id_col))
+    return (
+        probed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "cos_dist", "cluster"
+        )
+    )

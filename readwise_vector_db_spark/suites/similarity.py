@@ -114,29 +114,27 @@ _PLANTED_SQL = """
 
 
 def _planted_probe_rows(spark, sf_dir, assigned, centroids) -> DataFrame:
-    """Shared probe loop: 5 query vectors against an assigned layout,
-    keeping only the distance-0 planted rows the oracle expects."""
+    """Shared probe: 5 query vectors against an assigned layout in ONE
+    pruned scan (round 12 — ``ivf_search_many``; previously 5
+    overlapping per-query scans), keeping only the distance-0 planted
+    rows the oracle expects."""
     embs = load_table(spark, sf_dir, "embeddings")
     is_query = (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
     # Q=5 query vectors are index metadata — driver-sized by construction
     qrows = embs.filter(is_query).select("vec_id", "embedding").collect()
-    parts = []
-    for r in qrows:
-        res = sim.ivf_search(
-            assigned, centroids, [float(x) for x in r["embedding"]], k=10, nprobe=4
-        )
-        parts.append(
-            res.filter(F.col("cos_dist") == 0.0).select(
-                F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
-                F.col("neighbor_id").cast("long"),
-                # + 0.0 normalizes IEEE -0.0 (from a 1-ulp-over-1 cosine)
-                (F.col("cos_dist") + F.lit(0.0)).alias("cos_dist"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    res = sim.ivf_search_many(
+        assigned,
+        centroids,
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        k=10,
+        nprobe=4,
+    )
+    return res.filter(F.col("cos_dist") == 0.0).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        # + 0.0 normalizes IEEE -0.0 (from a 1-ulp-over-1 cosine)
+        (F.col("cos_dist") + F.lit(0.0)).alias("cos_dist"),
+    )
 
 
 @register_extra("ann_ivf_planted", _PLANTED_SQL)
@@ -274,37 +272,31 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _planted_pq_rows(
     spark: SparkSession, sf_dir: str, codes: DataFrame, books, rotation=None
 ) -> DataFrame:
-    """Shared probe loop: 5 queries through ADC + exact rescore over the
-    planted corpus, keeping only the similarity-1.0 rows the oracle
-    expects (the original and its plant)."""
+    """Shared probe: 5 queries through ADC + exact rescore over the
+    planted corpus in ONE scan + ONE candidate collect (round 12 —
+    ``pq_search_many``; previously a per-query loop, each with its own
+    eager ADC scan and rescore scan), keeping only the similarity-1.0
+    rows the oracle expects (the original and its plant)."""
     from readwise_vector_db_spark.operators import pq
 
     embs = load_table(spark, sf_dir, "embeddings")
     corpus = _planted_corpus(spark, sf_dir)
     is_query = (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
     qrows = embs.filter(is_query).select("vec_id", "embedding").collect()
-    parts = []
-    for r in qrows:
-        res = pq.pq_search(
-            codes,
-            [float(x) for x in r["embedding"]],
-            books,
-            k=10,
-            rescore=corpus,
-            rescore_factor=8,
-            rotation=rotation,
-        )
-        parts.append(
-            res.filter(F.col("score") == 1.0).select(
-                F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
-                F.col("vec_id").cast("long").alias("neighbor_id"),
-                (F.col("score") + F.lit(0.0)).alias("score"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    res = pq.pq_search_many(
+        codes,
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        books,
+        k=10,
+        rescore=corpus,
+        rescore_factor=8,
+        rotation=rotation,
+    )
+    return res.filter(F.col("score") == 1.0).select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        (F.col("score") + F.lit(0.0)).alias("score"),
+    )
 
 
 @register_extra("pq_planted", _PQ_PLANTED_SQL)
@@ -565,29 +557,24 @@ def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _planted_corpus(spark, sf_dir)
     is_query = (F.col("vec_id") < 5) & F.col("embedding").isNotNull()
     qrows = embs.filter(is_query).select("vec_id", "embedding").collect()
-    parts = []
-    for r in qrows:
-        res = pq.ivfpq_search(
-            codes,
-            centroids,
-            books,
-            [float(x) for x in r["embedding"]],
-            k=10,
-            nprobe=4,
-            rescore=corpus,
-            rescore_factor=8,
-        )
-        parts.append(
-            res.filter(F.col("score") == 1.0).select(
-                F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
-                F.col("vec_id").cast("long").alias("neighbor_id"),
-                (F.col("score") + F.lit(0.0)).alias("score"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # round 12: one scan over the UNION of all queries' probed cells
+    # (ivfpq_search_many) instead of 5 overlapping pruned scans, each
+    # with its own eager candidate collect
+    res = pq.ivfpq_search_many(
+        codes,
+        centroids,
+        books,
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        k=10,
+        nprobe=4,
+        rescore=corpus,
+        rescore_factor=8,
+    )
+    return res.filter(F.col("score") == 1.0).select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        (F.col("score") + F.lit(0.0)).alias("score"),
+    )
 
 
 _STQ_TEXT = "spark query window merge"
