@@ -132,6 +132,19 @@ _LEASE_GRACE_SEC = 60.0
 
 _HELD_TLS = threading.local()
 
+# Serializes SAME-PROCESS lease transitions (acquire-rename, release,
+# reap) — round 12.  The rename-first reap protocol is exact across
+# processes, but within one process the check→rename gap let a queued
+# reaper (whose dead-verdict a peer had already acted on) rename a
+# sibling THREAD's live lease into its grave and bet on the restore —
+# the FAIR-scheduler threads case the module docstring names, and the
+# interleave the r12 stress test fires under load.  Holding one mutex
+# around the microsecond filesystem transitions makes thread-vs-thread
+# verdicts exact; cross-process reaps keep the documented
+# detected-and-preserved residue.  The guarded ops are tiny dir
+# renames/rmtrees on maintenance entry/exit — nowhere near a data path.
+_LEASE_FS_LOCK = threading.Lock()
+
 
 class MaintenanceBusy(RuntimeError):
     """Another maintainer holds the layout's lease.  Carries the
@@ -259,19 +272,31 @@ def _reap_dead_lease(root: str, lease: str) -> None:
     Ownership-verified release (``maintenance_lease``'s finally)
     complements this: a holder whose lease was stolen can no longer
     delete the usurper's lease on its way out."""
-    grave = f"{lease}.grave-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    try:
-        os.rename(lease, grave)
-    except OSError:
-        return  # released or reaped concurrently — nothing to do
-    if _lease_is_dead(grave):
-        shutil.rmtree(grave, ignore_errors=True)
-        return
-    try:
-        os.rename(grave, lease)  # stale verdict — restore the live holder
-    except OSError:
-        owner = _lease_owner(grave) or {}
-        raise RuntimeError(
+    # Re-verify deadness HERE, not just at the call site (round 12): the
+    # caller's verdict goes stale whenever a peer wins the reap AND a
+    # live acquirer lands before this call runs — under contention that
+    # stale-verdict window spans whole scheduling quanta, and every
+    # queued reaper then renames a LIVE lease into its grave, betting on
+    # the restore rename.  One fresh check collapses that to the single
+    # check→rename syscall gap; the grave-side verification below stays
+    # the exact verdict.
+    with _LEASE_FS_LOCK:
+        if not _lease_is_dead(lease):
+            return
+        grave = f"{lease}.grave-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(lease, grave)
+        except OSError:
+            return  # released or reaped concurrently — nothing to do
+        if _lease_is_dead(grave):
+            shutil.rmtree(grave, ignore_errors=True)
+            return
+        try:
+            os.rename(grave, lease)  # stale verdict — restore the live holder
+            return
+        except OSError:
+            owner = _lease_owner(grave) or {}
+    raise RuntimeError(
             f"lease reap at {root!r} hit the unrecoverable window: a live "
             f"lease (pid {owner.get('pid', '?')}, purpose "
             f"{owner.get('purpose', '?')!r}) was displaced and a new "
@@ -323,7 +348,8 @@ def maintenance_lease(path: str, purpose: str, wait: float = 0.0,
                 f,
             )
         try:
-            os.rename(stage, lease)
+            with _LEASE_FS_LOCK:
+                os.rename(stage, lease)
             break
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)
@@ -347,9 +373,10 @@ def maintenance_lease(path: str, purpose: str, wait: float = 0.0,
         # ownership-verified release: if OUR lease was displaced by a
         # reap gone wrong, the dir at the path belongs to someone else
         # now — deleting it would cascade the theft onto THEM
-        owner = _lease_owner(lease) or {}
-        if owner.get("nonce") == nonce:
-            shutil.rmtree(lease, ignore_errors=True)
+        with _LEASE_FS_LOCK:
+            owner = _lease_owner(lease) or {}
+            if owner.get("nonce") == nonce:
+                shutil.rmtree(lease, ignore_errors=True)
 
 
 def migrate_layout(path: str, family: str, required: tuple[str, ...]) -> int:

@@ -1174,3 +1174,61 @@ def test_interleaved_rescored_knn_joins_single_scan(spark, embs, books):
     # one ADC scan per join (cache-hit on the plan's second shortlist
     # reference); the broken path re-scans — ≥ 4n total
     assert acc.value <= int(2.5 * n), (acc.value, n)
+
+
+def test_pq_search_many_matches_per_query_loop(spark, embs, books):
+    """Round-12 batched probe: pq_search_many must return EXACTLY the
+    rows the per-query pq_search loop returns — same candidates, same
+    rescored scores, same per-query top-k cut."""
+    codes = pq.pq_encode(embs, books).persist()
+    qrows = (
+        embs.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    batch = {
+        (int(r["query_id"]), int(r["vec_id"]), float(r["score"]))
+        for r in pq.pq_search_many(
+            codes, queries, books, k=5, rescore=embs, rescore_factor=4
+        ).collect()
+    }
+    loop = set()
+    for qid, qvec in queries:
+        for r in pq.pq_search(
+            codes, qvec, books, k=5, rescore=embs, rescore_factor=4
+        ).collect():
+            loop.add((qid, int(r["vec_id"]), float(r["score"])))
+    assert batch == loop
+    codes.unpersist()
+
+
+def test_ivfpq_search_many_matches_per_query_loop(spark, embs, books):
+    """Batched IVF-PQ probe over the union of probed cells returns the
+    same per-query rows as the sequential ivfpq_search calls."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    _, cents = sim.build_ivf_index(embs, n_clusters=4)
+    codes = pq.ivfpq_encode(embs, cents, books).persist()
+    qrows = (
+        embs.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    batch = {
+        (int(r["query_id"]), int(r["vec_id"]), float(r["score"]))
+        for r in pq.ivfpq_search_many(
+            codes, cents, books, queries, k=5, nprobe=2,
+            rescore=embs, rescore_factor=4,
+        ).collect()
+    }
+    loop = set()
+    for qid, qvec in queries:
+        for r in pq.ivfpq_search(
+            codes, cents, books, qvec, k=5, nprobe=2,
+            rescore=embs, rescore_factor=4,
+        ).collect():
+            loop.add((qid, int(r["vec_id"]), float(r["score"])))
+    assert batch == loop
+    codes.unpersist()

@@ -512,3 +512,29 @@ def test_recluster_ivf_cells_targeted_remediation(spark, tmp_path):
     assert stats["rows_rewritten"] > 0
     assert r_after > r_before, (r_before, r_after)
     assert r_after >= 0.8, r_after
+
+
+def test_ivf_search_many_matches_per_query_loop(spark, embs):
+    """Round-12 batched IVF probe: one pruned scan over the union of
+    probed cells must return exactly the per-query ivf_search rows
+    (same cells probed, same rounded distances, same top-k ties)."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    assigned, cents = sim.build_ivf_index(embs, n_clusters=4)
+    assigned = assigned.persist()
+    qrows = (
+        embs.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    batch = {
+        (int(r["query_id"]), int(r["neighbor_id"]), float(r["cos_dist"]))
+        for r in sim.ivf_search_many(
+            assigned, cents, queries, k=5, nprobe=2
+        ).collect()
+    }
+    loop = set()
+    for qid, qvec in queries:
+        for r in sim.ivf_search(assigned, cents, qvec, k=5, nprobe=2).collect():
+            loop.add((qid, int(r["neighbor_id"]), float(r["cos_dist"])))
+    assert batch == loop
+    assigned.unpersist()

@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--suffix", default=None)
     ap.add_argument("--plans-dir", default="plans/r12")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="runtime SQL conf overrides, k=v (A/B experiments)")
     args = ap.parse_args()
 
     from readwise_vector_db_spark.session import get_spark
@@ -45,6 +47,9 @@ def main() -> None:
     from readwise_vector_db_spark.registry import all_queries
 
     spark = get_spark("profile-r12")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     qs = all_queries()
     names = args.queries
     if not names:
