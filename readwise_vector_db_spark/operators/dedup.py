@@ -1731,6 +1731,18 @@ def repeated_ngram_spans(
         )
         .select("id", F.col("s.pos").alias("pos"), F.col("s.ngram").alias("ngram"))
     )
+    # The candidate-span frame has TWO consumers — the exact-count
+    # aggregate and the confirm join-back — and without a persist the
+    # whole rebuild subtree (corpus scan + per_doc co-join + window
+    # string build) executes once per consumer (round 12, guide §2.4:
+    # measured as the duplicated subtree in the executed plan).  The
+    # frame is candidate-sized (hash-hot windows only — the volume the
+    # result itself is bounded by), so materializing it beats
+    # re-deriving it from the full corpus at any scale; MEMORY_AND_DISK
+    # (persist default) spills rather than OOMs, and the detector-cache
+    # registry releases it with every other dedup cache.
+    spans = spans.persist()
+    _register_cached(spans)
     exact = (
         spans.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -67,7 +67,9 @@ def train_bigram_lm(
     max_model_rows: int = 2_000_000,
 ) -> tuple[dict[str, int], dict[tuple[str, str], int], int]:
     """(unigram counts, bigram counts, vocab size) from the reference
-    corpus — two distributed counting aggregates, pruned BEFORE collect.
+    corpus — distributed counting aggregates (one fused scan+aggregate
+    on the default path; two on the ``max_vocab`` path), pruned BEFORE
+    collect.
 
     ``min_count``: drop unigrams/bigrams with count < min_count inside
     the aggregate (KenLM ``--prune``).  Because every bigram occurrence
@@ -90,6 +92,59 @@ def train_bigram_lm(
     toks = ref_docs.select(
         ws_tokens(F.lower(F.col(text_col))).alias("_t")
     ).filter(F.size("_t") > 0)
+    if max_vocab is None:
+        # ONE scan, ONE aggregate, ONE action for both pruned count
+        # tables (round 12, guide §1.2): unigrams ride the same explode
+        # as the bigrams tagged with a NULL w2, so the (w1, w2) hash
+        # aggregate counts both tables at once (NULL groups like any
+        # key) and the earlier union-of-two-aggregates' second corpus
+        # scan + tokenize + exchange disappears.  Counts are integers
+        # grouped on the same keys, so the model is bit-identical; only
+        # the max_vocab path still needs the sequential collect (the
+        # bigram semi-join depends on the collected vocabulary).
+        null_w = F.lit(None).cast("string")
+        grams = toks.select(
+            F.explode(
+                F.concat(
+                    F.transform(
+                        "_t",
+                        lambda w: F.struct(w.alias("w1"), null_w.alias("w2")),
+                    ),
+                    F.zip_with(
+                        F.slice("_t", 1, F.size("_t") - 1),
+                        F.slice("_t", 2, F.size("_t") - 1),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                )
+            ).alias("p")
+        )
+        tagged = (
+            grams.select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count("*").alias("c"))
+        )
+        if min_count > 1:
+            tagged = tagged.filter(F.col("c") >= min_count)
+        rows = _collect_bounded(tagged, 2 * max_model_rows + 1, "unigram+bigram")
+        uni_rows = [r for r in rows if r["w2"] is None]
+        bi_rows = [r for r in rows if r["w2"] is not None]
+        for side, what in ((uni_rows, "unigram"), (bi_rows, "bigram")):
+            if len(side) > max_model_rows:
+                raise ValueError(
+                    f"train_bigram_lm: pruned {what} table still exceeds "
+                    f"max_model_rows={max_model_rows}; raise min_count or "
+                    "lower max_vocab — collecting it would risk a driver OOM"
+                )
+        uni = {r["w1"]: int(r["c"]) for r in uni_rows}
+        bi = {(r["w1"], r["w2"]): int(r["c"]) for r in bi_rows}
+        if not uni:
+            raise ValueError(
+                "train_bigram_lm: reference corpus has no tokens surviving "
+                "the prune — an empty vocabulary would make every smoothed "
+                "probability divide by zero"
+            )
+        return uni, bi, len(uni)
+    # --- max_vocab path: vocabulary cap needs uni collected first ------
     uni_counts = (
         toks.select(F.explode("_t").alias("w"))
         .groupBy("w")
@@ -113,39 +168,6 @@ def train_bigram_lm(
     )
     if min_count > 1:
         bi_counts = bi_counts.filter(F.col("c") >= min_count)
-    if max_vocab is None:
-        # ONE action for both pruned count tables (round 12, guide §1.2):
-        # the tagged union runs the two aggregates inside a single job —
-        # one driver round-trip instead of two — with the per-table
-        # guard applied after the split.  Both aggregates are identical
-        # to the two-collect path, so the model is bit-identical; only
-        # the max_vocab path still needs the sequential collect (the
-        # bigram semi-join depends on the collected vocabulary).
-        tagged = uni_counts.select(
-            F.col("w").alias("w1"),
-            F.lit(None).cast(uni_counts.schema["w"].dataType).alias("w2"),
-            "c",
-        ).unionByName(bi_counts.select("w1", "w2", "c"))
-        rows = _collect_bounded(tagged, 2 * max_model_rows + 1, "unigram+bigram")
-        uni_rows = [r for r in rows if r["w2"] is None]
-        bi_rows = [r for r in rows if r["w2"] is not None]
-        for side, what in ((uni_rows, "unigram"), (bi_rows, "bigram")):
-            if len(side) > max_model_rows:
-                raise ValueError(
-                    f"train_bigram_lm: pruned {what} table still exceeds "
-                    f"max_model_rows={max_model_rows}; raise min_count or "
-                    "lower max_vocab — collecting it would risk a driver OOM"
-                )
-        uni = {r["w1"]: int(r["c"]) for r in uni_rows}
-        bi = {(r["w1"], r["w2"]): int(r["c"]) for r in bi_rows}
-        if not uni:
-            raise ValueError(
-                "train_bigram_lm: reference corpus has no tokens surviving "
-                "the prune — an empty vocabulary would make every smoothed "
-                "probability divide by zero"
-            )
-        return uni, bi, len(uni)
-    # --- max_vocab path: vocabulary cap needs uni collected first ------
     # TakeOrdered: per-partition top-N, merged on the driver — never a
     # global sort of the count table
     uni_counts = uni_counts.orderBy(
