@@ -35,6 +35,26 @@ def get_spark(app_name: str = "readwise_vector_db_spark", cores: int | None = No
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce knobs, env-overridable for cluster tuning (round
+        # 12): flipping parallelismFirst=false (honor the advisory byte
+        # target when coalescing) was A/B-measured both ways — it helps
+        # exchange-heavy scheduling-bound rows (−14 % fold-min over six
+        # such rows) but consistently HURTS CPU-dense small-byte stages
+        # (dedup_lsh_embedding's bucket-similarity compute coalesces to
+        # too few tasks: 2.7 → 3.8 s in a 2×-repeated interleaved A/B),
+        # because the byte-size heuristic cannot see per-row CPU cost.
+        # Local default therefore stays Spark's parallelism-first; a
+        # 100 TB deployment whose post-shuffle partitions are genuinely
+        # byte-bound should set SPARK_GRAFT_AQE_PARALLELISM_FIRST=false
+        # and size SPARK_GRAFT_AQE_ADVISORY_BYTES to its reducers.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_BYTES", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
