@@ -44,17 +44,25 @@ from pyspark.sql import types as T
 from readwise_vector_db_spark.functions.text import ws_tokens
 
 
-def _collect_bounded(df: DataFrame, guard: int, what: str) -> list:
+def _collect_bounded(
+    df: DataFrame, guard: int, what: str, msg: str | None = None
+) -> list:
     """Collect at most ``guard`` rows; one row over → loud ValueError.
     ``limit(guard+1)`` bounds driver memory even in the failure case —
     the guard costs nothing when the prune did its job (limit is a
-    no-op below the threshold) and never OOMs when it didn't."""
+    no-op below the threshold) and never OOMs when it didn't.
+    ``msg`` overrides the default overflow message so each calling path
+    reports ITS user-facing bound and remediation (the fused path's
+    internal guard is 2·max_model_rows+1, not the user's parameter)."""
     rows = df.limit(guard + 1).collect()
     if len(rows) > guard:
         raise ValueError(
-            f"train_bigram_lm: pruned {what} table still exceeds "
-            f"max_model_rows={guard}; raise min_count or lower max_vocab "
-            "— collecting it would risk a driver OOM"
+            msg
+            or (
+                f"train_bigram_lm: pruned {what} table still exceeds "
+                f"max_model_rows={guard}; raise min_count or lower max_vocab "
+                "— collecting it would risk a driver OOM"
+            )
         )
     return rows
 
@@ -125,7 +133,16 @@ def train_bigram_lm(
         )
         if min_count > 1:
             tagged = tagged.filter(F.col("c") >= min_count)
-        rows = _collect_bounded(tagged, 2 * max_model_rows + 1, "unigram+bigram")
+        rows = _collect_bounded(
+            tagged,
+            2 * max_model_rows + 1,
+            "unigram+bigram",
+            msg=(
+                "train_bigram_lm: pruned unigram+bigram table exceeds "
+                f"2x max_model_rows={max_model_rows}; raise min_count — "
+                "collecting it would risk a driver OOM"
+            ),
+        )
         uni_rows = [r for r in rows if r["w2"] is None]
         bi_rows = [r for r in rows if r["w2"] is not None]
         for side, what in ((uni_rows, "unigram"), (bi_rows, "bigram")):

@@ -2785,6 +2785,12 @@ def pq_search_many(
     """
     if not queries:
         raise ValueError("pq_search_many needs at least one query")
+    if len({int(qid) for qid, _ in queries}) != len(queries):
+        raise ValueError(
+            "pq_search_many: duplicate query_id in queries — each id keys "
+            "one LUT and one candidate set, so duplicates would rescore "
+            "earlier queries against the wrong vector"
+        )
     rescore_factor = _resolve_rescore_factor(
         rescore_factor, rescore, codebooks, rotation, k, vec_col
     )
@@ -2810,6 +2816,17 @@ def pq_search_many(
     cluster_masks = None
     cols = [F.col(id_col).alias("id"), "pq_code"]
     if probe_clusters is not None:
+        for qid in qids:
+            if qid not in probe_clusters:
+                raise ValueError(
+                    f"pq_search_many: probe_clusters has no entry for "
+                    f"query_id {qid}"
+                )
+            if not probe_clusters[qid]:
+                raise ValueError(
+                    f"pq_search_many: probe_clusters[{qid}] is empty — the "
+                    "query would silently return zero results"
+                )
         cluster_masks = [
             np.asarray(sorted(probe_clusters[qid]), dtype=np.int64)
             for qid in qids
@@ -2952,6 +2969,11 @@ def ivfpq_search_many(
     ``probe_clusters``."""
     if not centroids:
         raise ValueError("ivfpq_search_many needs a non-empty centroid list")
+    if len({int(qid) for qid, _ in queries}) != len(queries):
+        raise ValueError(
+            "ivfpq_search_many: duplicate query_id in queries — the "
+            "probe-cluster map and per-query candidate sets key on it"
+        )
 
     probe_clusters: dict[int, list[int]] = {}
     for qid, qvec in queries:

@@ -878,6 +878,11 @@ def ivf_search_many(
 
     if not queries:
         raise ValueError("ivf_search_many needs at least one query")
+    if len({int(qid) for qid, _ in queries}) != len(queries):
+        raise ValueError(
+            "ivf_search_many: duplicate query_id in queries — the per-query "
+            "top-k window would merge both candidate sets"
+        )
     rows = []
     for qid, qvec in queries:
         qv = np.asarray(qvec, dtype=float)

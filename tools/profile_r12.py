@@ -57,7 +57,8 @@ def main() -> None:
 
         names = bench.HEADLINE
     unknown = [n for n in names if n not in qs]
-    assert not unknown, f"unknown queries: {unknown}"
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
 
     # same warm-up as bench.py so rep 1 isn't charged session-init cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
