@@ -763,20 +763,33 @@ def minhash_lsh_pairs(
         "id", "sig", F.posexplode(band_keys("sig")).alias("band", "bh")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda t: t,
         )
     )
+    est = F.round(agree.cast("double") / F.lit(N_HASHES), 6)
+    # est_jaccard is a pure function of the two signatures, so it is
+    # computed AND thresholded on the band-join output BEFORE any pair
+    # dedup (round 13, guide §2.3 "project before the exchange"): the
+    # dropDuplicates exchange used to carry both 64-long signature
+    # arrays (~1 KB/row) per candidate just to recompute the identical
+    # est afterwards — now it shuffles (id_a, id_b, est) only, and
+    # below-threshold candidates never reach the exchange at all.  A
+    # multi-band pair emits k copies with the SAME est, so keeping any
+    # one of them (dropDuplicates) is the same row the old
+    # dedup-then-score path produced.
+    cands = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        est.alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= threshold)
     # ``dedupe_pairs=False`` skips this shuffle: a pair colliding in k
     # bands comes out k times with the SAME est_jaccard (it's a function
     # of the two signatures), so consumers idempotent under pair
@@ -784,15 +797,7 @@ def minhash_lsh_pairs(
     # the distinct and save a full pass over the candidate list.
     if dedupe_pairs:
         cands = cands.dropDuplicates(["id_a", "id_b"])
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t)
-    )
-    est = F.round(agree.cast("double") / F.lit(N_HASHES), 6)
-    return (
-        cands.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    return cands.select("id_a", "id_b", "est_jaccard")
 
 
 # --- simhash ----------------------------------------------------------------
@@ -1706,6 +1711,18 @@ def repeated_ngram_spans(
             )
         ).alias("pos", "h"),
     )
+    # TWO consumers — the hot-hash count aggregate and the candidate
+    # semi-join — and without a persist each one re-runs the full
+    # corpus scan + tokenize + per-window hash pass (round 13; the r12
+    # executed plan showed three separate parquet scans feeding this
+    # operator, one of them existing only to recompute `hashed` for the
+    # aggregate).  The cache is (id, pos, h) — 20 bytes per window, no
+    # strings — the same order as the tokenized input it replaces a
+    # second derivation of; MEMORY_AND_DISK spills rather than OOMs and
+    # the detector-cache registry drains it with every other dedup
+    # cache between bench reps.
+    hashed = hashed.persist()
+    _register_cached(hashed)
     hot = (
         hashed.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_c"))
