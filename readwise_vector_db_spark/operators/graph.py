@@ -119,7 +119,17 @@ def connected_components(
     else:
 
         def cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            # LAZY (round 13, guide §1.2): every round's cut() is
+            # immediately followed by a 1-row fixpoint aggregate, so an
+            # eager checkpoint paid TWO driver-blocking jobs per round
+            # — one to materialize, one to aggregate.  eager=False
+            # truncates the lineage identically (the returned frame is
+            # a LogicalRDD either way) but lets the fixpoint action
+            # itself materialize the checkpoint blocks: one job per
+            # round instead of two, halving the driver-latency floor of
+            # the iterative loop.  Consumers after the first action
+            # read the materialized blocks exactly as before.
+            return df.localCheckpoint(eager=False)
 
     e = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
