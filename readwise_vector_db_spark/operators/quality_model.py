@@ -208,7 +208,18 @@ def score_from_artifact(
     sum EXACTLY per document (BIGINT — no float-order variance), one
     sigmoid at the end.  Map + broadcast join + partial-aggregated
     sum: no corpus shuffle beyond (id, nano) pairs.  Absent tokens
-    weigh 0 (see :func:`export_term_weight_artifact`)."""
+    weigh 0 (see :func:`export_term_weight_artifact`).
+
+    ONE corpus pass (round 13, guide §1.2/§2.4): token-less documents
+    used to be restored by a second scan + sort-merge join (`base` left
+    join `summed`).  ``explode_outer`` over the pre-filtered token
+    array keeps every non-null-text document in the exploded stream
+    instead — a doc with no tokens emits one NULL-term row, which
+    matches nothing in the broadcast term table and sums to the bare
+    intercept, exactly what the old join fallback produced.  Removes a
+    scan, two exchanges and two sorts from the plan; ``id_col`` is the
+    corpus's unique document key, so one group per id is one row per
+    document."""
     import json
     import os
 
@@ -219,37 +230,34 @@ def score_from_artifact(
     with open(os.path.join(artifact_dir, "model.json")) as f:
         rec = json.load(f)
     terms = spark.read.parquet(os.path.join(artifact_dir, "terms.parquet"))
-    toks = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
-        )
-        .filter(F.col("term") != "")
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        # array_remove (codegen-native, unlike a higher-order filter
+        # lambda) drops the '' artifacts split() produces for leading/
+        # trailing whitespace; explode_outer then emits one NULL-term
+        # row for a token-less doc instead of dropping it
+        F.explode_outer(
+            F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+        ).alias("term"),
     )
     margin_nano = F.coalesce(F.sum("w_nano"), F.lit(0)) + F.lit(
         int(rec["intercept_nano"])
     )
-    base = docs.filter(F.col(text_col).isNotNull()).select(id_col)
-    summed = (
+    return (
         toks.join(F.broadcast(terms), "term", "left")
         .groupBy(id_col)
         .agg(margin_nano.alias("m_nano"))
-    )
-    return base.join(summed, id_col, "left").select(
-        F.col(id_col),
-        F.round(
-            F.lit(1.0)
-            / (
+        .select(
+            F.col(id_col),
+            F.round(
                 F.lit(1.0)
-                + F.exp(
-                    -F.coalesce(F.col("m_nano"), F.lit(int(rec["intercept_nano"])))
-                    .cast("double")
-                    / F.lit(1e9)
-                )
-            ),
-            6,
-        ).alias("quality_prob"),
+                / (
+                    F.lit(1.0)
+                    + F.exp(-F.col("m_nano").cast("double") / F.lit(1e9))
+                ),
+                6,
+            ).alias("quality_prob"),
+        )
     )
 
 
