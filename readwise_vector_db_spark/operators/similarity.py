@@ -21,7 +21,7 @@ from __future__ import annotations
 import threading
 from collections import OrderedDict
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -856,6 +856,7 @@ def ivf_search_many(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_assigned: bool = False,
+    preds: dict[int, Column] | None = None,
 ) -> DataFrame:
     """Batched :func:`ivf_search`: N queries share ONE pruned scan over
     the union of their probed cells (round 12, guide §1.2 — one pass
@@ -873,6 +874,17 @@ def ivf_search_many(
       its driver-computed sequential-fold norm ride the broadcast
       frame as columns carrying the exact values the single-query
       literals would.
+
+    ``preds`` (round 13 — the FILTERED batch probe): optional map of
+    query_id → boolean Column over the assigned corpus's metadata
+    columns, the batch face of ``ivf_search(pred=...)``.  Applied to
+    the joined (row, query) pairs as an OR of
+    ``(query_id = qid) AND pred_qid`` clauses — each row carries
+    exactly one query_id, so per pair this evaluates precisely that
+    query's predicate, with the same NULL-drops-row semantics as the
+    per-query ``filter(pred)``.  A query_id absent from the map is
+    unfiltered.  The probe list stays centroid-only, exactly like the
+    single-query path (predicates never move which cells are probed).
     """
     import numpy as np
 
@@ -906,10 +918,26 @@ def ivf_search_many(
     )
     union_cells = sorted({r[1] for r in rows})
     pruned = assigned.filter(F.col("cluster").isin(union_cells))
-    probed = pruned.join(
+    joined = pruned.join(
         F.broadcast(qcells),
         pruned["cluster"].cast("int") == qcells["cluster"],
-    ).select(
+    )
+    if preds:
+        known = {int(qid) for qid, _ in queries}
+        unknown = sorted(set(map(int, preds)) - known)
+        if unknown:
+            raise ValueError(
+                f"ivf_search_many: preds for unknown query_ids {unknown}"
+            )
+        cond = None
+        for qid, p in preds.items():
+            clause = (F.col("query_id") == F.lit(int(qid))) & p
+            cond = clause if cond is None else (cond | clause)
+        unfiltered = sorted(known - set(map(int, preds)))
+        if unfiltered:
+            cond = cond | F.col("query_id").isin(unfiltered)
+        joined = joined.filter(cond)
+    probed = joined.select(
         "query_id",
         pruned[id_col].alias(id_col),
         pruned["cluster"].alias("cluster"),

@@ -459,27 +459,28 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = assigned.persist()
     qrows = embs.filter(is_query).select("vec_id", "embedding", "label").collect()
-    parts = []
-    for r in qrows:
-        res = sim.ivf_search(
-            assigned,
-            centroids,
-            [float(x) for x in r["embedding"]],
-            k=10,
-            nprobe=4,
-            pred=F.col("label") == F.lit(int(r["label"])),
-        )
-        parts.append(
-            res.filter(F.col("cos_dist") == 0.0).select(
-                F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
-                F.col("neighbor_id").cast("long"),
-                (F.col("cos_dist") + F.lit(0.0)).alias("cos_dist"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # Batched (round 13 — r12 verdict item 4): the 5 per-query
+    # ivf_search calls each ran their own pruned scan over overlapping
+    # cells; ivf_search_many shares ONE union-cell scan, with each
+    # query's label predicate composed per (row, query) pair via
+    # ``preds`` — identical per-query rows by the operator's batch
+    # contract (pinned by test_ivf_search_many_preds_match_loop).
+    res = sim.ivf_search_many(
+        assigned,
+        centroids,
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows],
+        k=10,
+        nprobe=4,
+        preds={
+            int(r["vec_id"]): F.col("label") == F.lit(int(r["label"]))
+            for r in qrows
+        },
+    )
+    return res.filter(F.col("cos_dist") == 0.0).select(
+        F.col("query_id"),
+        F.col("neighbor_id").cast("long"),
+        (F.col("cos_dist") + F.lit(0.0)).alias("cos_dist"),
+    )
 
 
 @register_extra("pq_knn_join_planted", _PLANTED_SQL)

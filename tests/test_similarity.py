@@ -537,4 +537,46 @@ def test_ivf_search_many_matches_per_query_loop(spark, embs):
         for r in sim.ivf_search(assigned, cents, qvec, k=5, nprobe=2).collect():
             loop.add((qid, int(r["neighbor_id"]), float(r["cos_dist"])))
     assert batch == loop
+
+
+def test_ivf_search_many_preds_match_loop(spark, embs):
+    """Round-13 filtered batch probe (r12 verdict item 4): per-query
+    predicate composition in ivf_search_many must return exactly the
+    per-query ivf_search(pred=...) rows — same pruned cells, same
+    filter semantics, same rounded distances and top-k ties."""
+    from readwise_vector_db_spark.operators import similarity as sim
+
+    assigned, cents = sim.build_ivf_index(embs, n_clusters=4)
+    assigned = assigned.persist()
+    qrows = (
+        embs.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows
+    ]
+    preds = {
+        int(r["vec_id"]): F.col("label") == F.lit(int(r["label"]))
+        for r in qrows
+    }
+    batch = {
+        (int(r["query_id"]), int(r["neighbor_id"]), float(r["cos_dist"]))
+        for r in sim.ivf_search_many(
+            assigned, cents, queries, k=5, nprobe=2, preds=preds
+        ).collect()
+    }
+    loop = set()
+    for r in qrows:
+        qid = int(r["vec_id"])
+        for row in sim.ivf_search(
+            assigned,
+            cents,
+            [float(x) for x in r["embedding"]],
+            k=5,
+            nprobe=2,
+            pred=F.col("label") == F.lit(int(r["label"])),
+        ).collect():
+            loop.add((qid, int(row["neighbor_id"]), float(row["cos_dist"])))
+    assert batch == loop
     assigned.unpersist()
