@@ -25,6 +25,13 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+# Recall-QUALITY statistics over the hard planted corpus (curve bends,
+# rescore lifts) — the exactness/semantics of every probe operator is
+# pinned by the oracle entries and the batch-vs-loop equivalence tests;
+# these curves are slow quality soaks (r13: excluded from the default
+# run, select with -m slow).
+pytestmark = pytest.mark.slow
+
 from readwise_vector_db_spark.operators import pq
 from readwise_vector_db_spark.operators import similarity as sim
 

@@ -3,6 +3,7 @@ survivors, committed snapshot."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from readwise_vector_db_spark.jobs.curate import curate_corpus
@@ -95,6 +96,7 @@ def test_curate_corpus_boilerplate_stage(spark, tmp_path):
     assert {"lang", "source", "n_chars"} <= set(committed.columns)
 
 
+@pytest.mark.slow  # trains an LR per run; funnel semantics covered by test_curate_corpus_funnel (r13)
 def test_curate_corpus_quality_model_stage(spark, tmp_path):
     """Optional trained-classifier gate: junk docs that pass the
     heuristic filter are removed once the model stage is on."""

@@ -1012,6 +1012,7 @@ def test_quality_drift_gate_trips_on_planted_shift(spark, tmp_path):
     assert res["status"] == "committed"
 
 
+@pytest.mark.slow  # multi-batch gate soak (r13: excluded from the default run)
 def test_streaming_quality_gate_quarantines_spam_batch(spark, tmp_path):
     """End-to-end streaming walk: clean, clean, SPAM, clean — the spam
     micro-batch is diverted to the quarantine partition (reaching
@@ -1110,6 +1111,7 @@ def test_quality_drift_gate_trips_on_degenerate_batch():
     )
 
 
+@pytest.mark.slow  # multi-batch quarantine/readmit soak (r13: excluded from the default run)
 def test_readmit_quarantined_end_to_end(spark, tmp_path):
     """Round 12 (r11 verdict item 2): a batch quarantined under a tight
     band is READMITTED under the retuned band — the replayed cut lands
@@ -1250,6 +1252,7 @@ def test_readmit_quarantined_end_to_end(spark, tmp_path):
     assert nxt["status"] == "committed"
 
 
+@pytest.mark.slow  # multi-batch slow-drift soak (r13: excluded from the default run)
 def test_anchor_gate_catches_slow_drift(spark, tmp_path):
     """Round 12 (residue item 3): a drift SLOWER than the band per
     window-length walks the rolling reference along with it — every

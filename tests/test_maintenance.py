@@ -254,6 +254,7 @@ def test_maintain_index_policy_walk(spark, ivfpq_layout):
     assert all(r["family"] == "ivfpq" for r in log)
 
 
+@pytest.mark.slow  # recall/distortion quality stat (r13: excluded from the default run)
 def test_maintain_codes_only_recluster_improves_not_restores(spark, ivfpq_layout):
     """The honest bound on hint-less remediation: a codes layout stores
     reconstructions' worth of direction information, so the autovacuum
@@ -400,6 +401,7 @@ def test_maintain_index_flat_pq_compacts_only(spark, tmp_path):
     assert rec2["result"]["rows_surviving"] == n - n // 2
 
 
+@pytest.mark.slow  # 8-thread lease stress (r13: excluded from the default run)
 def test_dead_lease_reap_is_race_safe(tmp_path):
     """r11 review: recovering a crashed holder's lease must never
     delete a LIVE lease that landed in between (check-then-rmtree
@@ -758,6 +760,7 @@ def test_compaction_recovers_interrupted_reservoir_purge(spark, tmp_path):
     assert pq.reservoir_per_cell(path) == 40  # meta survived the recovery
 
 
+@pytest.mark.slow  # full blue-green ivfpq rebuild e2e (r13: excluded from the default run)
 def test_maintain_index_rebuild_executes_for_ivfpq(spark, tmp_path):
     """The r11 verdict's top item, end-to-end: a whole-distribution
     drifted ivfpq layout's policy decision 'rebuild' EXECUTES blue/green

@@ -1031,6 +1031,7 @@ def test_layout_version_stamp_and_migration(spark, embs, books, tmp_path):
         migrate_layout(str(tmp_path / "empty"), "pq", required=("codes",))
 
 
+@pytest.mark.slow  # recall-restoration e2e soak (r13: excluded from the default run)
 def test_recluster_cells_restores_gate_and_recall(spark, tmp_path):
     """r10 verdict item 3: targeted drift remediation.  A drifted
     append (shifted Gaussian mixture — the tools/bench_ann_recall.py

@@ -230,6 +230,7 @@ def test_exact_dedup_min_id_survives_and_is_idempotent(spark, texts):
 @given(seed=st.integers(0, 2**31 - 1))
 @settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # randomized property loop (r13: excluded from the default run)
 def test_minhash_and_simhash_always_pair_identical_docs(spark, seed):
     """Guarantee property: byte-identical documents MUST collide in every
     LSH band (minhash est = 1.0) and in every simhash chunk — a detector

@@ -141,6 +141,7 @@ def test_survivors_with_string_ids(spark):
     assert {r["vec_id"] for r in survivors.collect()} == {"doc_a", "doc_z"}
 
 
+@pytest.mark.slow  # boundary recall statistic (r13: excluded from the default run)
 def test_boundary_recall_measured(spark):
     """Pairs straddling a cluster boundary are the documented miss mode;
     on the fixture corpus with planted identical pairs recall must be
@@ -189,6 +190,7 @@ def test_assign_cells_matches_kmeans_partitioning(spark):
     assert "Exchange" not in plan
 
 
+@pytest.mark.slow  # scorer equivalence at size (r13: excluded from the default run)
 def test_blas_scorer_output_identical_to_fold_path(spark):
     """Round-6 BLAS within-cell scorer contract: identical pair set AND
     identical rounded cos_sim vs the interpreted-fold equi-join path, on
@@ -226,6 +228,7 @@ def test_blas_scorer_output_identical_to_fold_path(spark):
     assert all(a < b for a, b, _ in blas)  # id ordering contract holds
 
 
+@pytest.mark.slow  # route equivalence at size (r13: excluded from the default run)
 def test_assign_cells_blas_route_matches_expr_route(spark):
     """The k>=32 BLAS route (one gemm against the centroid matrix) must
     reproduce the expr route's assignment exactly, including NULL cells

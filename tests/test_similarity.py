@@ -27,6 +27,7 @@ def test_knn_join_self_is_rank1(spark, embs):
     assert rank1 == {i: i for i in range(10)}
 
 
+@pytest.mark.slow  # recall statistic (r13: excluded from the default run)
 def test_ivf_recall_vs_exact(spark, embs):
     """nprobe=4/16 must recover most of the exact top-10 (IVF is lossy by
     design; recall floor asserts the index isn't degenerate)."""
@@ -420,6 +421,7 @@ def test_ivf_layout_tombstone_delete_and_compaction(spark, tmp_path):
     ] == got
 
 
+@pytest.mark.slow  # remediation e2e soak (r13: excluded from the default run)
 def test_recluster_ivf_cells_targeted_remediation(spark, tmp_path):
     """r10: the raw-vector sibling of pq.recluster_cells — a drifted
     batch's cells split with EXACT vectors and a SELF-CALIBRATED
