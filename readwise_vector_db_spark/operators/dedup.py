@@ -1730,18 +1730,39 @@ def repeated_ngram_spans(
     )
     cand_pos = hashed.join(hot.select("h"), "h", "left_semi")
     per_doc = cand_pos.groupBy("id").agg(F.collect_list("pos").alias("_ps"))
+    # Rebuild tokenizes AFTER the candidate join (round 13, guide §1.2):
+    # joining `base` re-tokenized EVERY document and then threw the
+    # non-candidates away at the join — the split is the expensive part
+    # of the pass, and only candidate docs need their token arrays to
+    # build window strings.  Joining raw (id, text) first defers the
+    # split to the matched rows.  base's ≥n-token guard moves INSIDE
+    # the generator (when() nulls the array, explode emits nothing) —
+    # an explicit .filter(size(toks) >= n) here would be pushed below
+    # the join by Catalyst, re-tokenizing every document on the scan
+    # side (measured: the pushed filter's size(split(text)) ran over
+    # the full corpus AND the candidate project split again — strictly
+    # worse than before the change).  The guard itself only matters if
+    # an id is duplicated across texts (the candidate join is
+    # id-equality); emitting zero spans for a sub-n-token row is
+    # row-identical to filtering that row out.
     spans = (
-        base.join(per_doc, "id")
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .join(per_doc, "id")
+        .select("id", ws_tokens(F.col("_txt")).alias("toks"), "_ps")
         .select(
             "id",
             F.explode(
-                F.transform(
-                    "_ps",
-                    lambda p: F.struct(
-                        p.cast("int").alias("pos"),
-                        F.concat_ws(
-                            " ", F.slice("toks", p + F.lit(1), n)
-                        ).alias("ngram"),
+                F.when(
+                    F.size("toks") >= n,
+                    F.transform(
+                        "_ps",
+                        lambda p: F.struct(
+                            p.cast("int").alias("pos"),
+                            F.concat_ws(
+                                " ", F.slice("toks", p + F.lit(1), n)
+                            ).alias("ngram"),
+                        ),
                     ),
                 )
             ).alias("s"),
@@ -1798,6 +1819,60 @@ def _maximal_run_positions(
     return runs.select("id", F.explode(F.sequence("_s", "_e")).alias("pos"))
 
 
+def _dup_token_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_repeats: int = 2,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """(id, dup_tokens) for every document with ≥1 corpus-repeated
+    n-token window — the coverage half of :func:`doc_dup_fraction`,
+    factored out (round 13) so consumers that already know each doc's
+    token count (the fused signal frame) can join the RESULT-SIZED
+    coverage counts directly instead of paying doc_dup_fraction's
+    third corpus scan + tokenize just to re-derive n_tokens.
+
+    Coverage = |union of the [pos, pos+n-1] intervals| per doc.  The
+    old plan exploded every position n ways and paid a corpus-wide
+    distinct on (id, token_index) plus a second per-id aggregate —
+    two shuffles of 8×-fanned-out ints.  Interval union needs ONE
+    per-doc pass (round 12, guide §2.3): sort positions within the
+    doc, open a new island whenever pos exceeds the running max end
+    of everything before it (equal-length intervals ⇒ islands have no
+    internal gaps; an adjacent interval starts a new island, which
+    sums identically), and total Σ(max_pos − min_pos + n) per island.
+    Input (id, pos) is unique by construction: repeated_ngram_spans
+    emits one row per window position, and _maximal_run_positions
+    explodes disjoint runs of a distinct set.  One window shuffle by
+    id, then both aggregates reuse that partitioning — zero further
+    exchanges, and the 8× fan-out never exists."""
+    spans = repeated_ngram_spans(
+        docs, id_col=id_col, text_col=text_col, n=n, min_repeats=min_repeats
+    )
+    pos_df = spans.select(F.col(id_col).alias("id"), "pos")
+    if min_span_tokens is not None:
+        pos_df = _maximal_run_positions(pos_df, n, min_span_tokens)
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(n - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = pos_df.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn(
+        "_isl", F.sum("_new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("id", "_isl")
+        .agg((F.max("pos") - F.min("pos") + F.lit(n)).alias("_len"))
+        .groupBy("id")
+        .agg(F.sum("_len").cast("int").alias("dup_tokens"))
+    )
+
+
 def doc_dup_fraction(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1827,42 +1902,9 @@ def doc_dup_fraction(
     positions only (result-sized, hot-key-free — keys are (id, index)),
     and the final join brings in only (id, token-count) — document text
     never shuffles."""
-    spans = repeated_ngram_spans(
-        docs, id_col=id_col, text_col=text_col, n=n, min_repeats=min_repeats
-    )
-    pos_df = spans.select(F.col(id_col).alias("id"), "pos")
-    if min_span_tokens is not None:
-        pos_df = _maximal_run_positions(pos_df, n, min_span_tokens)
-    # Coverage = |union of the [pos, pos+n-1] intervals| per doc.  The
-    # old plan exploded every position n ways and paid a corpus-wide
-    # distinct on (id, token_index) plus a second per-id aggregate —
-    # two shuffles of 8×-fanned-out ints.  Interval union needs ONE
-    # per-doc pass (round 12, guide §2.3): sort positions within the
-    # doc, open a new island whenever pos exceeds the running max end
-    # of everything before it (equal-length intervals ⇒ islands have no
-    # internal gaps; an adjacent interval starts a new island, which
-    # sums identically), and total Σ(max_pos − min_pos + n) per island.
-    # Input (id, pos) is unique by construction: repeated_ngram_spans
-    # emits one row per window position, and _maximal_run_positions
-    # explodes disjoint runs of a distinct set.  One window shuffle by
-    # id, then both aggregates reuse that partitioning — zero further
-    # exchanges, and the 8× fan-out never exists.
-    from pyspark.sql import Window
-
-    w_doc = Window.partitionBy("id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.lit(n - 1)).over(
-        w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = pos_df.withColumn(
-        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
-    ).withColumn(
-        "_isl", F.sum("_new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    cov = (
-        islands.groupBy("id", "_isl")
-        .agg((F.max("pos") - F.min("pos") + F.lit(n)).alias("_len"))
-        .groupBy("id")
-        .agg(F.sum("_len").cast("int").alias("dup_tokens"))
+    cov = _dup_token_coverage(
+        docs, id_col=id_col, text_col=text_col, n=n,
+        min_repeats=min_repeats, min_span_tokens=min_span_tokens,
     )
     base = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),

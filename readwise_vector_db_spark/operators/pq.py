@@ -45,6 +45,19 @@ from pyspark.sql import types as T
 from readwise_vector_db_spark.layout import check_layout as _check_layout
 from readwise_vector_db_spark.layout import stamp_layout as _stamp_layout
 
+# Max candidate-union size pushed into the batched rescore scan as an
+# IN literal (round 13 — r12 residue item 2).  Below this, the literal
+# reaches the parquet scan as PushedFilters and prunes row groups; a
+# larger batch would bloat the plan with a multi-MB expression, so the
+# broadcast candidate join (which already bounds the rows exactly)
+# carries the restriction alone.  Serving fan-in (nq·k·rescore_factor)
+# sits far below the default; env-tunable for offline batch callers.
+import os as _os
+
+ISIN_PUSHDOWN_MAX_IDS = int(
+    _os.environ.get("SPARK_GRAFT_ISIN_PUSHDOWN_MAX_IDS", "8192")
+)
+
 
 def _kmeans_np(
     x: np.ndarray, k: int, iters: int, seed: int, init: np.ndarray | None = None
@@ -2906,6 +2919,15 @@ def pq_search_many(
     # single-query path does.
     cand_rows = adc.select("query_id", id_col).collect()
     union_ids = sorted({r[id_col] for r in cand_rows})
+    # The IN literal is a scan-pushdown aid, not a correctness filter —
+    # the broadcast join on `pairs` below already restricts rows to
+    # exactly these candidates.  At serving fan-in (nq·k·rf ids) the
+    # pushdown wins; for a large offline batch the literal would bloat
+    # the plan (r12 residue item), so past the budget the filter is
+    # dropped and the join alone bounds the rows (round 13).
+    rescore_pruned = rescore
+    if len(union_ids) <= ISIN_PUSHDOWN_MAX_IDS:
+        rescore_pruned = rescore.filter(F.col(id_col).isin(union_ids))
     spark = codes.sparkSession
     # ONE broadcast frame carrying (query_id, candidate id, query vec):
     # the per-candidate qvec duplication is nq·fetch·d doubles — request-
@@ -2930,7 +2952,7 @@ def pq_search_many(
         F.col("score").desc(), F.col(id_col).asc()
     )
     return (
-        rescore.filter(F.col(id_col).isin(union_ids))
+        rescore_pruned
         .select(id_col, vec_col)
         .join(F.broadcast(pairs), id_col)
         .select(

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from readwise_vector_db_spark.operators.dedup import doc_dup_fraction
+from readwise_vector_db_spark.operators.dedup import _dup_token_coverage
 from readwise_vector_db_spark.operators.lm import _make_scorer
 
 # re.ASCII (r11): Python's default \s is UNICODE-aware — it splits
@@ -90,11 +90,48 @@ def doc_quality_signals(
     per_doc = per_doc_signal_frame(
         docs, uni, bi, vocab_size, add_k=add_k, id_col=id_col, text_col=text_col
     )
-    dup = doc_dup_fraction(
+    # Round 13 (guide §1.2): consume the RESULT-SIZED coverage counts,
+    # not the full doc_dup_fraction frame — the latter pays a third
+    # corpus scan + tokenize solely to re-derive n_tokens, a value the
+    # Arrow pass above already computed for every doc (same ws_tokens
+    # contract, pinned by the composed-oracle hash check on BOTH
+    # operators' n_tokens columns).  dup_fraction is recomputed here
+    # with doc_dup_fraction's exact expression over per_doc.n_tokens,
+    # so the emitted values are bit-identical; the left join shrinks
+    # from corpus-sized (every doc) to coverage-sized (docs with ≥1
+    # repeated window).
+    cov = _dup_token_coverage(
         docs, id_col=id_col, text_col=text_col, n=n,
         min_repeats=min_repeats, min_span_tokens=min_span_tokens,
-    ).select(id_col, "dup_tokens", "dup_fraction")
-    return _join_signals(per_doc, dup, id_col)
+    ).select(F.col("id").alias(id_col), "dup_tokens")
+    return _join_signals_cov(per_doc, cov, id_col)
+
+
+def _join_signals_cov(per_doc: DataFrame, cov: DataFrame, id_col: str) -> DataFrame:
+    """Join the coverage COUNTS (docs with repeated content only) and
+    derive dup_fraction from the per-doc pass's own n_tokens — the
+    exact expression :func:`operators.dedup.doc_dup_fraction` emits
+    (same when/coalesce/HALF-UP round), over the same token count."""
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0))
+    return per_doc.join(cov, id_col, "left").select(
+        per_doc[id_col],
+        "n_tokens",
+        "top_unigram_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "rep_keep",
+        "n_bigrams",
+        "avg_logp",
+        "ppl",
+        dup_tokens.alias("dup_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                dup_tokens / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_fraction"),
+    )
 
 
 def _join_signals(per_doc: DataFrame, dup: DataFrame, id_col: str) -> DataFrame:

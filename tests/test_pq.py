@@ -1233,3 +1233,31 @@ def test_ivfpq_search_many_matches_per_query_loop(spark, embs, books):
             loop.add((qid, int(r["vec_id"]), float(r["score"])))
     assert batch == loop
     codes.unpersist()
+
+
+def test_pq_search_many_isin_cap_drops_pushdown_not_rows(
+    spark, embs, books, monkeypatch
+):
+    """Round 13 (r12 residue): the candidate-union IN literal on the
+    batched rescore scan is a pushdown aid only — with the cap forced
+    to 0 (literal dropped, broadcast candidate join alone bounds the
+    rows) the output must be row-identical to the default path."""
+    codes = pq.pq_encode(embs, books).persist()
+    qrows = (
+        embs.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+
+    def run():
+        return {
+            (int(r["query_id"]), int(r["vec_id"]), float(r["score"]))
+            for r in pq.pq_search_many(
+                codes, queries, books, k=5, rescore=embs, rescore_factor=4
+            ).collect()
+        }
+
+    with_pushdown = run()
+    monkeypatch.setattr(pq, "ISIN_PUSHDOWN_MAX_IDS", 0)
+    without_pushdown = run()
+    assert with_pushdown == without_pushdown
+    codes.unpersist()
